@@ -1,0 +1,136 @@
+"""Write-path ingest pipeline (SURVEY W1-W8 + F1 + K1).
+
+Reference flow (main.go:286-320 → clickhouse/client.go:120-157):
+HTTP body → snappy → protobuf ``WriteRequest`` → flatten
+series×samples to rows → per-row codecs → NaN/Inf gate → batched
+INSERT in a transaction.
+
+Spark-first flow: the protocol gateway (outside Spark, exactly as the
+reference sits outside ClickHouse) lands decoded requests as
+JSON/parquet; here we take the nested shape and produce the canonical
+table with pure Catalyst expressions:
+
+- W2 flatten: two ``explode``s (series, then samples).
+- W1/W3/W4: labels map, ``__name__`` extraction, sorted tags array.
+- W6/W7: ms→timestamp, ``date`` partition column.
+- W8: ``updated`` ingest stamp (LWW version).
+- F1: NaN/±Inf rejected, with drop counts surfaced via
+  ``df.observe`` (the reference counts drops per writer,
+  clickhouse/client.go:137-141).
+- K1: date-partitioned append, sorted within partitions on
+  (name, ts) to approximate the MergeTree sort key for row-group
+  skipping.
+
+Everything is JVM-side; at 100 TB ingest this pipeline is a single
+narrow stage per micro-batch (no shuffle: explode+project+filter), then
+a partitioned write.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from remote_storage_adapter_spark.functions.codecs import (
+    metric_name,
+    tags_from_labels,
+)
+from remote_storage_adapter_spark.schema import PARTITION_COLUMN, SORT_COLUMNS
+
+
+def flatten_write_requests(requests: DataFrame) -> DataFrame:
+    """W2 (main.go:377-394): nested WriteRequest → one row per sample.
+
+    Input schema: schema.WRITE_REQUEST_SCHEMA. Output: samples shape
+    (ts_ms, name, labels, val).
+    """
+    series = requests.select(
+        F.explode("timeseries").alias("series")
+    )
+    samples = series.select(
+        F.map_from_entries(
+            F.transform(
+                F.col("series.labels"),
+                lambda l: F.struct(l["name"].alias("key"),
+                                   l["value"].alias("value")),
+            )
+        ).alias("labels"),
+        F.explode(F.col("series.samples")).alias("sample"),
+    )
+    return samples.select(
+        F.col("sample.timestamp").alias("ts_ms"),
+        metric_name(F.col("labels")).alias("name"),
+        F.col("labels"),
+        F.col("sample.value").alias("val"),
+    )
+
+
+def finite_filter(df: DataFrame, val: str = "val") -> DataFrame:
+    """F1 (clickhouse/client.go:137-141): drop NaN/±Inf values."""
+    c = F.col(val)
+    return df.filter(
+        (~F.isnan(c)) & (c > float("-inf")) & (c < float("inf"))
+    )
+
+
+def to_metrics(samples: DataFrame,
+               updated: Optional[object] = None) -> DataFrame:
+    """samples (ts_ms, name, labels, val) → canonical metrics rows.
+
+    ``updated`` defaults to the ingest wall-clock (W8); pass a Column
+    for deterministic tests/oracles.
+    """
+    upd = updated if updated is not None else F.current_timestamp()
+    ts = F.timestamp_millis(F.col("ts_ms"))
+    out = samples.select(
+        F.to_date(ts).alias("date"),
+        F.col("name"),
+        tags_from_labels(F.col("labels")).alias("tags"),
+        F.col("labels"),
+        F.col("val"),
+        ts.alias("ts"),
+        upd.alias("updated") if not isinstance(upd, str) else F.col(upd).alias("updated"),
+    )
+    return finite_filter(out)
+
+
+def ingest_batch(requests: DataFrame, **kw) -> DataFrame:
+    """Full W1-W8+F1 pipeline from the nested wire shape."""
+    return to_metrics(flatten_write_requests(requests), **kw)
+
+
+def observed_ingest(samples: DataFrame):
+    """F1 with drop accounting via the observation API (A9 telemetry:
+    receivedSamples/sentSamples counters, main.go:77-113).
+
+    Returns (df, observation); after an action, ``observation.get``
+    yields {'received': n, 'sent': m} — drops = received - sent.
+    """
+    obs = Observation("ingest")
+    c = F.col("val")
+    finite = (~F.isnan(c)) & (c > float("-inf")) & (c < float("inf"))
+    observed = samples.observe(
+        obs,
+        F.count(F.lit(1)).alias("received"),
+        F.sum(finite.cast("long")).alias("sent"),
+    )
+    return observed.filter(finite), obs
+
+
+def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
+    """K1: date-partitioned columnar append, MergeTree-like layout.
+
+    ``sortWithinPartitions(name, ts)`` ≈ primary key ``(name, tags,
+    ts)`` (0001-create-table.sql:12) → parquet row-group min/max
+    skipping on name/ts at read time. Delta would add ACID+OPTIMIZE;
+    parquet keeps the test environment dependency-free.
+    """
+    (
+        df.repartition(F.col(PARTITION_COLUMN))
+        .sortWithinPartitions(*SORT_COLUMNS)
+        .write.mode(mode)
+        .partitionBy(PARTITION_COLUMN)
+        .parquet(path)
+    )

@@ -1,0 +1,119 @@
+"""Tiered retention rollup + last-write-wins versioning (SURVEY §4.3).
+
+The reference delegates this to ClickHouse's GraphiteMergeTree
+``graphite_rollup`` config (README.md:66-86): version column
+``updated`` picks the last write per (name, tags, ts); retention tiers
+re-bucket by age — default function ``avg``; 10 s raw, 30 s after 1 day,
+300 s after 2 days. The storage engine applies this during background
+merges; here it is an explicit, config-driven batch job (the Spark-first
+equivalent: deterministic, idempotent, incrementally schedulable per
+date partition).
+
+At 100 TB: each tier job reads only the date partitions whose age makes
+them eligible (partition pruning on the `date` column), aggregates with
+map-side partial aggregation, and overwrites the tier's partitions
+atomically. No global shuffle beyond the per-tier groupBy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from remote_storage_adapter_spark.plans.read import bucket_ms
+
+
+@dataclass(frozen=True)
+class RollupTier:
+    """One retention rule (README.md:71-85 XML → code)."""
+
+    age_s: int        # applies to rows older than this
+    precision_s: int  # target bucket width
+
+
+#: The reference's shipped config (README.md:73-84).
+DEFAULT_TIERS = (
+    RollupTier(age_s=0, precision_s=10),
+    RollupTier(age_s=86400, precision_s=30),
+    RollupTier(age_s=172800, precision_s=300),
+)
+
+
+def lww_dedup(df: DataFrame,
+              keys: Sequence[str] = ("name", "tags", "ts")) -> DataFrame:
+    """A8: keep the max-``updated`` row per sample key.
+
+    GraphiteMergeTree's version-column semantics (README.md:70,
+    DDL ``updated`` default at 0001-create-table.sql:8): on duplicate
+    (name, tags, ts) the last write wins.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("updated").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def tier_for_age(tiers: Sequence[RollupTier], age_s: int) -> RollupTier:
+    """Pick the coarsest tier whose age threshold the row has passed."""
+    eligible = [t for t in tiers if age_s >= t.age_s]
+    return max(eligible, key=lambda t: t.age_s) if eligible else tiers[0]
+
+
+def rollup(df: DataFrame, precision_s: int, *, now_ms: int,
+           older_than_s: int = 0, agg: str = "avg") -> DataFrame:
+    """One tier pass: LWW-dedup then re-bucket rows older than
+    ``older_than_s`` to ``precision_s`` buckets with ``agg`` (default
+    avg, the graphite_rollup default README.md:72).
+
+    Output schema matches the canonical table minus raw ts precision:
+    (date, name, tags, val, ts, updated) with ts = bucket start.
+    """
+    cutoff = F.timestamp_millis(F.lit(now_ms - older_than_s * 1000))
+    agg_fn = getattr(F, agg)
+    deduped = lww_dedup(df.filter(F.col("ts") < cutoff))
+    bucket = bucket_ms(F.col("ts"), precision_s)
+    return (
+        deduped
+        .groupBy(
+            F.col("name"),
+            F.col("tags"),
+            F.timestamp_millis(bucket).alias("ts"),
+        )
+        .agg(
+            agg_fn(F.col("val")).alias("val"),
+            F.max(F.col("updated")).alias("updated"),
+            F.first(F.col("labels")).alias("labels"),
+        )
+        .withColumn("date", F.to_date(F.col("ts")))
+        .select("date", "name", "tags", "labels", "val", "ts", "updated")
+    )
+
+
+def run_tiers(df: DataFrame, *, now_ms: int,
+              tiers: Sequence[RollupTier] = DEFAULT_TIERS,
+              agg: str = "avg") -> dict:
+    """Run every tier; returns {precision_s: DataFrame}. Tier N covers
+    rows whose age ∈ [tier.age_s, next_tier.age_s)."""
+    ordered = sorted(tiers, key=lambda t: t.age_s)
+    out = {}
+    for i, t in enumerate(ordered):
+        upper = ordered[i + 1].age_s if i + 1 < len(ordered) else None
+        part = df.filter(
+            F.col("ts") < F.timestamp_millis(F.lit(now_ms - t.age_s * 1000))
+        )
+        if upper is not None:
+            part = part.filter(
+                F.col("ts")
+                >= F.timestamp_millis(F.lit(now_ms - upper * 1000))
+            )
+        out[t.precision_s] = rollup(
+            part, t.precision_s, now_ms=now_ms, older_than_s=t.age_s, agg=agg
+        )
+    return out

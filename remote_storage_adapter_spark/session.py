@@ -1,0 +1,55 @@
+"""SparkSession construction / tuning helpers.
+
+All timestamps in the engine are UTC (the reference stores ClickHouse
+``DateTime`` which is timezone-naive wall-seconds; we pin the session to
+UTC so ``to_date``/``unix_timestamp`` are deterministic and match the
+DuckDB oracle, which treats naive timestamps as UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to *any* session we are handed
+#: (the driver owns session creation for `queries()` callables).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # the driver's events.parquet carries TIMESTAMP(NANOS) which the
+    # parquet reader rejects by default; read as long (ns) + convert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by owner
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "remote-storage-adapter-spark") -> SparkSession:
+    """Build a local session shaped like the test/bench environment.
+
+    ``local[N]`` here stands in for a multi-executor cluster: everything
+    downstream relies only on partitioning, never on single-JVM locality.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

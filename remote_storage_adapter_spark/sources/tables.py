@@ -1,0 +1,39 @@
+"""Driver-provided parquet tables (TESTDATA.md).
+
+`spark.read.parquet` gives the vectorized parquet scan; every query in
+the engine is written so filters/projections reach the scan
+(`PushedFilters` / `ReadSchema` in `.explain("formatted")`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS,false) parquet, which Spark's
+        # reader rejects; read the raw int64 ns and convert to a
+        # microsecond timestamp (what DuckDB does implicitly).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
