@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines (task brief E1).
+
+Five strategies over the ``documents`` table, each designed for the
+100 TB path:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on a
+  short hash key (never on the full text).
+- n-gram Jaccard: word-shingle inverted index → same-shingle pair
+  join → Jaccard threshold. Quadratic in cluster size, so it is
+  blocked (shingle as the join key IS the block) and intended for
+  verification of candidate pairs, not the full corpus.
+- MinHash + LSH: k independent min-hashes per doc (one pass,
+  ``xxhash64`` with per-permutation seeds, all JVM-side), banded into
+  b buckets → bucket join yields candidate pairs with tunable recall;
+  the scale path (linear shuffle volume: k longs per doc).
+- SimHash: 64-bit weighted-bit fingerprint; near-dups = fingerprints
+  within a Hamming radius, found by pigeonhole banding.
+- embedding cosine: near-dup by vector similarity within blocks.
+
+All shuffles are on compact keys (longs / short strings); document
+text never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical text form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit deterministic content fingerprint (md5 of normalized)."""
+    return F.md5(normalized(text))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (fingerprint, n_copies, keeper id).
+
+    groupBy on the 32-char fingerprint, not the text → shuffle rows are
+    ~40 bytes regardless of document size.
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    words = F.split(normalized(text), " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(normalized(text)))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
+                        threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
+
+    Inverted-index join: explode shingles → self-join on the shingle →
+    count common shingles per pair → |A∪B| = |A|+|B|-common. The
+    shingle is the blocking key, so only docs sharing a shingle ever
+    meet; the join carries (shingle-hash, id) pairs, not text.
+    """
+    sized = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).select("id", F.size("sh").alias("n_sh"), "sh")
+    exploded = sized.select(
+        "id", "n_sh", F.explode("sh").alias("shingle")
+    ).withColumn("shingle", F.xxhash64("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64,
+                       shingle_n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """k-permutation MinHash signature per document, one JVM-side pass.
+
+    min-hash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
+    ``transform`` over a seed sequence × ``array_min`` keeps the whole
+    signature computation inside whole-stage codegen — no Python, no
+    shuffle; output is k longs per doc. The shingle array is
+    materialized into a column first so the (normalize → split →
+    shingle) chain runs once per doc, not once per hash seed.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return shingled.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      threshold: float = 0.5,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard from signature agreement.
+
+    Signatures are banded (``bands`` bands of k/bands rows); docs
+    colliding in ≥1 band become candidates (join key = (band,
+    band-hash) — compact and uniformly distributed, so the shuffle is
+    skew-free). Estimated Jaccard = fraction of agreeing hash
+    positions; pairs below ``threshold`` are dropped.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, shingle_n=shingle_n,
+        id_col=id_col, text_col=text_col,
+    )
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                       lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column, *, bits: int = 64, shingle_n: int = 1) -> Column:
+    """64-bit SimHash fingerprint, fully JVM-side.
+
+    Per token hash h, bit b contributes +1 if set else -1; fingerprint
+    bit b is 1 iff the sum is positive. Expressed as a ``transform``
+    over bit positions with an ``aggregate`` over token hashes —
+    whole-stage codegen, no explode (no 64× row blowup).
+    """
+    words = F.split(normalized(text), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # bit masks as a literal array (bit 63 = signed long min in two's
+    # complement); lambda variables can't feed shiftleft's int argument.
+    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    masks = F.array(*[F.lit(m).cast("long") for m in mask_vals])
+    bit_votes = F.transform(
+        masks,
+        lambda mask: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            masks,
+            lambda v, mask: F.when(v > 0, mask).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming+1`` chunks; any pair within the radius agrees exactly
+    on ≥1 chunk, so the chunk value is the block/join key. Distance is
+    then verified with ``bit_count(a XOR b)``.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fp = docs.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col)).alias("fp"),
+    )
+    banded = fp.select(
+        "id", "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("fp"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "fp", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(embs: DataFrame, *, threshold: float = 0.95,
+                             block_col: str = "label",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs by cosine similarity within blocks.
+
+    ``block_col`` bounds the quadratic pair join (at scale: an LSH or
+    IVF-coarse-quantizer bucket — see operators/similarity.py); cosine
+    is computed JVM-side with ``zip_with``/``aggregate``.
+    """
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0),
+                                  lambda a, x: a + x.cast("double") * x.cast("double")))
+
+    v = embs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("norm", norm(F.col("vec")))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

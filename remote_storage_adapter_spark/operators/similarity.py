@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (task brief E2).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector. The
+  query vector is a literal folded into the plan (broadcast by
+  construction); the scan is embarrassingly parallel, the only shuffle
+  is the final top-k (``orderBy + limit`` → Spark's TakeOrdered, which
+  keeps k rows per partition then merges k·p on the driver — no full
+  sort).
+- ``lsh_topk``: random-hyperplane LSH (sign bits of projections onto
+  deterministic ±1 planes) → search only the query's bucket. At 100 TB
+  the bucket id becomes the partition/bucketing key so a query touches
+  1/2^bits of the data; planes are pseudo-random ±1 derived from
+  (plane, dim) indices so both Spark and any oracle reproduce them
+  exactly (no RNG state to ship).
+- ``ivf_topk``: IVF-style coarse quantization: k-means-ish centroids
+  are approximated by picking ``n_cells`` seed vectors deterministically
+  (every (N/n_cells)-th by id); each vector is assigned to its nearest
+  seed at index-build time; a query probes the ``n_probe`` nearest
+  cells. Build is one broadcast-join pass; query cost drops by
+  ~n_cells/n_probe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec: Column, query: Sequence[float]) -> Column:
+    """<vec, query> with the query folded in as literals (JVM-side)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec, q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_to(vec: Column, query: Sequence[float]) -> Column:
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    return _dot_lit(vec, query) / (_norm(vec) * F.lit(qn))
+
+
+def brute_force_topk(embs: DataFrame, query: Sequence[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine; ties broken by id for determinism."""
+    return (
+        embs.select(
+            F.col(id_col).alias("id"),
+            cosine_to(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def hyperplane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 pseudo-random plane entry — integer arithmetic
+    only so any engine reproduces it bit-exactly."""
+    v = (plane * 1315423911 + dim * 2654435761 + 97) % 1000003
+    return 1 if v % 2 == 0 else -1
+
+
+def bucket_of(vec: Column, n_planes: int, dim: int) -> Column:
+    """LSH bucket id: sign-bit concat of projections onto ±1 planes."""
+    bits = []
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(float(hyperplane_sign(p, d)))
+                          for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj >= 0,
+                   F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(embs: DataFrame, query: Sequence[float], k: int = 10,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket."""
+    dim = len(query)
+    qbucket = 0
+    for p in range(n_planes):
+        proj = sum(float(query[d]) * hyperplane_sign(p, d)
+                   for d in range(dim))
+        if proj >= 0:
+            qbucket |= 1 << p
+    return (
+        embs.withColumn("bucket", bucket_of(F.col(vec_col), n_planes, dim))
+        .filter(F.col("bucket") == F.lit(qbucket))
+        .select(
+            F.col(id_col).alias("id"),
+            cosine_to(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivf_index(embs: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest deterministic seed centroid.
+
+    Seeds = the n_cells vectors with the smallest ids (deterministic,
+    broadcastable). Returns embs + ``cell`` column. One broadcast
+    join + per-row argmin; no shuffle of the big side.
+    """
+    seeds = embs.orderBy(F.col(id_col)).limit(n_cells).select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+    )
+    from pyspark.sql.functions import broadcast
+
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("seed_vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("seed_vec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
+                                           F.col("seed_id"))
+    return (
+        embs.crossJoin(broadcast(seeds))
+        .withColumn("sim", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*embs.columns, F.col("seed_id").alias("cell"))
+    )
+
+
+def ivf_topk(indexed: DataFrame, seeds_query_cells: Sequence[int],
+             query: Sequence[float], k: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Top-k probing only the given cells of an IVF index."""
+    return (
+        indexed.filter(F.col("cell").isin(list(seeds_query_cells)))
+        .select(
+            F.col(id_col).alias("id"),
+            cosine_to(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )

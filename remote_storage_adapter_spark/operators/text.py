@@ -1,0 +1,120 @@
+"""Text analysis operators (task brief E3): language ID, quality
+scoring, token counting, fingerprinting.
+
+All hot-path expressions are Catalyst builtins (regexp/array/aggregate)
+— at 100 TB these run per-document inside whole-stage codegen; no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from remote_storage_adapter_spark.operators.dedup import fingerprint, normalized
+
+#: tiny deterministic stopword lists per language for the n-gram/stopword
+#: language heuristic (public-knowledge word lists).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+#: BPE-ish tokenizer: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalized(text), " ")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex token split approximating a BPE pre-tokenizer."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, token stats, punct/stopword
+    ratios, plus a single blended [0,1] quality score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    mean_wl = F.aggregate(
+        toks, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    punct_ratio = punct.cast("double") / F.greatest(n_char, F.lit(1)).cast("double")
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    # blended heuristic score: long-enough, low punct, some stopwords,
+    # sane mean word length (C4/Gopher-style rules, simplified).
+    score = (
+        F.when(n_tok >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.25))
+        .otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "*",
+        n_char.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.round(mean_wl, 6).alias("q_mean_token_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stop_ratio, 6).alias("q_stopword_ratio"),
+        score.alias("q_score"),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic language heuristic.
+
+    Priority: CJK codepoints → zh; else the language with the most
+    marker-stopword hits (ties broken by fixed order en>de>fr>es);
+    no hits → 'und'.
+    """
+    toks = tokens(text)
+
+    def _hits(markers):
+        # NB: markers must be closed over, not a lambda default — pyspark
+        # binds one lambda variable per parameter.
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("es", "fr", "de", "en"):  # reverse priority; later wins ties
+        s = scores[lang]
+        best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    has_cjk = text.rlike("[一-鿿]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Content fingerprint + rolling-shingle winnowing minimum.
+
+    ``fp`` is the exact-dedup key (md5 of normalized text);
+    ``min_shingle_hash`` is the minimum xxhash64 over word 5-grams — a
+    1-perm MinHash usable as a cheap near-dup prefilter.
+    """
+    from remote_storage_adapter_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), 5)
+    return docs.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+        .alias("min_shingle_hash"),
+    )

@@ -1,0 +1,813 @@
+"""Driver-contract query registry.
+
+Every implemented operator from SURVEY.md §2 (plus the extension
+operators) is exposed as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, a DuckDB
+oracle string over the same parquet tables. Column names and rounding
+are aligned pair-wise so the driver's order-insensitive value-hash
+matches.
+
+Determinism notes:
+- all timestamps are treated as UTC (session tz pinned in _prep);
+- bucket math uses integer epoch seconds (`floor`), never float;
+- double outputs are rounded (6 dp; money 2 dp) on BOTH sides;
+- anything involving engine-specific hashing (xxhash64) or Python
+  stages (mapInPandas) is registered without an oracle → the driver
+  records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remote_storage_adapter_spark.session import tune
+from remote_storage_adapter_spark.sources.tables import load_table
+from remote_storage_adapter_spark.sources.events import metrics_from_events
+from remote_storage_adapter_spark.plans.matchers import LabelMatcher, PromQuery
+from remote_storage_adapter_spark.plans.read import (
+    assemble_series,
+    merge_sorted_dedup,
+    read_query,
+    read_request,
+)
+from remote_storage_adapter_spark.plans.rollup import lww_dedup, rollup
+from remote_storage_adapter_spark.operators.ingest import finite_filter
+from remote_storage_adapter_spark.operators import dedup as D
+from remote_storage_adapter_spark.operators import similarity as S
+from remote_storage_adapter_spark.operators import text as TX
+from remote_storage_adapter_spark.operators import multimodal as MM
+
+# ---- fixed time window constants (events span 2024-01; all UTC ms) ----
+JAN1 = 1704067200000
+T5 = 1704412800000
+T8 = 1704672000000
+T10 = 1704844800000
+T12 = 1705017600000
+T14 = 1705190400000
+T20 = 1705708800000
+JAN31 = 1706659200000
+NOW_MS = JAN31  # reference point for rollup age tiers
+
+STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is')"
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    return tune(spark)
+
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_from_events(load_table(_prep(spark), sf_dir, "events"))
+
+
+def _flat(res: DataFrame) -> DataFrame:
+    """cnt,t,name,tags,value → oracle-comparable (tags → series string)."""
+    return res.select(
+        "cnt", "t", "name",
+        F.array_join("tags", ",").alias("series"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+#: shared oracle CTE: the canonical metrics view over `events`
+M_CTE = """
+WITH m AS (
+  SELECT event_type AS name,
+         '__name__=' || event_type || ',user_id=' || user_id AS series,
+         CAST(user_id AS VARCHAR) AS user_id,
+         value AS val,
+         ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)
+"""
+
+
+def _read_oracle(start_ms: int, end_ms: int, step: int, where: str = "") -> str:
+    return f"""{M_CTE}
+SELECT count(*) AS cnt,
+       (es // {step}) * {step} * 1000 AS t,
+       name, series,
+       round(quantile_cont(val, 0.75), 6) AS value
+FROM m
+WHERE ts >= make_timestamp({start_ms * 1000})
+  AND ts <= make_timestamp({end_ms * 1000}) {where}
+GROUP BY 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# reference read path (A1-A5, F2-F7, M1-M2, O1)
+# --------------------------------------------------------------------------
+
+def q_read_downsample_q75(spark, sf_dir):
+    q = PromQuery(T5, T20, (
+        LabelMatcher("EQ", "__name__", "purchase"),
+        LabelMatcher("EQ", "user_id", "3|7|11"),
+    ))
+    return _flat(read_query(_metrics(spark, sf_dir), q, exact_quantile=True))
+
+
+O_read_downsample_q75 = _read_oracle(
+    T5, T20, 158,
+    "AND name = 'purchase' AND user_id IN ('3','7','11')",
+)
+
+
+def q_read_downsample_auto_step(spark, sf_dir):
+    q = PromQuery(JAN1, JAN31)  # step = 2592000/8192 = 316 s
+    return _flat(read_query(_metrics(spark, sf_dir), q, exact_quantile=True))
+
+
+O_read_downsample_auto_step = _read_oracle(JAN1, JAN31, 316)
+
+
+def q_read_matcher_regex(spark, sf_dir):
+    q = PromQuery(T5, T20, (
+        LabelMatcher("RE", "__name__", "pur|sig"),
+        LabelMatcher("NRE", "user_id", "^1"),
+    ))
+    return _flat(read_query(_metrics(spark, sf_dir), q, exact_quantile=True))
+
+
+O_read_matcher_regex = _read_oracle(
+    T5, T20, 158,
+    "AND regexp_matches(name, 'pur|sig') "
+    "AND NOT regexp_matches(user_id, '^(?:1)')",
+)
+
+
+def q_read_matcher_neq(spark, sf_dir):
+    q = PromQuery(T5, T20, (
+        LabelMatcher("NEQ", "__name__", "error"),
+        LabelMatcher("NEQ", "user_id", "3"),
+    ))
+    return _flat(read_query(_metrics(spark, sf_dir), q, exact_quantile=True))
+
+
+O_read_matcher_neq = _read_oracle(
+    T5, T20, 158,
+    "AND name != 'error' AND user_id NOT IN ('3')",
+)
+
+
+def q_read_multi_query_union(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    qs = [
+        PromQuery(T5, T12 - 1, (LabelMatcher("EQ", "user_id", "2|4"),),
+                  step_s=60),
+        PromQuery(T10, T20 - 1, (LabelMatcher("EQ", "user_id", "2|4"),),
+                  step_s=60),
+    ]
+    return _flat(read_request(m, qs, exact_quantile=True))
+
+
+def _O_union() -> str:
+    cond = "AND user_id IN ('2','4')"
+    qa = f"""
+  SELECT count(*) AS cnt, (es // 60) * 60 * 1000 AS t, name, series,
+         round(quantile_cont(val, 0.75), 6) AS value
+  FROM m WHERE ts >= make_timestamp({T5 * 1000})
+   AND ts <= make_timestamp({(T12 - 1) * 1000}) {cond}
+  GROUP BY 2,3,4"""
+    qb = f"""
+  SELECT count(*) AS cnt, (es // 60) * 60 * 1000 AS t, name, series,
+         round(quantile_cont(val, 0.75), 6) AS value
+  FROM m WHERE ts >= make_timestamp({T10 * 1000})
+   AND ts <= make_timestamp({(T20 - 1) * 1000}) {cond}
+  GROUP BY 2,3,4"""
+    return f"""{M_CTE}
+SELECT DISTINCT * FROM (({qa}) UNION ALL ({qb}))
+"""
+
+
+O_read_multi_query_union = _O_union()
+
+
+def q_read_series_assembly(spark, sf_dir):
+    q = PromQuery(T5, T20, (LabelMatcher("EQ", "__name__", "purchase"),))
+    flat = read_query(_metrics(spark, sf_dir), q, exact_quantile=True)
+    assembled = assemble_series(flat)  # name, tags, samples[]
+    return assembled.select(
+        "name",
+        F.array_join("tags", ",").alias("series"),
+        F.size("samples").cast("long").alias("n_buckets"),
+        F.element_at("samples", 1)["t"].alias("t_first"),
+        F.element_at("samples", -1)["t"].alias("t_last"),
+        F.round(
+            F.aggregate("samples", F.lit(0.0), lambda a, s: a + s["value"])
+            / F.size("samples"),
+            6,
+        ).alias("mean_value"),
+    )
+
+
+O_read_series_assembly = f"""{M_CTE}
+, flat AS (
+  SELECT count(*) AS cnt, (es // 158) * 158 * 1000 AS t, name, series,
+         quantile_cont(val, 0.75) AS value
+  FROM m
+  WHERE ts >= make_timestamp({T5 * 1000}) AND ts <= make_timestamp({T20 * 1000})
+    AND name = 'purchase'
+  GROUP BY 2, 3, 4
+)
+SELECT name, series,
+       count(*) AS n_buckets,
+       min(t) AS t_first,
+       max(t) AS t_last,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM flat GROUP BY name, series
+"""
+
+
+def q_read_merge_dedup(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    qa = PromQuery(T5, T10 - 1, step_s=60)
+    qb = PromQuery(T8, T14 - 1, step_s=60)
+    flat_a = _flat(read_query(m, qa, exact_quantile=True))
+    flat_b = _flat(read_query(
+        m.withColumn("val", F.col("val") + 1000), qb, exact_quantile=True))
+    return merge_sorted_dedup(flat_a, flat_b, keys=["name", "series", "t"])
+
+
+O_read_merge_dedup = f"""{M_CTE}
+, qa AS (
+  SELECT count(*) AS cnt, (es // 60) * 60 * 1000 AS t, name, series,
+         round(quantile_cont(val, 0.75), 6) AS value, 0 AS prio
+  FROM m WHERE ts >= make_timestamp({T5 * 1000})
+    AND ts <= make_timestamp({(T10 - 1) * 1000})
+  GROUP BY 2, 3, 4
+), qb AS (
+  SELECT count(*) AS cnt, (es // 60) * 60 * 1000 AS t, name, series,
+         round(quantile_cont(val + 1000, 0.75), 6) AS value, 1 AS prio
+  FROM m WHERE ts >= make_timestamp({T8 * 1000})
+    AND ts <= make_timestamp({(T14 - 1) * 1000})
+  GROUP BY 2, 3, 4
+), u AS (SELECT * FROM qa UNION ALL SELECT * FROM qb),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY name, series, t ORDER BY prio) AS rn
+  FROM u
+)
+SELECT cnt, t, name, series, value FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# write path (W1-W8, F1) + rollup (§4.3, A7/A8)
+# --------------------------------------------------------------------------
+
+def q_ingest_nan_filter(spark, sf_dir):
+    m = _metrics(spark, sf_dir).select("name", "val")
+    bad = _prep(spark).createDataFrame(
+        [("nan_value", float("nan")), ("pos_inf_value", float("inf")),
+         ("neg_inf_value", float("-inf"))],
+        "name string, val double",
+    )
+    return (
+        finite_filter(m.unionByName(bad))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("val"), 6).alias("sum_val"))
+    )
+
+
+O_ingest_nan_filter = """
+WITH u AS (
+  SELECT event_type AS name, value AS val FROM events
+  UNION ALL
+  SELECT * FROM (VALUES ('nan_value', CAST('nan' AS DOUBLE)),
+                        ('pos_inf_value', CAST('inf' AS DOUBLE)),
+                        ('neg_inf_value', CAST('-inf' AS DOUBLE))) AS t(name, val)
+)
+SELECT name, count(*) AS n, round(sum(val), 6) AS sum_val
+FROM u WHERE isfinite(val) GROUP BY name
+"""
+
+
+def q_ingest_tags_codec(spark, sf_dir):
+    # W4: labels → sorted "k=v" tags incl. __name__ (tagvalue.go:22-30)
+    m = _metrics(spark, sf_dir)
+    return (
+        m.select("name", F.array_join("tags", ",").alias("series"))
+        .groupBy("name", "series")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_ingest_tags_codec = f"""{M_CTE}
+SELECT name, series, count(*) AS n FROM m GROUP BY name, series
+"""
+
+
+def q_rollup_tier_30s(spark, sf_dir):
+    m = _metrics(spark, sf_dir)
+    tier = rollup(m, 30, now_ms=NOW_MS, older_than_s=86400)
+    return tier.select(
+        "name",
+        F.array_join("tags", ",").alias("series"),
+        (F.unix_micros("ts") / 1000).cast("long").alias("t"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+O_rollup_tier_30s = f"""{M_CTE}
+SELECT name, series, (es // 30) * 30 * 1000 AS t, round(avg(val), 6) AS val
+FROM m WHERE ts < make_timestamp({(NOW_MS - 86400 * 1000) * 1000})
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rollup_lww(spark, sf_dir):
+    # A8: duplicate (series, ts) rows with later `updated` win.
+    ev = load_table(_prep(spark), sf_dir, "events")
+    m = metrics_from_events(ev, keep=("event_id",))
+    v2 = (
+        m.filter(F.col("event_id") % 7 == 0)
+        .withColumn("val", F.col("val") * 2)
+        .withColumn("updated", F.col("updated") + F.expr("INTERVAL 1 HOUR"))
+    )
+    merged = lww_dedup(m.unionByName(v2), keys=("name", "tags", "ts"))
+    return merged.select(
+        "name",
+        F.array_join("tags", ",").alias("series"),
+        (F.unix_micros("ts") / 1000).cast("long").alias("t"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+O_rollup_lww = """
+WITH base AS (
+  SELECT event_type AS name,
+         '__name__=' || event_type || ',user_id=' || user_id AS series,
+         value AS val, ts, ts AS updated, event_id
+  FROM events
+), v2 AS (
+  SELECT name, series, val * 2 AS val, ts, ts + INTERVAL 1 HOUR AS updated,
+         event_id
+  FROM base WHERE event_id % 7 = 0
+), u AS (
+  SELECT name, series, val, ts, updated FROM base
+  UNION ALL
+  SELECT name, series, val, ts, updated FROM v2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY name, series, ts
+                               ORDER BY updated DESC) AS rn
+  FROM u
+)
+SELECT name, series, epoch_us(ts) // 1000 AS t, round(val, 6) AS val
+FROM r WHERE rn = 1
+"""
+
+
+def q_events_json_props(spark, sf_dir):
+    ev = load_table(_prep(spark), sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy(F.col("event_type").alias("name"))
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_events_json_props = """
+SELECT event_type AS name,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# relational extension (TPC-H-ish; exercises joins/agg the reference lacks)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(_prep(spark), sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_tpch_q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_top_nations(spark, sf_dir):
+    spark = _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        customer.join(F.broadcast(nation),
+                      customer["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .limit(10)
+    )
+
+
+O_tpch_top_nations = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup extension (E1)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+O_dedup_exact = f"""
+SELECT md5({NORM_SQL}) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_CTE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shl
+  FROM w
+), sized AS (SELECT doc_id, len(shl) AS n_sh, shl FROM sh),
+ex AS (SELECT doc_id, n_sh, unnest(shl) AS shingle FROM sized)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+O_dedup_ngram_jaccard = f"""{_SHINGLE_CTE}
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(common / (n_a + n_b - common), 6) AS jaccard
+FROM pairs WHERE common / (n_a + n_b - common) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # rows-only: xxhash64-based signatures aren't reproducible in DuckDB
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only: xxhash64-based fingerprints
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=7)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(embs, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+O_dedup_embedding_cosine = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.e) + 1),
+                                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)
+           AS cosine
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search extension (E2)
+# --------------------------------------------------------------------------
+
+def _query_vector(spark, sf_dir):
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_simsearch_topk(spark, sf_dir):
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    top = S.brute_force_topk(embs, qv, k=10)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+O_simsearch_topk = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
+  FROM v, q
+)
+SELECT vec_id AS id, round(cosine, 6) AS cosine
+FROM s ORDER BY s.cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _bucket_sql(e: str, n_planes: int, dim: int) -> str:
+    """DuckDB expression mirroring similarity.bucket_of exactly."""
+    terms = []
+    for p in range(n_planes):
+        prods = " + ".join(
+            f"{e}[{d + 1}] * {S.hyperplane_sign(p, d)}.0" for d in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({prods}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_simsearch_lsh(spark, sf_dir):
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    top = S.lsh_topk(embs, qv, k=10, n_planes=8)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+def _O_simsearch_lsh(n_planes: int = 8, dim: int = 64) -> str:
+    b = _bucket_sql("e", n_planes, dim)
+    qb = _bucket_sql("qe", n_planes, dim)
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
+  FROM v, q
+  WHERE {b} = {qb}
+)
+SELECT vec_id AS id, round(cosine, 6) AS cosine
+FROM s ORDER BY s.cosine DESC, vec_id LIMIT 10
+"""
+
+
+O_simsearch_lsh = _O_simsearch_lsh()
+
+
+# --------------------------------------------------------------------------
+# text analysis extension (E3)
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    feats = TX.quality_features(docs)
+    return feats.select(
+        "doc_id",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
+        "q_mean_token_len", "q_punct_ratio", "q_stopword_ratio", "q_score",
+    )
+
+
+O_text_quality = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({NORM_SQL}, ' ') AS ws FROM documents
+), raw AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS q_n_chars,
+    CAST(len(ws) AS BIGINT) AS q_n_tokens,
+    list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE)))
+      / greatest(len(ws), 1) AS mean_wl,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_ratio,
+    CAST(len(list_filter(ws, x -> x IN {STOPWORDS_SQL})) AS DOUBLE)
+      / greatest(len(ws), 1) AS stop_ratio,
+    len(ws) AS n_tok
+  FROM w
+)
+SELECT doc_id, q_n_chars, q_n_tokens,
+  round(mean_wl, 6) AS q_mean_token_len,
+  round(punct_ratio, 6) AS q_punct_ratio,
+  round(stop_ratio, 6) AS q_stopword_ratio,
+  (CASE WHEN n_tok >= 5 THEN 0.25 ELSE 0 END
+   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END
+   + CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 0.25 ELSE 0 END
+   + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0 END) AS q_score
+FROM raw
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _marker_sql(words) -> str:
+    return "(" + ",".join(f"'{w}'" for w in words) + ")"
+
+
+O_text_lang_id = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({NORM_SQL}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, text,
+    len(list_filter(ws, x -> x IN {_marker_sql(TX.LANG_MARKERS['en'])})) AS s_en,
+    len(list_filter(ws, x -> x IN {_marker_sql(TX.LANG_MARKERS['de'])})) AS s_de,
+    len(list_filter(ws, x -> x IN {_marker_sql(TX.LANG_MARKERS['fr'])})) AS s_fr,
+    len(list_filter(ws, x -> x IN {_marker_sql(TX.LANG_MARKERS['es'])})) AS s_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+       WHEN s_de >= greatest(s_fr, s_es, 1) THEN 'de'
+       WHEN s_fr >= greatest(s_es, 1) THEN 'fr'
+       WHEN s_es >= 1 THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(TX.bpe_ish_tokens(F.col("text"))).cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+O_text_token_stats = f"""
+SELECT doc_id,
+  CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
+
+
+O_text_fingerprint = f"""
+SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal extension (E4)
+# --------------------------------------------------------------------------
+
+def q_multimodal_bytes(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    return media.select(
+        "media_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+O_multimodal_bytes = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5,
+       'image' AS media_type
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    # rows-only: mapInPandas stub decode (no SQL equivalent)
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    feats = MM.extract_features(media, dim=16, decode_stub=True)
+    return feats.select("media_id", "byte_len", "sha1",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+#: name -> (spark callable, oracle SQL or None for rows-only checks)
+REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
+                          Optional[str]]] = {
+    # reference read path
+    "read_downsample_q75": (q_read_downsample_q75, O_read_downsample_q75),
+    "read_downsample_auto_step": (q_read_downsample_auto_step,
+                                  O_read_downsample_auto_step),
+    "read_matcher_regex": (q_read_matcher_regex, O_read_matcher_regex),
+    "read_matcher_neq": (q_read_matcher_neq, O_read_matcher_neq),
+    "read_multi_query_union": (q_read_multi_query_union,
+                               O_read_multi_query_union),
+    "read_series_assembly": (q_read_series_assembly, O_read_series_assembly),
+    "read_merge_dedup": (q_read_merge_dedup, O_read_merge_dedup),
+    # write path + rollup
+    "ingest_nan_filter": (q_ingest_nan_filter, O_ingest_nan_filter),
+    "ingest_tags_codec": (q_ingest_tags_codec, O_ingest_tags_codec),
+    "rollup_tier_30s": (q_rollup_tier_30s, O_rollup_tier_30s),
+    "rollup_lww": (q_rollup_lww, O_rollup_lww),
+    "events_json_props": (q_events_json_props, O_events_json_props),
+    # relational extension
+    "tpch_q1": (q_tpch_q1, O_tpch_q1),
+    "tpch_top_nations": (q_tpch_top_nations, O_tpch_top_nations),
+    # dedup extension
+    "dedup_exact": (q_dedup_exact, O_dedup_exact),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               O_dedup_embedding_cosine),
+    # similarity search extension
+    "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),
+    "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
+    # text analysis extension
+    "text_quality": (q_text_quality, O_text_quality),
+    "text_lang_id": (q_text_lang_id, O_text_lang_id),
+    "text_token_stats": (q_text_token_stats, O_text_token_stats),
+    "text_fingerprint": (q_text_fingerprint, O_text_fingerprint),
+    # multimodal extension
+    "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
+    "multimodal_features": (q_multimodal_features, None),
+}
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql}

@@ -18,12 +18,13 @@ from remote_storage_adapter_spark.functions.codecs import tags_from_labels
 from remote_storage_adapter_spark.sources.tables import load_table
 
 
-def metrics_from_events(events: DataFrame) -> DataFrame:
+def metrics_from_events(events: DataFrame, keep=()) -> DataFrame:
     labels = F.map_from_arrays(
         F.array(F.lit("__name__"), F.lit("user_id")),
         F.array(F.col("event_type"), F.col("user_id").cast("string")),
     )
     return events.select(
+        *[F.col(c) for c in keep],
         F.to_date("ts").alias("date"),
         F.col("event_type").alias("name"),
         tags_from_labels(labels).alias("tags"),
