@@ -45,11 +45,13 @@ def labels_from_tags(tags: Column) -> Column:
     """sorted tags array → labels map, dropping malformed / empty-value
     tags (clickhouse/tagvalue.go:32-49)."""
     # SplitN(tag, "=", 2) semantics: split on the FIRST '=' only.
+    # F.get (not getItem) → NULL on missing index under ANSI mode, which
+    # is exactly the makeLabels skip-malformed behavior.
     structs = F.transform(
         tags,
         lambda t: F.struct(
-            F.split(t, "=", 2).getItem(0).alias("key"),
-            F.split(t, "=", 2).getItem(1).alias("value"),
+            F.get(F.split(t, "=", 2), 0).alias("key"),
+            F.get(F.split(t, "=", 2), 1).alias("value"),
         ),
     )
     valid = F.filter(

@@ -1,0 +1,36 @@
+"""Driver-contract smoke tests: entry(), registry shape, and a fast
+oracle-parity spot check (full gate: tools/parity.py)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tools.parity import compare, duck_con  # noqa: E402
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["cnt", "t", "name", "series", "value"]
+
+
+def test_registry_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 25
+    # every oracle has a query; rows-only entries are the known set
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "dedup_minhash_lsh", "dedup_simhash", "multimodal_features",
+    }
+
+
+def test_parity_spot_check(spark, sf_dir):
+    con = duck_con(sf_dir)
+    for name in ("read_downsample_q75", "tpch_q1", "text_fingerprint"):
+        assert compare(name, spark, con, sf_dir, verbose=False), name

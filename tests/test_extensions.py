@@ -1,0 +1,201 @@
+"""Extension-operator tests: dedup family, similarity search, text
+analysis, multimodal plumbing — with planted ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from remote_storage_adapter_spark.operators import (
+    dedup as D,
+    multimodal as MM,
+    similarity as S,
+    text as TX,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (0, base.strip()),
+        (1, base.strip()),                        # exact dup of 0
+        (2, (base + "extra tail words here").strip()),  # near dup of 0
+        (3, "completely different content about spark engines and parquet"),
+        (4, "THE  Quick   Brown fox Jumps over the lazy dog " * 5),  # case/ws dup
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["fp"]: r for r in D.exact_dedup(docs).collect()}
+    groups = sorted((r["n_copies"], r["keep_id"]) for r in out.values())
+    # 0,1,4 collapse (case/whitespace-normalized); 2,3,5 unique
+    assert groups == [(1, 2), (1, 3), (1, 5), (3, 0)]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recalls_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs  # near-dup lands in a shared band
+    assert (0, 3) not in pairs
+
+
+def test_simhash_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 4)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_deterministic(spark, docs):
+    a = docs.select(D.simhash(F.col("text")).alias("h")).collect()
+    b = docs.select(D.simhash(F.col("text")).alias("h")).collect()
+    assert [r["h"] for r in a] == [r["h"] for r in b]
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),    # orthogonal
+        (3, [1.0, 0.01, 0.0, 0.0], 1),   # near 0 but other block
+        (4, [-1.0, 0.0, 0.0, 0.0], 0),   # opposite
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_embedding_near_dup_blocked(embs):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_near_dup_pairs(embs, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) not in pairs  # different block: never compared
+    assert (0, 2) not in pairs and (0, 4) not in pairs
+
+
+def test_brute_force_topk_exact(embs):
+    top = S.brute_force_topk(embs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["id"] for r in top] == [0, 3, 1]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+    assert top[-1]["cosine"] < 1.0
+
+
+def test_lsh_topk_same_bucket_recall(embs):
+    # the query IS vector 0; its bucket must contain it
+    got = S.lsh_topk(embs, [1.0, 0.0, 0.0, 0.0], k=5, n_planes=4).collect()
+    ids = [r["id"] for r in got]
+    assert 0 in ids
+    assert all(r["cosine"] <= 1.0 + 1e-9 for r in got)
+
+
+def test_ivf_index_and_probe(embs):
+    indexed = S.ivf_index(embs, n_cells=2)
+    assert set(indexed.columns) >= {"vec_id", "cell"}
+    cells = {r["vec_id"]: r["cell"] for r in indexed.collect()}
+    # probing the cell of vec 0 finds its near neighbor 1
+    got = S.ivf_topk(indexed, [cells[0]], [1.0, 0.0, 0.0, 0.0], k=2)
+    assert 0 in [r["id"] for r in got.collect()]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat with a hat"),
+         (1, "!!! ??? ### $$$ %%%")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.quality_features(df).collect()}
+    good, bad = out[0], out[1]
+    assert good["q_n_tokens"] == 9
+    assert good["q_stopword_ratio"] > 0.3
+    assert good["q_score"] == 1.0
+    assert bad["q_punct_ratio"] > 0.5
+    assert bad["q_score"] <= 0.5  # fails punct + stopword rules
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog is happy"),
+         (1, "der hund ist nicht da und die katze"),
+         (2, "le chat et les oiseaux est la"),
+         (3, "日本語のテキスト"),
+         (4, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "zh", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world, it's 42 degrees")],
+                               "doc_id long, text string")
+    r = df.select(
+        TX.token_count(F.col("text")).alias("ws"),
+        F.size(TX.bpe_ish_tokens(F.col("text"))).alias("bpe"),
+    ).first()
+    assert r["ws"] == 5
+    # hello | world | , | it | ' | s | 42 | degrees
+    assert r["bpe"] == 8
+
+
+def test_doc_fingerprints(docs):
+    fps = {r["doc_id"]: r for r in TX.doc_fingerprints(docs).collect()}
+    assert fps[0]["fp"] == fps[1]["fp"] == fps[4]["fp"]
+    assert fps[0]["fp"] != fps[3]["fp"]
+    assert fps[0]["min_shingle_hash"] == fps[1]["min_shingle_hash"]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc", 3), (1, "defgh", 5)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = MM.media_from_documents(docs)
+    assert [f.name for f in media.schema["meta"].dataType.fields] == [
+        "media_type", "format", "width", "height", "duration_ms",
+    ]
+    feats = {r["media_id"]: r for r in
+             MM.extract_features(media, dim=4).collect()}
+    assert feats[0]["byte_len"] == 3 and feats[1]["byte_len"] == 5
+    assert len(feats[0]["feature"]) == 4
+    assert all(0.0 <= x <= 1.0 for x in feats[0]["feature"])
+    # deterministic stub
+    again = {r["media_id"]: r for r in
+             MM.extract_features(media, dim=4).collect()}
+    assert feats[0]["feature"] == again[0]["feature"]
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([(0, "abc", 3)],
+                                 "doc_id long, text string, n_chars long")
+    media = MM.media_from_documents(docs)
+    with pytest.raises(Exception):
+        MM.extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample_expansion(spark):
+    media = spark.createDataFrame(
+        [(0, bytearray(b"x"), ("video", "mp4", None, None, 3000))],
+        MM.MEDIA_SCHEMA,
+    )
+    frames = MM.frame_sample(media, every_ms=1000).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]

@@ -1,0 +1,122 @@
+"""Ingest pipeline tests: W2 flatten, F1 gate, W1-W8 canonicalization,
+K1 partitioned write, A9 observation, streaming end-to-end (T1-T3)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyspark.sql.functions as F
+
+from remote_storage_adapter_spark.operators.ingest import (
+    flatten_write_requests,
+    ingest_batch,
+    observed_ingest,
+    to_metrics,
+    write_metrics,
+)
+from remote_storage_adapter_spark.schema import WRITE_REQUEST_SCHEMA
+from remote_storage_adapter_spark.streaming.ingest import (
+    land_write_request,
+    stream_ingest,
+)
+
+# the reference's canonical 5-sample fixture (clickhouse/client_test.go:24-62)
+FIXTURE_TS = [
+    {
+        "labels": [
+            {"name": "__name__", "value": "testmetric"},
+            {"name": "test_label", "value": "test_label_value1"},
+        ],
+        "samples": [{"value": 1.23, "timestamp": 123456789123}],
+    },
+    {
+        "labels": [
+            {"name": "__name__", "value": "testmetric"},
+            {"name": "test_label", "value": "test_label_value2"},
+        ],
+        "samples": [{"value": 5.1234, "timestamp": 123456789123}],
+    },
+    {
+        "labels": [{"name": "__name__", "value": "nan_value"}],
+        "samples": [{"value": float("nan"), "timestamp": 123456789123}],
+    },
+    {
+        "labels": [{"name": "__name__", "value": "pos_inf_value"}],
+        "samples": [{"value": float("inf"), "timestamp": 123456789123}],
+    },
+    {
+        "labels": [{"name": "__name__", "value": "neg_inf_value"}],
+        "samples": [{"value": float("-inf"), "timestamp": 123456789123}],
+    },
+]
+
+
+def _requests(spark):
+    return spark.createDataFrame([(FIXTURE_TS,)], WRITE_REQUEST_SCHEMA)
+
+
+def test_flatten(spark):
+    samples = flatten_write_requests(_requests(spark)).collect()
+    assert len(samples) == 5  # one row per sample (main.go:377-394)
+    byname = {r["name"]: r for r in samples}
+    assert byname["testmetric"]["ts_ms"] == 123456789123
+    assert byname["testmetric"]["labels"]["test_label"] in (
+        "test_label_value1", "test_label_value2",
+    )
+
+
+def test_nan_inf_dropped(spark):
+    out = ingest_batch(_requests(spark)).collect()
+    # only the two finite samples survive (clickhouse/client.go:137-141)
+    assert sorted(r["val"] for r in out) == [1.23, 5.1234]
+    for r in out:
+        assert r["tags"][0] == "__name__=testmetric"
+        assert r["labels"]["__name__"] == "testmetric"
+        assert r["ts"].isoformat().startswith("1973-11-29")  # 123456789s
+        assert r["date"].isoformat() == "1973-11-29"
+
+
+def test_observed_drop_counts(spark):
+    samples = flatten_write_requests(_requests(spark))
+    filtered, obs = observed_ingest(samples)
+    assert filtered.count() == 2
+    got = obs.get
+    assert got["received"] == 5 and got["sent"] == 2  # 3 drops counted
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    m = to_metrics(
+        flatten_write_requests(_requests(spark)),
+        updated=F.timestamp_millis(F.lit(0)),
+    )
+    write_metrics(m, path)
+    # hive-style date partition dirs (ClickHouse partition-by-date ≙)
+    assert any(d.startswith("date=") for d in os.listdir(path))
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    # partition pruning: only the matching date dir is scanned
+    pruned = back.filter(F.col("date") == "1973-11-29")
+    assert pruned.count() == 2
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    land_write_request(landing, FIXTURE_TS, 1)
+    land_write_request(landing, FIXTURE_TS[:2], 2)
+    q = stream_ingest(spark, landing, [out], ckpt, available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    # 2 finite samples from request 1 + 2 from request 2
+    assert back.count() == 4
+    assert not any(
+        math.isnan(v) or math.isinf(v)
+        for v in [r["val"] for r in back.collect()]
+    )
+    # at-least-once restart: same checkpoint, no new files → no dupes
+    q2 = stream_ingest(spark, landing, [out], ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4

@@ -1,0 +1,118 @@
+"""Read-planner tests: step computation (A1 + §4.5.1), downsample agg,
+series assembly (A5), merge-dedup (M2), result cap (O3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from remote_storage_adapter_spark.plans.matchers import PromQuery
+from remote_storage_adapter_spark.plans.read import (
+    MAX_SAMPLES,
+    MIN_STEP_S,
+    assemble_series,
+    compute_step_s,
+    merge_sorted_dedup,
+    read_query,
+)
+
+
+def test_step_short_range_floor():
+    # < 81920 s range → min step 10 s (clickhouse/query.go:13-15)
+    assert compute_step_s(0, 80_000_000) == MIN_STEP_S
+
+
+def test_step_long_range_scales():
+    # 30 days → 2592000/8192 = 316 s
+    assert compute_step_s(0, 2_592_000_000) == 316
+
+
+def test_step_parity_mode_reproduces_bug():
+    # reference inverts operands → negative // 8192 → always min step
+    assert compute_step_s(0, 2_592_000_000, parity_mode=True) == MIN_STEP_S
+
+
+@given(st.integers(0, 10**12), st.integers(0, 10**12))
+@settings(max_examples=200, deadline=None)
+def test_step_bounds_result_size(a, b):
+    start, end = sorted((a, b))
+    step = compute_step_s(start, end)
+    assert step >= MIN_STEP_S
+    # number of buckets is capped (O3). Integer division step means the
+    # cap can overshoot by up to range/step/(range//8192) ≈ 10%.
+    assert (end - start) / 1000 / step <= MAX_SAMPLES * 1.1 + 1
+
+
+def _metrics(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "name string, labels map<string,string>, val double, ts_ms long",
+    )
+    return (
+        df.withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withColumn("date", F.to_date("ts"))
+        .withColumn("updated", F.col("ts"))
+        .withColumn(
+            "tags",
+            F.array_sort(
+                F.transform(
+                    F.map_entries("labels"),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                )
+            ),
+        )
+    )
+
+
+def test_downsample_quantile_and_count(spark):
+    # 5 samples in one 10s bucket, values 1..5 → q75 = 4.0 (cont interp)
+    rows = [("m", {"__name__": "m"}, float(v), 1000 * v) for v in range(1, 6)]
+    m = _metrics(spark, rows)
+    q = PromQuery(0, 60_000, step_s=10)
+    out = read_query(m, q, exact_quantile=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cnt"] == 5 and r["t"] == 0 and r["value"] == 4.0
+
+
+def test_bucket_boundaries(spark):
+    rows = [
+        ("m", {"__name__": "m"}, 1.0, 9_999),   # bucket 0
+        ("m", {"__name__": "m"}, 2.0, 10_000),  # bucket 10000
+        ("m", {"__name__": "m"}, 3.0, 19_999),  # bucket 10000
+    ]
+    out = read_query(_metrics(spark, rows), PromQuery(0, 60_000, step_s=10),
+                     exact_quantile=True).collect()
+    got = {r["t"]: r["cnt"] for r in out}
+    assert got == {0: 1, 10_000: 2}
+
+
+def test_series_assembly_sorted(spark):
+    rows = [
+        ("m", {"__name__": "m", "a": "1"}, 5.0, 30_000),
+        ("m", {"__name__": "m", "a": "1"}, 1.0, 10_000),
+        ("m", {"__name__": "m", "a": "2"}, 2.0, 10_000),
+    ]
+    flat = read_query(_metrics(spark, rows), PromQuery(0, 60_000, step_s=10),
+                      exact_quantile=True)
+    series = {tuple(r["tags"]): r["samples"]
+              for r in assemble_series(flat).collect()}
+    s1 = series[("__name__=m", "a=1")]
+    assert [s["t"] for s in s1] == [10_000, 30_000]  # t-sorted (A5)
+    assert [s["value"] for s in s1] == [1.0, 5.0]
+    assert len(series[("__name__=m", "a=2")]) == 1
+
+
+def test_merge_dedup_first_wins(spark):
+    a = spark.createDataFrame(
+        [("m", "k", 1000, 1.0)], "name string, tags string, t long, value double"
+    )
+    b = spark.createDataFrame(
+        [("m", "k", 1000, 99.0), ("m", "k", 2000, 2.0)],
+        "name string, tags string, t long, value double",
+    )
+    out = {r["t"]: r["value"]
+           for r in merge_sorted_dedup(a, b, keys=["name", "tags", "t"]).collect()}
+    # influxdb mergeSamples: list-a wins on equal timestamps
+    assert out == {1000: 1.0, 2000: 2.0}
