@@ -1,0 +1,97 @@
+"""Headline benchmark (driver contract).
+
+Runs the flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+The query set mirrors BASELINE.md's measurable surface: read-path
+matcher+range+downsample latency, rollup tier runtime, ingest-transform
+throughput — plus the extension headliners (dedup, similarity, text).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from remote_storage_adapter_spark.session import get_spark  # noqa: E402
+from remote_storage_adapter_spark import queries as Q  # noqa: E402
+from remote_storage_adapter_spark.operators.ingest import to_metrics  # noqa: E402
+from remote_storage_adapter_spark.sources.tables import load_table  # noqa: E402
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def bench_ingest_transform(spark, sf_dir):
+    """W1-W8+F1 throughput over the events stream (samples shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+        F.col("event_type").alias("name"),
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user_id")),
+            F.array(F.col("event_type"), F.col("user_id").cast("string")),
+        ).alias("labels"),
+        F.col("value").alias("val"),
+    )
+    return to_metrics(samples)
+
+
+BENCH_QUERIES = {
+    "read_downsample_q75": Q.q_read_downsample_q75,
+    "read_downsample_auto_step": Q.q_read_downsample_auto_step,
+    "read_matcher_regex": Q.q_read_matcher_regex,
+    "read_multi_query_union": Q.q_read_multi_query_union,
+    "rollup_tier_30s": Q.q_rollup_tier_30s,
+    "rollup_lww": Q.q_rollup_lww,
+    "ingest_transform": bench_ingest_transform,
+    "tpch_q1": Q.q_tpch_q1,
+    "tpch_top_nations": Q.q_tpch_top_nations,
+    "dedup_exact": Q.q_dedup_exact,
+    "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+    "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+    "simsearch_topk": Q.q_simsearch_topk,
+    "text_quality": Q.q_text_quality,
+    "multimodal_features": Q.q_multimodal_features,
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM, parquet footers, and the Python/Arrow worker pool
+    # once so timings measure the queries, not process startup
+    load_table(spark, sf_dir, "events").count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+    timings = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()  # count() forces full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     shingle is the blocking key, so only docs sharing a shingle ever
     meet; the join carries (shingle-hash, id) pairs, not text.
     """
-    sized = docs.select(
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sized = docs.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).select("id", F.size("sh").alias("n_sh"), "sh")
@@ -112,24 +113,44 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64,
                        text_col: str = "text") -> DataFrame:
     """k-permutation MinHash signature per document, one JVM-side pass.
 
-    min-hash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
-    ``transform`` over a seed sequence × ``array_min`` keeps the whole
-    signature computation inside whole-stage codegen — no Python, no
-    shuffle; output is k longs per doc. The shingle array is
-    materialized into a column first so the (normalize → split →
-    shingle) chain runs once per doc, not once per hash seed.
+    min-hash_i(doc) = min over shingle hashes h of xxhash64(h, seed=i).
+    Each shingle string is hashed to a long ONCE; the k per-seed hashes
+    then mix fixed-width longs — k× cheaper than re-hashing strings.
+    All JVM-side; output is k longs per doc.
+
+    The input is repartitioned for CPU parallelism (a small parquet
+    file otherwise arrives as one partition and serializes the whole
+    signature computation on one core), and the result is persisted by
+    the LSH caller so downstream self-joins don't recompute it.
     """
-    shingled = docs.select(
+    sc = docs.sparkSession.sparkContext
+    parallelism = sc.defaultParallelism
+    shingled = docs.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.xxhash64(s),
+        ).alias("sh_hashes"),
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))
-        ),
+    # explode + hash-aggregate instead of nested array lambdas: the k
+    # min(xxhash64(h, seed)) aggregates run inside whole-stage codegen
+    # with map-side partial aggregation, which is ~10× faster than the
+    # interpreted higher-order-function path and shuffles only
+    # (id, shingle-hash) longs.
+    exploded = shingled.select("id", F.explode("sh_hashes").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(seed))).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{seed}") for seed in range(num_hashes)])
+            .alias("sig"),
+        )
     )
-    return shingled.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
@@ -151,22 +172,27 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     sigs = minhash_signatures(
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
-    )
+    ).persist()  # barrier: computed once, reused by banding + both join-backs
+    # banding carries only (id, band, bucket) — the shuffle stays ~24
+    # bytes/row regardless of signature width; signatures are re-joined
+    # onto the (much smaller) candidate-pair set afterwards.
     banded = sigs.select(
-        "id", "sig",
+        "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1,
-                                rows_per_band).cast("string")
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1,
+                                    rows_per_band).cast("string"),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"),
+    ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -176,14 +202,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    paired = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"),
@@ -193,7 +217,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        paired.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -247,10 +271,11 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    fp = docs.select(
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    fp = docs.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col)).alias("fp"),
-    )
+    ).persist()  # fingerprints feed banding AND the verify join
     banded = fp.select(
         "id", "fp",
         F.explode(
@@ -301,6 +326,8 @@ def embedding_near_dup_pairs(embs: DataFrame, *, threshold: float = 0.95,
         return F.sqrt(F.aggregate(c, F.lit(0.0),
                                   lambda a, x: a + x.cast("double") * x.cast("double")))
 
+    parallelism = embs.sparkSession.sparkContext.defaultParallelism
+    embs = embs.repartition(parallelism, F.col(id_col))
     v = embs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),

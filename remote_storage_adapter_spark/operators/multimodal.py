@@ -117,8 +117,11 @@ def extract_features(media: DataFrame, *, dim: int = 16,
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=FEATURE_SCHEMA
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.select("media_id", "payload")
+        .repartition(parallelism, "media_id")
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
     )
 
 

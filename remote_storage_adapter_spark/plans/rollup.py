@@ -50,8 +50,11 @@ def lww_dedup(df: DataFrame,
     DDL ``updated`` default at 0001-create-table.sql:8): on duplicate
     (name, tags, ts) the last write wins.
     """
+    # `updated` ties (two writes in the same ingest instant) break on
+    # val: ClickHouse keeps an arbitrary row on version ties; we pick
+    # deterministically so results are reproducible across engines.
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-        F.col("updated").desc()
+        F.col("updated").desc(), F.col("val").desc()
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -308,7 +308,7 @@ def q_rollup_tier_30s(spark, sf_dir):
     return tier.select(
         "name",
         F.array_join("tags", ",").alias("series"),
-        (F.unix_micros("ts") / 1000).cast("long").alias("t"),
+        F.expr("unix_micros(ts) DIV 1000").alias("t"),
         F.round("val", 6).alias("val"),
     )
 
@@ -333,7 +333,7 @@ def q_rollup_lww(spark, sf_dir):
     return merged.select(
         "name",
         F.array_join("tags", ",").alias("series"),
-        (F.unix_micros("ts") / 1000).cast("long").alias("t"),
+        F.expr("unix_micros(ts) DIV 1000").alias("t"),
         F.round("val", 6).alias("val"),
     )
 
@@ -354,7 +354,7 @@ WITH base AS (
   SELECT name, series, val, ts, updated FROM v2
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY name, series, ts
-                               ORDER BY updated DESC) AS rn
+                               ORDER BY updated DESC, val DESC) AS rn
   FROM u
 )
 SELECT name, series, epoch_us(ts) // 1000 AS t, round(val, 6) AS val

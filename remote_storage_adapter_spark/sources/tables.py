@@ -31,7 +31,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer DIV: float division loses sub-µs bits at 1e18 ns and
+        # can round the timestamp up by 1 µs vs DuckDB's truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
