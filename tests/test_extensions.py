@@ -63,6 +63,38 @@ def test_simhash_hamming(docs):
     assert (0, 3) not in pairs
 
 
+def test_shingle_hash_rows_matches_word_shingles(docs):
+    """The codegen'd explode/window shingle path must produce exactly
+    the distinct shingle-hash set of the array-lambda reference form."""
+    fast = {
+        (r["id"], r["h"])
+        for r in D.shingle_hash_rows(docs, n=3).distinct().collect()
+    }
+    ref = {
+        (r["doc_id"], r["h"])
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    D.word_shingles(F.col("text"), 3),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("h"),
+        ).collect()
+    }
+    assert fast == ref
+
+
+def test_simhash_fingerprints_match_expression(docs):
+    """Grouped bit-vote SimHash == array-lambda SimHash, per doc."""
+    fast = {r["id"]: r["fp"]
+            for r in D.simhash_fingerprints(docs).collect()}
+    ref = {r["doc_id"]: r["fp"]
+           for r in docs.select(
+               "doc_id", D.simhash(F.col("text")).alias("fp")).collect()}
+    assert fast == ref
+
+
 def test_simhash_deterministic(spark, docs):
     a = docs.select(D.simhash(F.col("text")).alias("h")).collect()
     b = docs.select(D.simhash(F.col("text")).alias("h")).collect()
