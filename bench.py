@@ -55,6 +55,8 @@ BENCH_QUERIES = {
     "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
     "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
     "simsearch_topk": Q.q_simsearch_topk,
+    "simsearch_ivf": Q.q_simsearch_ivf,
+    "sink_graphite_lines": Q.q_sink_graphite_lines,
     "text_quality": Q.q_text_quality,
     "multimodal_features": Q.q_multimodal_features,
 }

@@ -117,13 +117,45 @@ def lsh_topk(embs: DataFrame, query: Sequence[float], k: int = 10,
 
 def ivf_index(embs: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest deterministic seed centroid.
+              vec_col: str = "embedding",
+              seed_rows=None) -> DataFrame:
+    """Assign each vector to its nearest seed centroid (argmax cosine,
+    ties → smallest seed id). Returns embs + ``cell`` column.
 
-    Seeds = the n_cells vectors with the smallest ids (deterministic,
-    broadcastable). Returns embs + ``cell`` column. One broadcast
-    join + per-row argmin; no shuffle of the big side.
+    Seeds = the n_cells vectors with the smallest ids (deterministic).
+    Two physical strategies:
+
+    - ``seed_rows`` given (list of ``(seed_id, vector)``, i.e. the
+      centroids already sit on the driver — they always fit: even 4096
+      cells × 1k dims is ~32 MB): the argmax is folded into the plan
+      as an ``array_max`` over literal dot products — pure map-side
+      whole-stage codegen, ZERO shuffle of the big side. This is the
+      100 TB path.
+    - otherwise: broadcast cross join against the seed frame + one
+      ``max_by`` hash aggregate (map-side partial agg; no window sort).
     """
+    if seed_rows is not None:
+        import math
+
+        # vector norm hoisted into a column (computed once, not per
+        # seed); seed norms are Python constants folded into the plan.
+        with_n = embs.withColumn("_vn", _norm(F.col(vec_col)))
+        cands = F.array(*[
+            F.struct(
+                (
+                    _dot_lit(F.col(vec_col), [float(x) for x in vec])
+                    / (F.col("_vn")
+                       * F.lit(math.sqrt(sum(float(x) * float(x)
+                                             for x in vec)) or 1.0))
+                ).alias("sim"),
+                F.lit(-int(sid)).cast("long").alias("neg_id"),
+            )
+            for sid, vec in seed_rows
+        ])
+        # lexicographic max: highest sim, then highest -id = lowest id
+        best = F.array_max(cands)
+        return with_n.withColumn("cell", -best["neg_id"]).drop("_vn")
+
     seeds = embs.orderBy(F.col(id_col)).limit(n_cells).select(
         F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
     )
@@ -135,14 +167,19 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
         F.lit(0.0), lambda acc, x: acc + x,
     )
     cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("seed_vec")))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
-                                           F.col("seed_id"))
+    other = [c for c in embs.columns if c != id_col]
     return (
         embs.crossJoin(broadcast(seeds))
         .withColumn("sim", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*embs.columns, F.col("seed_id").alias("cell"))
+        .groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in other],
+            F.max_by(
+                "seed_id",
+                F.struct(F.col("sim"), (-F.col("seed_id")).alias("n")),
+            ).alias("cell"),
+        )
+        .select(*embs.columns, "cell")
     )
 
 

@@ -39,6 +39,9 @@ from remote_storage_adapter_spark.operators import dedup as D
 from remote_storage_adapter_spark.operators import similarity as S
 from remote_storage_adapter_spark.operators import text as TX
 from remote_storage_adapter_spark.operators import multimodal as MM
+from remote_storage_adapter_spark.functions import graphite as G
+from remote_storage_adapter_spark.functions import influx as IX
+from remote_storage_adapter_spark.functions import opentsdb as OT
 
 # ---- fixed time window constants (events span 2024-01; all UTC ms) ----
 JAN1 = 1704067200000
@@ -758,6 +761,139 @@ def q_multimodal_features(spark, sf_dir):
                         F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_simsearch_ivf(spark, sf_dir):
+    """IVF coarse-quantized ANN: assign every vector to its nearest of
+    16 deterministic seed centroids (smallest ids), probe the 4 cells
+    nearest the query, exact top-10 within the probed cells."""
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    # centroids to the driver once (16 rows); they feed BOTH the probe
+    # choice and the literal-folded assignment (zero-shuffle index)
+    import math
+
+    seeds = (
+        embs.orderBy(F.col("vec_id")).limit(16)
+        .select("vec_id", "embedding").collect()
+    )
+    idx = S.ivf_index(
+        embs, n_cells=16,
+        seed_rows=[(r["vec_id"], r["embedding"]) for r in seeds],
+    )
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(v):
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        return sum(float(x) * y for x, y in zip(v, qv)) / (n * qn)
+
+    probe = [
+        r["vec_id"]
+        for r in sorted(seeds, key=lambda r: (-cos(r["embedding"]),
+                                              r["vec_id"]))[:4]
+    ]
+    top = S.ivf_topk(idx, probe, qv, k=10)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+_IVF_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+O_simsearch_ivf = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), seeds AS (
+  SELECT vec_id AS seed_id, embedding::DOUBLE[] AS sv
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), asn AS (
+  SELECT v.vec_id, s.seed_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_IVF_COS.format(a='e', b='sv')} DESC, s.seed_id
+         ) AS rn
+  FROM v CROSS JOIN seeds s
+), cells AS (
+  SELECT vec_id, seed_id AS cell FROM asn WHERE rn = 1
+), probe AS (
+  SELECT seed_id FROM seeds, q
+  ORDER BY {_IVF_COS.format(a='sv', b='qe')} DESC, seed_id LIMIT 4
+), sel AS (
+  SELECT v.vec_id,
+         {_IVF_COS.format(a='e', b='qe')} AS cosine
+  FROM v JOIN cells c ON v.vec_id = c.vec_id, q
+  WHERE c.cell IN (SELECT seed_id FROM probe)
+)
+SELECT vec_id AS id, round(cosine, 6) AS cosine
+FROM sel ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# sink wire formats (W9-W14, K3-K5 capability parity)
+# --------------------------------------------------------------------------
+
+def q_sink_graphite_lines(spark, sf_dir):
+    """Graphite plaintext lines for every sample (W10/W11/W14)."""
+    m = _metrics(spark, sf_dir)
+    path = G.graphite_path(F.col("labels"), prefix="prom.")
+    return m.select(
+        F.col("name"),
+        G.graphite_line(path, F.col("val"), F.col("ts")).alias("line"),
+    )
+
+
+# event_type/user_id are alnum, so escape() is the identity here; the
+# non-trivial escape classes are locked by tests/test_codecs.py goldens.
+O_sink_graphite_lines = """
+SELECT event_type AS name,
+       'prom.' || event_type || '.user_id.' || user_id
+         || printf(' %f %f', value, CAST(floor(epoch(ts)) AS DOUBLE))
+         || chr(10) AS line
+FROM events
+"""
+
+
+def q_sink_influx_lines(spark, sf_dir):
+    """Influx line protocol per sample (W9, K3 shape)."""
+    m = _metrics(spark, sf_dir).withColumn("ts_ms", F.unix_millis("ts"))
+    return IX.influx_lines(m)
+
+
+O_sink_influx_lines = """
+SELECT event_type || ',user_id=' || user_id
+       || ' value=' || CAST(value AS VARCHAR)
+       || ' ' || CAST(epoch_ms(ts) AS VARCHAR) AS line
+FROM events
+"""
+
+
+def q_sink_opentsdb_json(spark, sf_dir):
+    """OpenTSDB /api/put JSON body per sample (W12/W13)."""
+    m = _metrics(spark, sf_dir)
+    return m.select(
+        F.col("name"),
+        OT.opentsdb_request(
+            F.col("labels"), F.col("val"), F.col("ts")
+        ).alias("body"),
+    )
+
+
+O_sink_opentsdb_json = """
+SELECT event_type AS name,
+       to_json(struct_pack(
+         metric := event_type,
+         "timestamp" := CAST(floor(epoch(ts)) AS BIGINT),
+         "value" := value,
+         tags := struct_pack(user_id := CAST(user_id AS VARCHAR))
+       )) AS body
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -794,6 +930,11 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # similarity search extension
     "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),
     "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
+    "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
+
+    "sink_graphite_lines": (q_sink_graphite_lines, O_sink_graphite_lines),
+    "sink_influx_lines": (q_sink_influx_lines, O_sink_influx_lines),
+    "sink_opentsdb_json": (q_sink_opentsdb_json, O_sink_opentsdb_json),
     # text analysis extension
     "text_quality": (q_text_quality, O_text_quality),
     "text_lang_id": (q_text_lang_id, O_text_lang_id),
