@@ -1,0 +1,145 @@
+"""Streaming operator tests: watermarked incremental rollup, stateful
+per-series tracking (applyInPandasWithState), telemetry listener (A9)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pyspark.sql.functions as F
+
+from remote_storage_adapter_spark.operators.ingest import to_metrics, write_metrics
+from remote_storage_adapter_spark.schema import SAMPLES_SCHEMA, WRITE_REQUEST_SCHEMA
+from remote_storage_adapter_spark.streaming.ingest import land_write_request
+from remote_storage_adapter_spark.streaming.rollup import stream_rollup
+from remote_storage_adapter_spark.streaming.stateful import series_state
+from remote_storage_adapter_spark.streaming.telemetry import (
+    IngestMetricsListener,
+    observed_samples,
+)
+
+BASE_MS = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _samples(ts_vals, name="m", label="a"):
+    return [
+        (BASE_MS + dt_ms, name, {"__name__": name, "job": label}, float(v))
+        for dt_ms, v in ts_vals
+    ]
+
+
+def _write_raw(spark, path, ts_vals, **kw):
+    df = spark.createDataFrame(_samples(ts_vals, **kw), SAMPLES_SCHEMA)
+    write_metrics(
+        to_metrics(df, updated=F.timestamp_millis(F.col("ts_ms"))), path
+    )
+
+
+def test_stream_rollup_finalizes_windows(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "tier30")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: four samples in two 30 s windows at t=0 and t=60
+    _write_raw(spark, raw, [(0, 1.0), (10000, 3.0), (60000, 5.0),
+                            (65000, 7.0)])
+    q = stream_rollup(spark, raw, out, ckpt, precision_s=30,
+                      watermark="1 minute", available_now=True)
+    q.awaitTermination(120)
+    # batch 2: a much later sample advances the watermark past batch 1
+    _write_raw(spark, raw, [(3600000, 9.0)])
+    q2 = stream_rollup(spark, raw, out, ckpt, precision_s=30,
+                       watermark="1 minute", available_now=True)
+    q2.awaitTermination(120)
+    rows = {r["ts"].isoformat(): r["val"]
+            for r in spark.read.parquet(out).collect()}
+    # both batch-1 windows finalized with avg over their samples
+    assert rows["2024-01-01T00:00:00"] == 2.0  # avg(1, 3)
+    assert rows["2024-01-01T00:01:00"] == 6.0  # avg(5, 7)
+
+
+def test_series_state_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts_block(vals):
+        return [{
+            "labels": [{"name": "__name__", "value": "m"},
+                       {"name": "job", "value": "a"}],
+            "samples": [{"value": float(v), "timestamp": BASE_MS + dt}
+                        for dt, v in vals],
+        }]
+
+    def run(_table):
+        raw = (
+            spark.readStream.schema(WRITE_REQUEST_SCHEMA).json(landing)
+        )
+        from remote_storage_adapter_spark.operators.ingest import (
+            flatten_write_requests,
+        )
+        out = series_state(flatten_write_requests(raw))
+        rows = []
+        q = (
+            out.writeStream
+            .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["name"], r["series"]): r for r in rows}
+
+    # batch 1: two samples, out-of-order event times
+    land_write_request(landing, ts_block([(10000, 2.0), (5000, 1.0)]), 1)
+    got = run("st1_" + uuid.uuid4().hex[:6])
+    row = got[("m", "__name__=m,job=a")]
+    assert row["n_samples"] == 2
+    assert row["last_ts_ms"] == BASE_MS + 10000  # max event time wins
+    assert row["last_val"] == 2.0
+
+    # batch 2 (same checkpoint → state carries): one later, one stale
+    land_write_request(landing, ts_block([(20000, 9.0), (1000, 0.5)]), 2)
+    got = run("st2_" + uuid.uuid4().hex[:6])
+    row = got[("m", "__name__=m,job=a")]
+    assert row["n_samples"] == 4          # cumulative across batches
+    assert row["sum_val"] == 12.5
+    assert row["last_ts_ms"] == BASE_MS + 20000
+    assert row["last_val"] == 9.0         # stale sample didn't regress it
+
+
+def test_telemetry_listener_counts_drops(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    fixture = [{
+        "labels": [{"name": "__name__", "value": "m"}],
+        "samples": [{"value": v, "timestamp": BASE_MS}
+                    for v in (1.0, float("nan"), float("inf"), 2.0)],
+    }]
+    land_write_request(landing, fixture, 1)
+    listener = IngestMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        from remote_storage_adapter_spark.operators.ingest import (
+            finite_filter,
+            flatten_write_requests,
+        )
+        raw = spark.readStream.schema(WRITE_REQUEST_SCHEMA).json(landing)
+        observed = observed_samples(flatten_write_requests(raw))
+        q = (
+            finite_filter(observed)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are async — poll briefly
+        for _ in range(100):
+            if listener.totals["batches"]:
+                break
+            time.sleep(0.1)
+        assert listener.totals["received"] == 4
+        assert listener.totals["sent"] == 2
+        assert listener.dropped == 2
+    finally:
+        spark.streams.removeListener(listener)
