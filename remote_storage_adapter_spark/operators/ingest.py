@@ -134,3 +134,24 @@ def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
         .partitionBy(PARTITION_COLUMN)
         .parquet(path)
     )
+
+
+def write_metrics_table(df: DataFrame, table_name: str, *,
+                        buckets: int = 32, mode: str = "append") -> None:
+    """K1 catalog variant: date-partitioned AND bucketed by metric name.
+
+    Bucketing hash-places every series' files deterministically, so
+    downstream ``groupBy(name, ...)`` aggregations and self-joins on
+    the series key read co-located buckets and skip the shuffle
+    entirely (the physical plan has no Exchange — asserted in
+    tests/test_scale.py). This is the at-rest layout for query-heavy
+    deployments; the path-based writer stays for pure archive tables.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .partitionBy(PARTITION_COLUMN)
+        .bucketBy(buckets, "name")
+        .sortBy(*SORT_COLUMNS)
+        .saveAsTable(table_name)
+    )

@@ -1,0 +1,111 @@
+"""Scale-posture tests: plan shapes (pushdown, bucketed shuffle
+elimination), skew-proof assembly equivalence, compaction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from remote_storage_adapter_spark.operators.ingest import (
+    to_metrics,
+    write_metrics,
+    write_metrics_table,
+)
+from remote_storage_adapter_spark.operators.skew import (
+    assemble_series_salted,
+    heavy_hitters,
+)
+from remote_storage_adapter_spark.plans.compact import (
+    compact_table,
+    partition_file_counts,
+)
+from remote_storage_adapter_spark.plans.read import assemble_series
+from remote_storage_adapter_spark.schema import SAMPLES_SCHEMA
+
+BASE_MS = 1704067200000
+
+
+def _metrics_df(spark, n=200, names=("a", "b", "c")):
+    rows = [
+        (BASE_MS + i * 1000, names[i % len(names)],
+         {"__name__": names[i % len(names)], "job": "x"}, float(i))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+    return to_metrics(df, updated=F.timestamp_millis(F.col("ts_ms")))
+
+
+def _spark_plan(df) -> str:
+    # executedPlan: after EnsureRequirements, where Exchanges appear
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_table_groupby_has_no_exchange(spark):
+    # managed table in the session's default warehouse; dropped below
+    name = "metrics_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_metrics_table(_metrics_df(spark), name, buckets=8,
+                        mode="overwrite")
+    agg = spark.table(name).groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("val").alias("avg_val")
+    )
+    plan = _spark_plan(agg)
+    assert "Exchange" not in plan  # bucketing replaces the shuffle
+    got = {r["name"]: r["n"] for r in agg.collect()}
+    assert got == {"a": 67, "b": 67, "c": 66}
+    spark.sql(f"DROP TABLE {name}")
+
+
+def test_unbucketed_same_groupby_does_exchange(spark):
+    # control: the same agg over a non-bucketed source shuffles
+    agg = _metrics_df(spark).groupBy("name").count()
+    assert "Exchange" in _spark_plan(agg)
+
+
+def test_read_scan_prunes_columns(spark, tmp_path):
+    path = str(tmp_path / "m")
+    write_metrics(_metrics_df(spark), path)
+    df = spark.read.parquet(path).filter(F.col("name") == "a") \
+        .select("name", "ts", "val")
+    plan = _spark_plan(df)
+    # projection pruning reaches the scan; labels/tags never read
+    assert "ReadSchema" in plan
+    assert "labels" not in plan.split("ReadSchema")[1][:300]
+    # name equality is pushed to parquet
+    assert "PushedFilters: [" in plan and "name" in plan.split(
+        "PushedFilters")[1][:80]
+
+
+def test_salted_assembly_matches_plain(spark):
+    flat = _metrics_df(spark).select(
+        "name", "tags",
+        F.unix_millis("ts").alias("t"), F.col("val").alias("value"),
+    )
+    plain = {(r["name"]): r["samples"]
+             for r in assemble_series(flat).collect()}
+    salted = {(r["name"]): r["samples"]
+              for r in assemble_series_salted(flat, n_salts=7).collect()}
+    assert plain == salted  # same series, same t-sorted samples
+
+
+def test_heavy_hitters_finds_hot_key(spark):
+    hot = _metrics_df(spark, n=300, names=("hot",))
+    cold = _metrics_df(spark, n=30, names=("c1", "c2", "c3"))
+    hh = heavy_hitters(hot.unionByName(cold), ["name"], min_count=100)
+    assert [r["name"] for r in hh.collect()] == ["hot"]
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "m")
+    # three small appends → ≥3 files in the single date partition
+    for _ in range(3):
+        write_metrics(_metrics_df(spark, n=50), path)
+    before = partition_file_counts(path)
+    assert all(n >= 3 for n in before.values())
+    n_rows = spark.read.parquet(path).count()
+    results = compact_table(spark, path, target_files=1)
+    after = partition_file_counts(path)
+    assert all(n == 1 for n in after.values())
+    assert results  # every partition was eligible
+    assert spark.read.parquet(path).count() == n_rows
+    # idempotent: second run is a no-op (below min_files)
+    assert compact_table(spark, path, target_files=1) == {}
