@@ -226,6 +226,31 @@ FROM flat GROUP BY name, series
 """
 
 
+def q_read_series_assembly_salted(spark, sf_dir):
+    """Skew-proof A5 variant (operators/skew.py): salted two-phase
+    collect, same oracle as the plain assembly — the correctness gate
+    proves the equivalence."""
+    from remote_storage_adapter_spark.operators.skew import (
+        assemble_series_salted,
+    )
+
+    q = PromQuery(T5, T20, (LabelMatcher("EQ", "__name__", "purchase"),))
+    flat = read_query(_metrics(spark, sf_dir), q, exact_quantile=True)
+    assembled = assemble_series_salted(flat, n_salts=16)
+    return assembled.select(
+        "name",
+        F.array_join("tags", ",").alias("series"),
+        F.size("samples").cast("long").alias("n_buckets"),
+        F.element_at("samples", 1)["t"].alias("t_first"),
+        F.element_at("samples", -1)["t"].alias("t_last"),
+        F.round(
+            F.aggregate("samples", F.lit(0.0), lambda a, s: a + s["value"])
+            / F.size("samples"),
+            6,
+        ).alias("mean_value"),
+    )
+
+
 def q_read_merge_dedup(spark, sf_dir):
     m = _metrics(spark, sf_dir)
     qa = PromQuery(T5, T10 - 1, step_s=60)
@@ -319,6 +344,25 @@ def q_rollup_tier_30s(spark, sf_dir):
 O_rollup_tier_30s = f"""{M_CTE}
 SELECT name, series, (es // 30) * 30 * 1000 AS t, round(avg(val), 6) AS val
 FROM m WHERE ts < make_timestamp({(NOW_MS - 86400 * 1000) * 1000})
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rollup_tier_300s(spark, sf_dir):
+    """Tier 3 (README.md:81-84): 300 s buckets for rows ≥ 2 days old."""
+    m = _metrics(spark, sf_dir)
+    tier = rollup(m, 300, now_ms=NOW_MS, older_than_s=172800)
+    return tier.select(
+        "name",
+        F.array_join("tags", ",").alias("series"),
+        F.expr("unix_micros(ts) DIV 1000").alias("t"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+O_rollup_tier_300s = f"""{M_CTE}
+SELECT name, series, (es // 300) * 300 * 1000 AS t, round(avg(val), 6) AS val
+FROM m WHERE ts < make_timestamp({(NOW_MS - 172800 * 1000) * 1000})
 GROUP BY 1, 2, 3
 """
 
@@ -910,11 +954,14 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "read_multi_query_union": (q_read_multi_query_union,
                                O_read_multi_query_union),
     "read_series_assembly": (q_read_series_assembly, O_read_series_assembly),
+    "read_series_assembly_salted": (q_read_series_assembly_salted,
+                                    O_read_series_assembly),
     "read_merge_dedup": (q_read_merge_dedup, O_read_merge_dedup),
     # write path + rollup
     "ingest_nan_filter": (q_ingest_nan_filter, O_ingest_nan_filter),
     "ingest_tags_codec": (q_ingest_tags_codec, O_ingest_tags_codec),
     "rollup_tier_30s": (q_rollup_tier_30s, O_rollup_tier_30s),
+    "rollup_tier_300s": (q_rollup_tier_300s, O_rollup_tier_300s),
     "rollup_lww": (q_rollup_lww, O_rollup_lww),
     "events_json_props": (q_events_json_props, O_events_json_props),
     # relational extension
