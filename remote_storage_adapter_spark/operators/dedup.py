@@ -182,11 +182,60 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 64,
     )
 
 
+def minhash_signatures_oph(docs: DataFrame, *, num_hashes: int = 64,
+                           shingle_n: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """One-permutation MinHash (OPH): k-length signature from a SINGLE
+    hash pass (vs :func:`minhash_signatures`'s k passes).
+
+    Shingle hashes are split into k buckets by ``h mod k``; the
+    signature is the per-bucket min (public technique: Li/Owen/Zhang,
+    "One Permutation Hashing", NeurIPS 2012). Empty buckets (docs with
+    ≲ k·ln k shingles) are densified by rotation: position i borrows
+    the min of the nearest non-empty bucket ≥ i (cyclically), so a
+    sparse doc's borrowed values are still shared-shingle mins and
+    signature agreement keeps estimating Jaccard for short docs too.
+
+    Cost per shingle: ONE xxhash64 + one pmod (the classic path pays k
+    hash mixes) — this is the 100 TB signature path. Shuffles only
+    (id, bucket, min-hash) longs; densification touches k-element
+    arrays per doc, off the per-shingle hot path.
+    """
+    k = num_hashes
+    exploded = shingle_hash_rows(
+        docs, n=shingle_n, id_col=id_col, text_col=text_col
+    )
+    bucketed = (
+        exploded.groupBy("id", F.pmod(F.col("h"), F.lit(k)).alias("b"))
+        .agg(F.min("h").alias("mh"))
+    )
+    per_doc = bucketed.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b").cast("int"), F.col("mh")))
+        ).alias("m")
+    )
+    filled = F.array_sort(F.map_keys(F.col("m")))  # non-empty buckets
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.try_element_at(
+            F.col("m"),
+            F.coalesce(
+                # nearest non-empty bucket at/after i, wrapping to the
+                # first non-empty bucket
+                F.array_min(F.filter(filled, lambda b: b >= i.cast("int"))),
+                F.element_at(filled, 1),
+            ),
+        ),
+    )
+    return per_doc.select("id", arr.alias("sig"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.5,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      mode: str = "oph") -> DataFrame:
     """LSH candidate pairs + estimated Jaccard from signature agreement.
 
     Signatures are banded (``bands`` bands of k/bands rows); docs
@@ -194,11 +243,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     band-hash) — compact and uniformly distributed, so the shuffle is
     skew-free). Estimated Jaccard = fraction of agreeing hash
     positions; pairs below ``threshold`` are dropped.
+
+    ``mode``: "oph" (default — one-pass signatures, the scale path) or
+    "kmin" (classic k independent min-hashes).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
+    sig_fn = minhash_signatures_oph if mode == "oph" else minhash_signatures
+    sigs = sig_fn(
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
     ).persist()  # barrier: computed once, reused by banding + both join-backs

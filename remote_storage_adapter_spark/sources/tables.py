@@ -19,7 +19,23 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (session id, sf_dir, table) → analyzed DataFrame. Caches the *plan*
+#: (file listing + schema inference done once per session), never data;
+#: the driver's testdata tables are immutable, so this is safe.
+_PLAN_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
     if name == "events":

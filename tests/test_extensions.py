@@ -63,6 +63,23 @@ def test_simhash_hamming(docs):
     assert (0, 3) not in pairs
 
 
+def test_minhash_oph_recalls_and_densifies(docs):
+    # OPH mode: exact dups agree on every position (densification is
+    # content-derived), near-dups recalled, unrelated docs excluded
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(docs, threshold=0.5,
+                                          mode="oph").collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 3) not in pairs
+    # doc 5 ("short") has ONE shingle → 63 empty buckets; signature
+    # must still be fully dense (no nulls)
+    sig = {r["id"]: r["sig"]
+           for r in D.minhash_signatures_oph(docs).collect()}
+    assert all(v is not None for v in sig[5])
+    assert len(sig[5]) == 64
+
+
 def test_shingle_hash_rows_matches_word_shingles(docs):
     """The codegen'd explode/window shingle path must produce exactly
     the distinct shingle-hash set of the array-lambda reference form."""
