@@ -125,6 +125,39 @@ def extract_features(media: DataFrame, *, dim: int = 16,
     )
 
 
+def resize(media: DataFrame, *, width: int, height: int,
+           decode_stub: bool = True) -> DataFrame:
+    """Image resize stage via Arrow-batched mapInPandas (stub decode).
+
+    Real path: decode → PIL ``Image.resize((width, height))`` →
+    re-encode. Stub: deterministic payload reshaping (truncate/cycle to
+    the target pixel budget) so schema, meta update, and batch shape
+    are real. Partition-preserving — no shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not decode_stub:
+                pdf["payload"].map(lambda p: _decode_real(p, "image"))
+
+            def _resize(p: bytes) -> bytes:
+                if not p:
+                    return bytes(target)
+                reps = target // len(p) + 1
+                return (p * reps)[:target]
+
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(_resize)
+            meta = pd.DataFrame(list(pdf["meta"]))
+            meta["width"] = width
+            meta["height"] = height
+            out["meta"] = meta.to_dict("records")
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, *, every_ms: int = 1000,
                  decode_stub: bool = True) -> DataFrame:
     """Video → sampled frames (stub): one synthetic frame row per

@@ -8,7 +8,7 @@ Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from remote_storage_adapter_spark.operators.dedup import fingerprint, normalized
@@ -99,6 +99,41 @@ def lang_id(text: Column) -> Column:
         best_score = F.greatest(best_score, s)
     has_cjk = text.rlike("[一-鿿]")
     return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = 8, window: int = 16,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash sketch; public
+    algorithm: Schleimer/Wilkerson/Aiken, SIGMOD 2003).
+
+    Character k-gram hashes are computed positionally (one substring +
+    xxhash64 per position — the explode/window plan, whole-stage
+    codegen); each sliding window of ``window`` consecutive k-grams
+    contributes its minimum hash, and the distinct selected minima form
+    the doc's fingerprint set. Two docs sharing any sufficiently long
+    passage (≥ window+k-1 chars) are GUARANTEED to share a fingerprint
+    — the containment-detection property MinHash doesn't give.
+
+    Returns (id, fingerprint) rows — join on fingerprint for candidate
+    passage-sharing pairs. Shuffle rows are (id, long) only.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), normalized(F.col(text_col)).alias("nt")
+    )
+    n_grams = F.greatest(F.length("nt") - (k - 1), F.lit(1))
+    grams = base.select(
+        "id", "nt",
+        F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_i", "pos"),
+    ).select(
+        "id", "pos",
+        F.xxhash64(F.col("nt").substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("id", F.min("h").over(win).alias("fingerprint"))
+        .distinct()
+    )
 
 
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",

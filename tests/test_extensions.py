@@ -205,6 +205,26 @@ def test_token_counts(spark):
     assert r["bpe"] == 8
 
 
+def test_winnow_shared_passage_guarantee(spark):
+    shared = "the quick brown fox jumps over the extremely lazy dog again"
+    rows = [
+        (1, "intro text here. " + shared + " and some trailing words"),
+        (2, "completely different opening... " + shared),
+        (3, "nothing in common with either document at all, zebra qux"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = TX.winnow_fingerprints(docs, k=8, window=16)
+    by_doc = {
+        i: {r["fingerprint"] for r in fps.filter(F.col("id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    # winnowing guarantee: a shared passage ≥ window+k-1 chars ⇒ shared
+    # fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_doc_fingerprints(docs):
     fps = {r["doc_id"]: r for r in TX.doc_fingerprints(docs).collect()}
     assert fps[0]["fp"] == fps[1]["fp"] == fps[4]["fp"]
@@ -238,6 +258,23 @@ def test_multimodal_real_decode_raises(spark):
     media = MM.media_from_documents(docs)
     with pytest.raises(Exception):
         MM.extract_features(media, decode_stub=False).collect()
+
+
+def test_resize_stub_shapes(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    media = MM.media_from_documents(docs)
+    out = {r["media_id"]: r for r in
+           MM.resize(media, width=8, height=4).collect()}
+    for r in out.values():
+        assert len(r["payload"]) == 32          # exactly w*h bytes
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        assert r["meta"]["media_type"] == "image"  # rest of meta kept
+    # deterministic: same input → same resized payload
+    again = {r["media_id"]: r["payload"] for r in
+             MM.resize(media, width=8, height=4).collect()}
+    assert {k: v["payload"] for k, v in out.items()} == again
 
 
 def test_frame_sample_expansion(spark):
