@@ -133,7 +133,18 @@ def compile_time_range(q: PromQuery, ts: Column,
 
 
 def apply(df: DataFrame, q: PromQuery, parity_mode: bool = False) -> DataFrame:
-    """Filter a canonical metrics frame by a query's time range+matchers."""
+    """Filter a canonical metrics frame by a query's time range+matchers.
+
+    Matchers compile against the ``labels`` map column; a frame carrying
+    only the wire-format ``tags`` array (e.g. loaded straight from a
+    reference-schema export) gets the map derived on the fly (W5 codec).
+    """
+    if "labels" not in df.columns and "tags" in df.columns:
+        from remote_storage_adapter_spark.functions.codecs import (
+            labels_from_tags,
+        )
+
+        df = df.withColumn("labels", labels_from_tags(F.col("tags")))
     date = F.col("date") if "date" in df.columns else None
     return df.filter(
         compile_time_range(q, F.col("ts"), date)

@@ -762,6 +762,17 @@ FROM documents
 """
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (rows-only: xxhash64 has no
+    DuckDB twin; the shared-passage guarantee is unit-tested)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    fps = TX.winnow_fingerprints(docs, k=8, window=16)
+    return fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = load_table(_prep(spark), sf_dir, "documents")
     return docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
@@ -987,6 +998,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_lang_id": (q_text_lang_id, O_text_lang_id),
     "text_token_stats": (q_text_token_stats, O_text_token_stats),
     "text_fingerprint": (q_text_fingerprint, O_text_fingerprint),
+    "text_winnow": (q_text_winnow, None),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
     "multimodal_features": (q_multimodal_features, None),

@@ -102,3 +102,18 @@ def test_start_after_end_rejected():
 def test_unknown_matcher_type_rejected():
     with pytest.raises(ValueError):
         LabelMatcher("LIKE", "a", "b")
+
+
+def test_apply_tags_only_frame(spark, frame):
+    # wire-format frame: tags array, no labels map → derived on the fly
+    from remote_storage_adapter_spark.functions.codecs import tags_from_labels
+
+    tagged = frame.withColumn(
+        "tags", tags_from_labels(F.col("labels"))
+    ).drop("labels")
+    q = PromQuery(0, 10_000, (
+        LabelMatcher("EQ", "__name__", "up"),
+        LabelMatcher("EQ", "job", "api"),
+    ))
+    got = sorted(r["val"] for r in apply_query(tagged, q).collect())
+    assert got == [1.0, 3.0]
