@@ -499,6 +499,88 @@ LIMIT 10
 """
 
 
+def q_tpch_rollup_cube(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP over (returnflag, linestatus) —
+    subtotals + grand total in one pass (partial-agg friendly)."""
+    li = load_table(_prep(spark), sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>"))
+            .alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>"))
+            .alias("linestatus"),
+            "sum_qty", "n_rows",
+        )
+    )
+
+
+O_tpch_rollup_cube = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_tpch_order_rank(spark, sf_dir):
+    """Window-function surface: per-customer order ranking by price
+    (top-3 per customer), deterministic tiebreak on orderkey."""
+    from pyspark.sql import Window
+
+    orders = load_table(_prep(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "rank", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+O_tpch_order_rank = """
+SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def q_events_distinct_users(spark, sf_dir):
+    """Distinct-aggregation surface: exact users per event type, plus
+    the approx sketch the 100 TB path would use (not compared — engine
+    sketches differ; the exact column is the oracle check)."""
+    ev = load_table(_prep(spark), sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+O_events_distinct_users = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup extension (E1)
 # --------------------------------------------------------------------------
@@ -978,6 +1060,10 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # relational extension
     "tpch_q1": (q_tpch_q1, O_tpch_q1),
     "tpch_top_nations": (q_tpch_top_nations, O_tpch_top_nations),
+    "tpch_rollup_cube": (q_tpch_rollup_cube, O_tpch_rollup_cube),
+    "tpch_order_rank": (q_tpch_order_rank, O_tpch_order_rank),
+    "events_distinct_users": (q_events_distinct_users,
+                              O_events_distinct_users),
     # dedup extension
     "dedup_exact": (q_dedup_exact, O_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
