@@ -101,6 +101,20 @@ def test_partitioned_write_layout(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_streaming_fanout_two_sinks(spark, tmp_path):
+    # K2 (main.go:311-319): one batch fans out to N writers
+    landing = str(tmp_path / "landing")
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    land_write_request(landing, FIXTURE_TS, 1)
+    q = stream_ingest(spark, landing, [out_a, out_b], ckpt,
+                      available_now=True)
+    q.awaitTermination(120)
+    rows_a = sorted(r["val"] for r in spark.read.parquet(out_a).collect())
+    rows_b = sorted(r["val"] for r in spark.read.parquet(out_b).collect())
+    assert rows_a == rows_b == [1.23, 5.1234]
+
+
 def test_streaming_ingest_end_to_end(spark, tmp_path):
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "tbl")
