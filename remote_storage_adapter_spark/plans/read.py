@@ -115,6 +115,38 @@ def assemble_series(flat: DataFrame) -> DataFrame:
     )
 
 
+def to_read_response(assembled: DataFrame) -> dict:
+    """§3.3 step 4 (clickhouse/client.go:212-223): assembled series →
+    the remote-read response shape, all series collapsed into
+    ``results[0]`` exactly as the reference does (its deliberate
+    deviation from one-QueryResult-per-Query; SURVEY §4.5.7).
+
+    Driver-side by design: this is the last hop before the protocol
+    gateway protobuf-encodes, and the step cap (O3) bounds what
+    ``collect`` can return (≤8192 samples/series).
+    """
+    series = []
+    for row in assembled.collect():
+        labels = [
+            {"name": t.split("=", 2)[0], "value": t.split("=", 2)[1]}
+            for t in row["tags"]
+            if "=" in t and t.split("=", 2)[1] != ""
+        ]
+        series.append(
+            {
+                "labels": labels,
+                "samples": [
+                    {"timestamp": s["t"], "value": s["value"]}
+                    for s in row["samples"]
+                ],
+            }
+        )
+    series.sort(key=lambda s: tuple(
+        (l["name"], l["value"]) for l in s["labels"]
+    ))
+    return {"results": [{"timeseries": series}]}
+
+
 def merge_sorted_dedup(a: DataFrame, b: DataFrame,
                        keys: Optional[Sequence[str]] = None) -> DataFrame:
     """M2: union two result sets, first-input-wins on duplicate

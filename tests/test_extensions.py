@@ -285,3 +285,15 @@ def test_frame_sample_expansion(spark):
     frames = MM.frame_sample(media, every_ms=1000).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+def test_embedding_pandas_matches_expression(embs):
+    plain = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_near_dup_pairs(
+                 embs, threshold=0.3).collect()}
+    fast = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in D.embedding_near_dup_pairs_pandas(
+                embs, threshold=0.3).collect()}
+    assert set(plain) == set(fast)
+    for k in plain:
+        assert abs(plain[k] - fast[k]) < 1e-9

@@ -116,3 +116,27 @@ def test_merge_dedup_first_wins(spark):
            for r in merge_sorted_dedup(a, b, keys=["name", "tags", "t"]).collect()}
     # influxdb mergeSamples: list-a wins on equal timestamps
     assert out == {1000: 1.0, 2000: 2.0}
+
+
+def test_to_read_response_shape(spark):
+    from remote_storage_adapter_spark.plans.read import to_read_response
+
+    flat = spark.createDataFrame(
+        [("up", ["__name__=up", "job=api"], 1000, 1.5),
+         ("up", ["__name__=up", "job=api"], 2000, 2.5),
+         ("up", ["__name__=up", "job=db", "x="], 1000, 9.0)],
+        "name string, tags array<string>, t long, value double",
+    )
+    resp = to_read_response(assemble_series(flat))
+    assert len(resp["results"]) == 1  # reference collapses to Results[0]
+    ts = resp["results"][0]["timeseries"]
+    assert len(ts) == 2
+    api = ts[0]
+    assert {"name": "job", "value": "api"} in api["labels"]
+    assert api["samples"] == [
+        {"timestamp": 1000, "value": 1.5},
+        {"timestamp": 2000, "value": 2.5},  # t-sorted
+    ]
+    # empty-valued tag dropped on read (W5 / M4 semantics)
+    db = ts[1]
+    assert all(l["name"] != "x" for l in db["labels"])
