@@ -117,14 +117,15 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     shingle is the blocking key, so only docs sharing a shingle ever
     meet; the join carries (shingle-hash, id) pairs, not text.
     """
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    sized = docs.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-    ).select("id", F.size("sh").alias("n_sh"), "sh")
-    exploded = sized.select(
-        "id", "n_sh", F.explode("sh").alias("shingle")
-    ).withColumn("shingle", F.xxhash64("shingle"))
+    # distinct (id, shingle-hash) via the codegen explode/window path;
+    # per-doc set size joins back on (much smaller) doc-count rows
+    distinct_sh = shingle_hash_rows(
+        docs, n=n, id_col=id_col, text_col=text_col
+    ).dropDuplicates(["id", "h"])
+    sizes = distinct_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exploded = distinct_sh.join(sizes, "id").select(
+        "id", "n_sh", F.col("h").alias("shingle")
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

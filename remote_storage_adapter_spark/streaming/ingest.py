@@ -48,6 +48,36 @@ def land_write_request(landing_dir: str, timeseries: list, seq: int) -> str:
     return path
 
 
+def dedup_within_watermark(samples: DataFrame,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Upgrade T3's at-least-once toward effectively-once: drop
+    duplicate samples (gateway retries re-landing a request) whose
+    event time is within ``watermark``.
+
+    Key = (name, series, event time): a retried sample is byte-identical
+    so first-wins is exact. Duplicates older than the watermark pass
+    through and are reconciled by the authoritative batch LWW pass
+    (plans/rollup.lww_dedup) — the same division of labor the reference
+    relies on (its adapter dedups nothing; the storage engine's merge
+    does, clickhouse/sqlscripts/0001-create-table.sql:8).
+
+    Input/output: samples shape (ts_ms, name, labels, val). State is
+    bounded by the watermark horizon per series.
+    """
+    from pyspark.sql import functions as F
+
+    from remote_storage_adapter_spark.functions.codecs import tags_from_labels
+
+    keyed = samples.withColumn(
+        "_series", F.array_join(tags_from_labels(F.col("labels")), ",")
+    ).withColumn("_ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        keyed.withWatermark("_ts", watermark)
+        .dropDuplicatesWithinWatermark(["name", "_series", "_ts"])
+        .drop("_series", "_ts")
+    )
+
+
 def stream_ingest(
     spark: SparkSession,
     landing_dir: str,

@@ -143,3 +143,38 @@ def test_telemetry_listener_counts_drops(spark, tmp_path):
         assert listener.dropped == 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_dedup_within_watermark_drops_retries(spark, tmp_path):
+    from remote_storage_adapter_spark.operators.ingest import (
+        flatten_write_requests,
+    )
+    from remote_storage_adapter_spark.streaming.ingest import (
+        dedup_within_watermark,
+        land_write_request,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    fixture = [{
+        "labels": [{"name": "__name__", "value": "m"},
+                   {"name": "job", "value": "a"}],
+        "samples": [{"value": 1.0, "timestamp": BASE_MS},
+                    {"value": 2.0, "timestamp": BASE_MS + 1000}],
+    }]
+    # the same request landed twice = a gateway retry
+    land_write_request(landing, fixture, 1)
+    land_write_request(landing, fixture, 2)
+    raw = spark.readStream.schema(WRITE_REQUEST_SCHEMA).json(landing)
+    deduped = dedup_within_watermark(flatten_write_requests(raw))
+    rows = []
+    q = (
+        deduped.writeStream
+        .foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["ts_ms"], r["val"]) for r in rows)
+    assert got == [(BASE_MS, 1.0), (BASE_MS + 1000, 2.0)]  # once each
