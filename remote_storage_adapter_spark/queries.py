@@ -651,6 +651,14 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_dedup_embedding_cosine_pandas(spark, sf_dir):
+    """Vectorized (numpy-matmul-per-block) variant sharing the plain
+    path's oracle — the gate proves cross-path equivalence."""
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs_pandas(embs, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 O_dedup_embedding_cosine = """
 WITH v AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
@@ -1071,6 +1079,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
+    "dedup_embedding_cosine_pandas": (q_dedup_embedding_cosine_pandas,
+                                      O_dedup_embedding_cosine),
     # similarity search extension
     "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),
     "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
