@@ -109,3 +109,22 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(path).count() == n_rows
     # idempotent: second run is a no-op (below min_files)
     assert compact_table(spark, path, target_files=1) == {}
+
+
+def test_read_query_scan_has_partition_filters(spark, tmp_path):
+    from remote_storage_adapter_spark.plans.matchers import (
+        LabelMatcher,
+        PromQuery,
+    )
+    from remote_storage_adapter_spark.plans.read import read_query
+
+    path = str(tmp_path / "m")
+    write_metrics(_metrics_df(spark), path)
+    q = PromQuery(BASE_MS, BASE_MS + 60_000,
+                  (LabelMatcher("EQ", "__name__", "a"),))
+    plan = _spark_plan(read_query(spark.read.parquet(path), q))
+    # the matcher compiler's explicit date conjuncts reach the scan as
+    # partition filters (the reference's MergeTree partition-key trick)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "date" in pf and ">=" in pf and "<=" in pf
