@@ -99,6 +99,46 @@ def rollup(df: DataFrame, precision_s: int, *, now_ms: int,
     )
 
 
+def tiered_view(raw: DataFrame, tier_tables: dict, *, now_ms: int,
+                tiers: Sequence[RollupTier] = DEFAULT_TIERS) -> DataFrame:
+    """Route each age slice to its coarsest rolled-up table — the read
+    side of GraphiteMergeTree's transparent tier selection (a query
+    against the CH table automatically reads merged 30 s/300 s parts
+    for old data; README.md:66-86).
+
+    ``tier_tables`` maps precision_s → DataFrame produced by
+    :func:`rollup`/:func:`run_tiers` (canonical schema). The newest
+    slice (or any tier without a table) falls back to ``raw``. The
+    result is a single canonical metrics frame read_query can use
+    unchanged — old ranges scan ~precision/10 fewer rows.
+
+    At 100 TB this is the difference between scanning raw 10 s samples
+    and 300 s aggregates for a 90-day query: 30× fewer rows before the
+    query's own downsample runs.
+    """
+    ordered = sorted(tiers, key=lambda t: t.age_s)
+    parts = []
+    for i, t in enumerate(ordered):
+        upper = ordered[i + 1].age_s if i + 1 < len(ordered) else None
+        src = tier_tables.get(t.precision_s, raw)
+        part = src
+        if t.age_s > 0:
+            part = part.filter(
+                F.col("ts")
+                < F.timestamp_millis(F.lit(now_ms - t.age_s * 1000))
+            )
+        if upper is not None:
+            part = part.filter(
+                F.col("ts")
+                >= F.timestamp_millis(F.lit(now_ms - upper * 1000))
+            )
+        parts.append(part.select(*raw.columns))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def run_tiers(df: DataFrame, *, now_ms: int,
               tiers: Sequence[RollupTier] = DEFAULT_TIERS,
               agg: str = "avg") -> dict:

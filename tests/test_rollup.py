@@ -93,3 +93,47 @@ def test_custom_tier_config(spark):
     assert [r["val"] for r in out.collect()] == [3.0]
     custom = (RollupTier(0, 5), RollupTier(3600, 60))
     assert tier_for_age(custom, 7200).precision_s == 60
+
+
+def test_tiered_view_routes_age_slices(spark):
+    from remote_storage_adapter_spark.plans.rollup import (
+        DEFAULT_TIERS,
+        run_tiers,
+        tiered_view,
+    )
+    from remote_storage_adapter_spark.operators.ingest import to_metrics
+    from remote_storage_adapter_spark.schema import SAMPLES_SCHEMA
+    import pyspark.sql.functions as F
+
+    NOW = 1704067200000  # "now"
+    DAY = 86400000
+
+    def mk(age_days, n, v):
+        base = int(NOW - age_days * DAY)
+        return [(base + i * 1000, "m", {"__name__": "m", "job": "x"},
+                 float(v)) for i in range(n)]
+
+    rows = mk(0.5, 60, 1.0) + mk(1.5, 60, 2.0) + mk(3, 60, 3.0)
+    raw = to_metrics(
+        spark.createDataFrame(rows, SAMPLES_SCHEMA),
+        updated=F.timestamp_millis(F.col("ts_ms")),
+    )
+    tiers = run_tiers(raw, now_ms=NOW)
+    view = tiered_view(raw, tiers, now_ms=NOW)
+    got = view.select(
+        "ts", "val",
+        ((F.lit(NOW) / 1000 - F.unix_timestamp("ts")) / 86400)
+        .alias("age_days"),
+    ).collect()
+    newest = [r for r in got if r["age_days"] < 1]
+    mid = [r for r in got if 1 <= r["age_days"] < 2]
+    old = [r for r in got if r["age_days"] >= 2]
+    # newest slice = tier-0 10 s buckets (the reference's "raw" is
+    # itself 10 s precision, README.md:73-76): 60 x 1 s samples → 6
+    assert len(newest) == 6 and all(r["val"] == 1.0 for r in newest)
+    # middle slice = 30 s buckets (60 x 1 s samples → 2-3 buckets)
+    assert 2 <= len(mid) <= 3 and all(r["val"] == 2.0 for r in mid)
+    # old slice = 300 s buckets (60 s span → 1 bucket)
+    assert len(old) == 1 and old[0]["val"] == 3.0
+    # total row count shrank: 180 raw → 6 + ~3 + 1
+    assert view.count() <= 10
