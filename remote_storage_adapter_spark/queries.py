@@ -560,6 +560,79 @@ WHERE rank <= 3
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase matched with the
+    user's latest view event at-or-before it — oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from remote_storage_adapter_spark.operators.asof import asof_join
+
+    ev = load_table(_prep(spark), sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="ts", by=("user_id",),
+                    value_cols=("value",))
+    return out.select(
+        "user_id",
+        F.unix_millis("ts").alias("t"),
+        F.unix_millis("ts_asof").alias("t_view"),
+        F.round("value_asof", 6).alias("view_value"),
+    )
+
+
+O_events_asof_join = """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.user_id, epoch_ms(p.ts) AS t, epoch_ms(v.ts) AS t_view,
+       round(v.value, 6) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join (operators/asof.py): count error events (any user)
+    inside each user's first-48h activity window. Bucketized equi-join
+    on day buckets; oracle is a plain inequality join."""
+    from remote_storage_adapter_spark.operators.asof import range_join
+
+    ev = load_table(_prep(spark), sf_dir, "events")
+    intervals = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start"),
+        (F.min("ts") + F.expr("INTERVAL 48 HOURS")).alias("end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("ts")
+    hits = range_join(errors, intervals).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_err")
+    )
+    return (
+        intervals.join(hits, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("n_err"), F.lit(0)).alias("n_err"),
+        )
+    )
+
+
+O_events_range_join = """
+WITH iv AS (
+  SELECT user_id, min(ts) AS s, min(ts) + INTERVAL 48 HOUR AS e
+  FROM events GROUP BY user_id
+), err AS (
+  SELECT ts FROM events WHERE event_type = 'error'
+)
+SELECT iv.user_id, count(err.ts) AS n_err
+FROM iv LEFT JOIN err ON err.ts >= iv.s AND err.ts <= iv.e
+GROUP BY iv.user_id
+"""
+
+
 def q_events_distinct_users(spark, sf_dir):
     """Distinct-aggregation surface: exact users per event type, plus
     the approx sketch the 100 TB path would use (not compared — engine
@@ -1072,6 +1145,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "tpch_order_rank": (q_tpch_order_rank, O_tpch_order_rank),
     "events_distinct_users": (q_events_distinct_users,
                               O_events_distinct_users),
+    "events_asof_join": (q_events_asof_join, O_events_asof_join),
+    "events_range_join": (q_events_range_join, O_events_range_join),
     # dedup extension
     "dedup_exact": (q_dedup_exact, O_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),

@@ -297,3 +297,59 @@ def test_embedding_pandas_matches_expression(embs):
     assert set(plain) == set(fast)
     for k in plain:
         assert abs(plain[k] - fast[k]) < 1e-9
+
+
+def test_asof_join_semantics(spark):
+    from remote_storage_adapter_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 5000, 10.0), (1, 10000, 20.0), (2, 7000, 70.0)],
+        "k long, ts_ms long, v double",
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "v")
+    left = spark.createDataFrame(
+        [(1, 1000), (1, 5000), (1, 7000), (1, 20000), (2, 6000), (3, 9000)],
+        "k long, ts_ms long",
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"))
+    out = {(r["k"], r["ts"].second): (
+        r["ts_asof"].second if r["ts_asof"] else None, r["v_asof"])
+        for r in asof_join(left, right, by=("k",)).collect()}
+    assert out[(1, 1)] == (None, None)      # nothing at or before
+    assert out[(1, 5)] == (5, 10.0)         # equal ts matches
+    assert out[(1, 7)] == (5, 10.0)         # latest at-or-before
+    assert out[(1, 20)] == (10, 20.0)       # carries forward
+    assert out[(2, 6)] == (None, None)      # right k=2 is later
+    assert out[(3, 9)] == (None, None)      # key absent from right
+
+
+def test_asof_join_tolerance(spark):
+    from remote_storage_adapter_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 5000, 10.0)], "k long, ts_ms long, v double",
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "v")
+    left = spark.createDataFrame(
+        [(1, 6000), (1, 60000)], "k long, ts_ms long",
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"))
+    out = {r["ts"].second if r["ts"].second else 0: r["v_asof"]
+           for r in asof_join(left, right, by=("k",),
+                              tolerance_ms=10_000).collect()}
+    assert out[6] == 10.0     # within 10 s
+    assert out[0] is None     # 55 s stale → nulled by tolerance
+
+
+def test_range_join_bucket_spanning(spark):
+    from remote_storage_adapter_spark.operators.asof import range_join
+
+    H = 3600_000
+    iv = spark.createDataFrame(
+        [(1, 0, 5 * H), (2, 10 * H, 11 * H)], "iid long, s long, e long"
+    ).select("iid", F.timestamp_millis("s").alias("start"),
+             F.timestamp_millis("e").alias("end"))
+    pts = spark.createDataFrame(
+        [(100, 3 * H), (101, 5 * H), (102, 6 * H), (103, 10 * H)],
+        "pid long, t long",
+    ).select("pid", F.timestamp_millis("t").alias("ts"))
+    # bucket (1h) much smaller than interval 1 → spans 6 buckets
+    got = sorted((r["pid"], r["iid"]) for r in
+                 range_join(pts, iv, bucket_s=3600).collect())
+    assert got == [(100, 1), (101, 1), (103, 2)]  # ends inclusive; 102 outside
