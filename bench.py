@@ -51,6 +51,9 @@ BENCH_QUERIES = {
     "ingest_transform": bench_ingest_transform,
     "tpch_q1": Q.q_tpch_q1,
     "tpch_top_nations": Q.q_tpch_top_nations,
+    "tpch_order_rank": Q.q_tpch_order_rank,
+    "events_asof_join": Q.q_events_asof_join,
+    "events_range_join": Q.q_events_range_join,
     "dedup_exact": Q.q_dedup_exact,
     "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
     "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
