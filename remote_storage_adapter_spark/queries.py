@@ -560,6 +560,51 @@ WHERE rank <= 3
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization via ``session_window`` (30-min inactivity gap) —
+    the stateful-windowing surface the reference lacks (SURVEY §2.12).
+    Oracle: classic gaps-and-islands (lag + cumulative sum)."""
+    ev = load_table(_prep(spark), sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return sess.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start"),
+        "n_events", "sum_value",
+    )
+
+
+O_events_sessionize = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM o
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, epoch_ms(min(ts)) AS session_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): each purchase matched with the
     user's latest view event at-or-before it — oracle is DuckDB's
@@ -1147,6 +1192,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                               O_events_distinct_users),
     "events_asof_join": (q_events_asof_join, O_events_asof_join),
     "events_range_join": (q_events_range_join, O_events_range_join),
+    "events_sessionize": (q_events_sessionize, O_events_sessionize),
     # dedup extension
     "dedup_exact": (q_dedup_exact, O_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
