@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from remote_storage_adapter_spark.functions import graphite, influx, opentsdb
 from remote_storage_adapter_spark.functions.codecs import (
@@ -165,3 +167,26 @@ def test_udf_forms_match_python(spark):
     for row, v in zip(got, values):
         assert row["o"] == opentsdb.marshal(v)
         assert row["g"] == graphite.escape(v)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_opentsdb_marshal_roundtrip_fuzz(s):
+    # property: unmarshal ∘ marshal = identity for ANY unicode string
+    from remote_storage_adapter_spark.functions.opentsdb import (
+        marshal,
+        unmarshal,
+    )
+
+    assert unmarshal(marshal(s)) == s
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_graphite_escape_output_is_graphite_safe(s):
+    # property: escaped output never contains raw separators/controls
+    from remote_storage_adapter_spark.functions.graphite import escape
+
+    out = escape(s)
+    assert "." not in out.replace("%2E", "")
+    assert all(0x21 <= ord(c) <= 0x7E for c in out)

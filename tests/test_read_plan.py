@@ -140,3 +140,21 @@ def test_to_read_response_shape(spark):
     # empty-valued tag dropped on read (W5 / M4 semantics)
     db = ts[1]
     assert all(l["name"] != "x" for l in db["labels"])
+
+
+def test_approx_quantile_close_to_exact(spark):
+    # the scale path uses percentile_approx (mergeable sketch ≙ CH's
+    # approximate quantile); bound its error against exact percentile
+    import pyspark.sql.functions as F
+    from remote_storage_adapter_spark.sources.events import load_metrics
+
+    m = load_metrics(spark, "/root/testdata/sf0.001")
+    row = m.groupBy("name").agg(
+        F.percentile_approx("val", 0.75).alias("approx"),
+        F.percentile("val", 0.75).alias("exact"),
+        F.max("val").alias("mx"),
+        F.min("val").alias("mn"),
+    ).collect()
+    for r in row:
+        spread = r["mx"] - r["mn"]
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * spread + 1e-9
