@@ -183,6 +183,58 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
     )
 
 
+def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Lloyd (k-means) refinement of the IVF coarse quantizer — the
+    iterative index-build path (not SQL-expressible; driver-side loop
+    over fully distributed steps).
+
+    Deterministic end to end: init = the ``n_cells`` smallest-id
+    vectors; assignment = argmax cosine with ties to the smallest cell
+    id (via :func:`ivf_index`'s literal-folded zero-shuffle path);
+    update = element-wise mean per cell (posexplode → per-(cell, dim)
+    avg — one shuffle of (cell, dim, component) rows). Centroids live
+    on the driver between iterations (k × dim doubles — always tiny);
+    the big table never leaves executors.
+
+    Returns ``(assigned_df, centroids)`` where centroids is
+    ``[(cell_id, [float, ...]), ...]``.
+    """
+    seeds = embs.orderBy(F.col(id_col)).limit(n_cells).select(
+        id_col, vec_col
+    ).collect()
+    centroids = [(i, [float(x) for x in r[vec_col]])
+                 for i, r in enumerate(seeds)]
+    assigned = None
+    for _ in range(max(iters, 0)):
+        assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
+                             seed_rows=centroids)
+        means = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>"))
+                .alias("dim", "x"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("ms")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [s["m"] for s in r["ms"]] for r in means}
+        # empty cells keep their previous centroid
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    if assigned is None:
+        assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
+                             seed_rows=centroids)
+    return assigned, centroids
+
+
 def ivf_topk(indexed: DataFrame, seeds_query_cells: Sequence[int],
              query: Sequence[float], k: int = 10,
              id_col: str = "vec_id",

@@ -353,3 +353,34 @@ def test_range_join_bucket_spanning(spark):
     got = sorted((r["pid"], r["iid"]) for r in
                  range_join(pts, iv, bucket_s=3600).collect())
     assert got == [(100, 1), (101, 1), (103, 2)]  # ends inclusive; 102 outside
+
+
+def test_ivf_train_improves_quantization(spark):
+    from remote_storage_adapter_spark.operators import similarity as S
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def mean_sim(assigned, centroids):
+        cmap = {cid: vec for cid, vec in centroids}
+        # mean cosine of each vector to its assigned centroid
+        rows = assigned.select("cell", "embedding").collect()
+        import math
+
+        tot = 0.0
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            c = cmap[r["cell"]]
+            dot = sum(a * b for a, b in zip(v, c))
+            nv = math.sqrt(sum(a * a for a in v)) or 1.0
+            nc = math.sqrt(sum(a * a for a in c)) or 1.0
+            tot += dot / (nv * nc)
+        return tot / len(rows)
+
+    a0, c0 = S.ivf_train(embs, n_cells=8, iters=0)
+    a3, c3 = S.ivf_train(embs, n_cells=8, iters=3)
+    q0, q3 = mean_sim(a0, c0), mean_sim(a3, c3)
+    assert q3 >= q0 - 1e-9  # Lloyd never degrades the objective
+    # deterministic: same inputs → identical centroids
+    _, c3b = S.ivf_train(embs, n_cells=8, iters=3)
+    assert c3 == c3b
