@@ -1095,6 +1095,28 @@ FROM sel ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_simsearch_ivf_trained(spark, sf_dir):
+    """ANN over a Lloyd-refined (k-means) IVF index — rows-only: the
+    iterative training is not SQL-expressible (the seed-centroid
+    variant simsearch_ivf carries the full oracle)."""
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    idx, centroids = S.ivf_train(embs, n_cells=16, iters=2)
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def cos(v):
+        n = math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0
+        return sum(float(x) * y for x, y in zip(v, qv)) / (n * qn)
+
+    probe = [cid for cid, vec in sorted(
+        centroids, key=lambda c: (-cos(c[1]), c[0]))[:4]]
+    top = S.ivf_topk(idx, probe, qv, k=10)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
 # --------------------------------------------------------------------------
 # sink wire formats (W9-W14, K3-K5 capability parity)
 # --------------------------------------------------------------------------
@@ -1206,6 +1228,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),
     "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
+    "simsearch_ivf_trained": (q_simsearch_ivf_trained, None),
 
     "sink_graphite_lines": (q_sink_graphite_lines, O_sink_graphite_lines),
     "sink_influx_lines": (q_sink_influx_lines, O_sink_influx_lines),

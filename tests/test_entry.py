@@ -27,7 +27,7 @@ def test_registry_shapes():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "dedup_minhash_lsh", "dedup_simhash", "multimodal_features",
-        "text_winnow",
+        "text_winnow", "simsearch_ivf_trained",
     }
 
 

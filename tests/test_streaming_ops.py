@@ -178,3 +178,42 @@ def test_dedup_within_watermark_drops_retries(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["ts_ms"], r["val"]) for r in rows)
     assert got == [(BASE_MS, 1.0), (BASE_MS + 1000, 2.0)]  # once each
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window works in streaming mode with a watermark: closed
+    sessions emit once the watermark passes gap-timeout past them."""
+    raw_dir = str(tmp_path / "raw")
+    out = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ckpt")
+    # session A: two events 10 s apart; then silence
+    _write_raw(spark, raw_dir, [(0, 1.0), (10000, 2.0)])
+    def run():
+        raw = (
+            spark.readStream
+            .schema(spark.read.parquet(raw_dir).schema)
+            .parquet(raw_dir)
+        )
+        sess = (
+            raw.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window(F.col("ts"), "30 seconds"), "name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("name", F.col("session_window.start").alias("start"),
+                    "n")
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    run()
+    # a much later event closes session A via the watermark
+    _write_raw(spark, raw_dir, [(3600000, 9.0)])
+    run()
+    rows = [(r["start"].isoformat(), r["n"])
+            for r in spark.read.parquet(out).collect()]
+    assert ("2024-01-01T00:00:00", 2) in rows  # both events, one session
