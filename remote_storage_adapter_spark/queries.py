@@ -367,6 +367,47 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_rollup_tiered_view(spark, sf_dir):
+    """Tier-routed read (plans/rollup.tiered_view): every age slice
+    served from its retention tier — 10 s / 30 s / 300 s buckets."""
+    from remote_storage_adapter_spark.plans.rollup import (
+        run_tiers,
+        tiered_view,
+    )
+
+    m = _metrics(spark, sf_dir)
+    tiers = run_tiers(m, now_ms=NOW_MS)
+    view = tiered_view(m, tiers, now_ms=NOW_MS)
+    return view.select(
+        "name",
+        F.array_join("tags", ",").alias("series"),
+        F.expr("unix_micros(ts) DIV 1000").alias("t"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+def _tier_slice_sql(step: int, lo_ms, hi_ms) -> str:
+    conds = []
+    if hi_ms is not None:
+        conds.append(f"ts < make_timestamp({hi_ms * 1000})")
+    if lo_ms is not None:
+        conds.append(f"ts >= make_timestamp({lo_ms * 1000})")
+    where = " AND ".join(conds) or "1=1"
+    return (
+        f"SELECT name, series, (es // {step}) * {step} * 1000 AS t, "
+        f"round(avg(val), 6) AS val FROM m WHERE {where} GROUP BY 1, 2, 3"
+    )
+
+
+O_rollup_tiered_view = f"""{M_CTE}
+{_tier_slice_sql(10, NOW_MS - 86400000, None)}
+UNION ALL
+{_tier_slice_sql(30, NOW_MS - 172800000, NOW_MS - 86400000)}
+UNION ALL
+{_tier_slice_sql(300, None, NOW_MS - 172800000)}
+"""
+
+
 def q_rollup_lww(spark, sf_dir):
     # A8: duplicate (series, ts) rows with later `updated` win.
     ev = load_table(_prep(spark), sf_dir, "events")
@@ -1203,6 +1244,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "ingest_tags_codec": (q_ingest_tags_codec, O_ingest_tags_codec),
     "rollup_tier_30s": (q_rollup_tier_30s, O_rollup_tier_30s),
     "rollup_tier_300s": (q_rollup_tier_300s, O_rollup_tier_300s),
+    "rollup_tiered_view": (q_rollup_tiered_view, O_rollup_tiered_view),
     "rollup_lww": (q_rollup_lww, O_rollup_lww),
     "events_json_props": (q_events_json_props, O_events_json_props),
     # relational extension
