@@ -94,8 +94,16 @@ def bucket_of(vec: Column, n_planes: int, dim: int) -> Column:
 
 def lsh_topk(embs: DataFrame, query: Sequence[float], k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: restrict the scan to the query's LSH bucket."""
+             vec_col: str = "embedding",
+             multi_probe: bool = False) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket.
+
+    ``multi_probe=True`` additionally probes every bucket within
+    Hamming distance 1 of the query's code (the sign bits most likely
+    to flip for near neighbors) — n_planes+1 of the 2^n_planes buckets,
+    trading a (n_planes+1)× larger candidate scan for substantially
+    better recall. Standard multi-probe LSH (Lv et al., VLDB 2007).
+    """
     dim = len(query)
     qbucket = 0
     for p in range(n_planes):
@@ -103,9 +111,15 @@ def lsh_topk(embs: DataFrame, query: Sequence[float], k: int = 10,
                    for d in range(dim))
         if proj >= 0:
             qbucket |= 1 << p
+    bucket = bucket_of(F.col(vec_col), n_planes, dim)
+    if multi_probe:
+        probes = [0] + [1 << p for p in range(n_planes)]
+        cond = bucket.bitwiseXOR(F.lit(qbucket)).isin(probes)
+    else:
+        cond = bucket == F.lit(qbucket)
     return (
-        embs.withColumn("bucket", bucket_of(F.col(vec_col), n_planes, dim))
-        .filter(F.col("bucket") == F.lit(qbucket))
+        embs.withColumn("bucket", bucket)
+        .filter(cond)
         .select(
             F.col(id_col).alias("id"),
             cosine_to(F.col(vec_col), query).alias("cosine"),

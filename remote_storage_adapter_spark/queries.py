@@ -918,6 +918,39 @@ FROM s ORDER BY s.cosine DESC, vec_id LIMIT 10
 O_simsearch_lsh = _O_simsearch_lsh()
 
 
+def q_simsearch_lsh_multiprobe(spark, sf_dir):
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    top = S.lsh_topk(embs, qv, k=10, n_planes=8, multi_probe=True)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+def _O_simsearch_lsh_multiprobe(n_planes: int = 8, dim: int = 64) -> str:
+    b = _bucket_sql("e", n_planes, dim)
+    qb = _bucket_sql("qe", n_planes, dim)
+    probes = ",".join(str(x) for x in [0] + [1 << p for p in range(n_planes)])
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
+  FROM v, q
+  WHERE xor({b}, {qb}) IN ({probes})
+)
+SELECT vec_id AS id, round(cosine, 6) AS cosine
+FROM s ORDER BY s.cosine DESC, vec_id LIMIT 10
+"""
+
+
+O_simsearch_lsh_multiprobe = _O_simsearch_lsh_multiprobe()
+
+
 # --------------------------------------------------------------------------
 # text analysis extension (E3)
 # --------------------------------------------------------------------------
@@ -1269,6 +1302,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # similarity search extension
     "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),
     "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
+    "simsearch_lsh_multiprobe": (q_simsearch_lsh_multiprobe,
+                                 O_simsearch_lsh_multiprobe),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
     "simsearch_ivf_trained": (q_simsearch_ivf_trained, None),
 

@@ -384,3 +384,14 @@ def test_ivf_train_improves_quantization(spark):
     # deterministic: same inputs → identical centroids
     _, c3b = S.ivf_train(embs, n_cells=8, iters=3)
     assert c3 == c3b
+
+
+def test_lsh_multiprobe_superset_recall(embs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    single = {r["id"] for r in
+              S.lsh_topk(embs, q, k=5, n_planes=4).collect()}
+    multi = {r["id"] for r in
+             S.lsh_topk(embs, q, k=5, n_planes=4,
+                        multi_probe=True).collect()}
+    assert single <= multi       # probing more buckets never loses
+    assert 0 in multi
