@@ -90,11 +90,29 @@ def read_query(df: DataFrame, q: "M.PromQuery", *,
 def read_request(df: DataFrame, queries: Sequence["M.PromQuery"],
                  **kw) -> DataFrame:
     """M1: union all per-query results into one result set
-    (clickhouse/client.go:212-223 collapses into Results[0]); distinct
-    guards against overlapping query ranges double-reporting a bucket."""
-    parts = [read_query(df, q, **kw) for q in queries]
-    return reduce(DataFrame.unionByName, parts).dropDuplicates(
-        ["t", "name", "tags"]
+    (clickhouse/client.go:212-223 collapses into Results[0]).
+
+    The reference appends duplicate samples when query ranges overlap
+    (clickhouse/client.go:205-208, no dedup); we instead keep exactly
+    one row per (t, name, tags) bucket, **first query wins** —
+    deterministic even when two queries clip the same bucket to
+    different ranges and so disagree on cnt/value (a bare
+    ``dropDuplicates`` would keep an arbitrary one). Same mechanism as
+    :func:`merge_sorted_dedup`: scalar ``min_by`` on the query index —
+    hash aggregate, no window/sort.
+    """
+    parts = [
+        read_query(df, q, **kw).withColumn("_prio", F.lit(i))
+        for i, q in enumerate(queries)
+    ]
+    union = reduce(DataFrame.unionByName, parts)
+    return (
+        union.groupBy("t", "name", "tags")
+        .agg(
+            F.min_by("cnt", "_prio").alias("cnt"),
+            F.min_by("value", "_prio").alias("value"),
+        )
+        .select("cnt", "t", "name", "tags", "value")
     )
 
 
@@ -127,10 +145,14 @@ def to_read_response(assembled: DataFrame) -> dict:
     """
     series = []
     for row in assembled.collect():
+        # split on the FIRST '=' only (Go SplitN(tag, "=", 2),
+        # makeLabels clickhouse/tagvalue.go:32-49): a value containing
+        # '=' keeps everything after the first separator; empty-valued
+        # tags are dropped. Python maxsplit=1 == Go SplitN n=2.
         labels = [
-            {"name": t.split("=", 2)[0], "value": t.split("=", 2)[1]}
+            {"name": t.split("=", 1)[0], "value": t.split("=", 1)[1]}
             for t in row["tags"]
-            if "=" in t and t.split("=", 2)[1] != ""
+            if "=" in t and t.split("=", 1)[1] != ""
         ]
         series.append(
             {
@@ -154,18 +176,21 @@ def merge_sorted_dedup(a: DataFrame, b: DataFrame,
 
     The reference walks two sorted lists and keeps list-a's sample on
     equal timestamps; distributed form: tag each side with a priority
-    and keep the min-priority row per (series, t) — deterministic,
-    unlike a bare ``dropDuplicates``.
+    and keep the min-priority row's payload per (series, t) via scalar
+    ``min_by`` aggregates — one hash aggregate with map-side partial
+    combine. (A ranking window over the priority would give the same
+    rows but shuffle+sort every partition with no combiner — the
+    100 TB-hostile plan.) Precondition, inherited from the reference's
+    merge of two per-query result lists: each input has at most one
+    row per key (aggregated read results always do).
     """
     keys = list(keys or ["name", "tags", "t"])
+    payload = [c for c in a.columns if c not in keys]
     tagged = a.withColumn("_prio", F.lit(0)).unionByName(
         b.withColumn("_prio", F.lit(1))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys).orderBy(F.col("_prio"))
     return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_prio")
+        tagged.groupBy(*keys)
+        .agg(*[F.min_by(c, "_prio").alias(c) for c in payload])
+        .select(*a.columns)
     )

@@ -20,9 +20,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from remote_storage_adapter_spark.functions.codecs import labels_from_tags
 from remote_storage_adapter_spark.plans.read import bucket_ms
 
 
@@ -48,19 +49,64 @@ def lww_dedup(df: DataFrame,
 
     GraphiteMergeTree's version-column semantics (README.md:70,
     DDL ``updated`` default at 0001-create-table.sql:8): on duplicate
-    (name, tags, ts) the last write wins.
+    (name, tags, ts) the last write wins; ``updated`` ties (two writes
+    in the same ingest instant — ClickHouse keeps an arbitrary row)
+    break deterministically on max ``val``.
+
+    100 TB physical plan: this is a pure hash-aggregate pipeline
+    (partial+final, map-side combine) — never a ranking window, which
+    would shuffle every raw row and then SORT every partition with no
+    partial aggregation. Two details force the shape used here:
+
+    - ``max_by(struct(payload), struct(updated, val))`` — the obvious
+      one-pass form — has non-primitive aggregation buffers, which
+      HashAggregateExec cannot hold (it requires UnsafeRow-mutable,
+      fixed-width buffer types), so Catalyst silently degrades it to
+      SortAggregate. Two chained aggregates with scalar-only buffers
+      (max(val) per (key, updated), then max_by(val, updated) per key)
+      stay HashAggregate end to end; duplicates collapse map-side in
+      BOTH passes, so the second shuffle moves already-deduped rows.
+    - ``labels``/``date`` (non-scalar / derived payload) would likewise
+      poison the buffers, so they are dropped before the aggregate and
+      re-derived: ``date`` from ``ts``, ``labels`` via the W5 codec
+      from ``tags`` (reference read-path behavior, makeLabels
+      clickhouse/tagvalue.go:32-49 — empty-valued labels drop, which
+      the reference's own read path does too).
+
+    Other scalar payload columns are carried with ``max_by`` (winning
+    row's value; ties on (updated, val) pick one deterministically-
+    aggregated row).
     """
-    # `updated` ties (two writes in the same ingest instant) break on
-    # val: ClickHouse keeps an arbitrary row on version ties; we pick
-    # deterministically so results are reproducible across engines.
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-        F.col("updated").desc(), F.col("val").desc()
+    keys = list(keys)
+    cols = df.columns
+    derived = {}
+    if "labels" in cols and "tags" in keys:
+        derived["labels"] = labels_from_tags(F.col("tags"))
+    if "date" in cols and "ts" in keys:
+        derived["date"] = F.to_date(F.col("ts"))
+    carry = [
+        c for c in cols
+        if c not in keys and c not in ("val", "updated") and c not in derived
+    ]
+    per_version = (
+        df.drop(*derived.keys())
+        .groupBy(*keys, "updated")
+        .agg(
+            F.max("val").alias("val"),
+            *[F.max_by(c, "val").alias(c) for c in carry],
+        )
     )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    winner = (
+        per_version.groupBy(*keys)
+        .agg(
+            F.max_by("val", "updated").alias("val"),
+            *[F.max_by(c, "updated").alias(c) for c in carry],
+            F.max("updated").alias("updated"),
+        )
     )
+    for name, expr in derived.items():
+        winner = winner.withColumn(name, expr)
+    return winner.select(*cols)
 
 
 def tier_for_age(tiers: Sequence[RollupTier], age_s: int) -> RollupTier:
@@ -82,6 +128,9 @@ def rollup(df: DataFrame, precision_s: int, *, now_ms: int,
     agg_fn = getattr(F, agg)
     deduped = lww_dedup(df.filter(F.col("ts") < cutoff))
     bucket = bucket_ms(F.col("ts"), precision_s)
+    # labels re-derived from tags post-agg (W5 codec) rather than
+    # first(labels): a map-typed aggregation buffer would force the
+    # whole tier job from HashAggregate down to SortAggregate.
     return (
         deduped
         .groupBy(
@@ -92,8 +141,8 @@ def rollup(df: DataFrame, precision_s: int, *, now_ms: int,
         .agg(
             agg_fn(F.col("val")).alias("val"),
             F.max(F.col("updated")).alias("updated"),
-            F.first(F.col("labels")).alias("labels"),
         )
+        .withColumn("labels", labels_from_tags(F.col("tags")))
         .withColumn("date", F.to_date(F.col("ts")))
         .select("date", "name", "tags", "labels", "val", "ts", "updated")
     )
