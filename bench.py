@@ -41,6 +41,16 @@ def bench_ingest_transform(spark, sf_dir):
     return to_metrics(samples)
 
 
+def bench_dedup_minhash_lsh(spark, sf_dir):
+    """OPH fast path (one xxhash64 pass per shingle) — the throughput
+    variant; the registry's dedup_minhash_lsh runs the md5-portable
+    mode so the pair set is DuckDB-oracle-checked."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
+
+
 BENCH_QUERIES = {
     "read_downsample_q75": Q.q_read_downsample_q75,
     "read_downsample_auto_step": Q.q_read_downsample_auto_step,
@@ -55,7 +65,7 @@ BENCH_QUERIES = {
     "events_asof_join": Q.q_events_asof_join,
     "events_range_join": Q.q_events_range_join,
     "dedup_exact": Q.q_dedup_exact,
-    "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+    "dedup_minhash_lsh": bench_dedup_minhash_lsh,
     "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
     "simsearch_topk": Q.q_simsearch_topk,
     "simsearch_ivf": Q.q_simsearch_ivf,

@@ -32,6 +32,16 @@ def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def portable_hash64(c: Column) -> Column:
+    """60-bit hash any engine can reproduce: the first 15 hex chars of
+    md5, parsed base-16 (DuckDB twin: ``('0x'||substr(md5(x),1,15))::
+    BIGINT``). 15 nibbles keep the value < 2**60, inside a signed long
+    in every engine. ~3× the cost of xxhash64 — use it for
+    oracle-verified variants; the fast paths keep xxhash64.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """128-bit deterministic content fingerprint (md5 of normalized)."""
     return F.md5(normalized(text))
@@ -69,10 +79,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """(id, shingle-hash) rows via posexplode + window ``lead``.
+def shingle_rows(docs: DataFrame, *, n: int = 3,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, shingle-string ``s``) rows via posexplode + window ``lead``.
 
     Produces the same shingle strings as :func:`word_shingles` (with
     duplicates — callers must be duplicate-insensitive, e.g. min-agg)
@@ -85,9 +95,7 @@ def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
     nw = F.size(F.split(F.col("nt"), " "))
     # <n-word docs: the whole normalized text is the single shingle
     # (word_shingles fallback semantics)
-    short = base.filter(nw < n).select(
-        "id", F.xxhash64(F.col("nt")).alias("h")
-    )
+    short = base.filter(nw < n).select("id", F.col("nt").alias("s"))
     words = base.filter(nw >= n).select(
         "id", F.posexplode(F.split(F.col("nt"), " ")).alias("pos", "w")
     )
@@ -98,12 +106,19 @@ def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
         .filter(F.col(f"_w{n - 1}").isNotNull())
         .select(
             "id",
-            F.xxhash64(
-                F.concat_ws(" ", *[F.col(f"_w{i}") for i in range(n)])
-            ).alias("h"),
+            F.concat_ws(" ", *[F.col(f"_w{i}") for i in range(n)]).alias("s"),
         )
     )
     return shingles.unionByName(short)
+
+
+def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, shingle-hash) rows: :func:`shingle_rows` + one xxhash64."""
+    return shingle_rows(docs, n=n, id_col=id_col, text_col=text_col).select(
+        "id", F.xxhash64(F.col("s")).alias("h")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
@@ -231,6 +246,36 @@ def minhash_signatures_oph(docs: DataFrame, *, num_hashes: int = 64,
     return per_doc.select("id", arr.alias("sig"))
 
 
+def minhash_signatures_portable(docs: DataFrame, *, num_hashes: int = 64,
+                                shingle_n: int = 3, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Engine-portable k-min signatures: position i is the min over
+    shingles s of ``portable_hash64(s || '#' || i)``.
+
+    Pays k md5s per shingle occurrence (vs one xxhash64 pass for OPH),
+    so this is the ORACLE-VERIFIED variant, not the throughput path —
+    it exists so the LSH result set is bit-reproducible in any engine
+    with md5 (the DuckDB correctness twin computes the identical
+    signatures in SQL). Same banding/join topology as the fast path.
+    """
+    rows = shingle_rows(docs, n=shingle_n, id_col=id_col, text_col=text_col)
+    aggs = [
+        F.min(
+            portable_hash64(F.concat(F.col("s"), F.lit(f"#{i}")))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        rows.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+            .alias("sig"),
+        )
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.5,
@@ -245,20 +290,45 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     skew-free). Estimated Jaccard = fraction of agreeing hash
     positions; pairs below ``threshold`` are dropped.
 
-    ``mode``: "oph" (default — one-pass signatures, the scale path) or
-    "kmin" (classic k independent min-hashes).
+    ``mode``: "oph" (default — one-pass signatures, the scale path),
+    "kmin" (classic k independent min-hashes), or "portable"
+    (md5-derived signatures + exact band keys, bit-reproducible in any
+    engine — the oracle-checked variant).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sig_fn = minhash_signatures_oph if mode == "oph" else minhash_signatures
+    sig_fn = {
+        "oph": minhash_signatures_oph,
+        "kmin": minhash_signatures,
+        "portable": minhash_signatures_portable,
+    }[mode]
     sigs = sig_fn(
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
     ).persist()  # barrier: computed once, reused by banding + both join-backs
     # banding carries only (id, band, bucket) — the shuffle stays ~24
     # bytes/row regardless of signature width; signatures are re-joined
-    # onto the (much smaller) candidate-pair set afterwards.
+    # onto the (much smaller) candidate-pair set afterwards. The fast
+    # paths compress the band slice to an xxhash64 bucket; portable
+    # mode joins on the slice rendered as a string so any engine forms
+    # the identical key (hash-collision-free by construction).
+    if mode == "portable":
+        def band_key(b):
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1,
+                            rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+    else:
+        def band_key(b):
+            return F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1,
+                        rows_per_band).cast("string"),
+            )
     banded = sigs.select(
         "id",
         F.explode(
@@ -266,10 +336,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1,
-                                    rows_per_band).cast("string"),
-                        ).alias("bucket"),
+                        band_key(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -344,14 +411,24 @@ def simhash(text: Column, *, bits: int = 64, shingle_n: int = 1) -> Column:
 
 def simhash_fingerprints(docs: DataFrame, *, bits: int = 64,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         hash_mode: str = "xx") -> DataFrame:
     """(id, fp) via explode + grouped bit-vote sums — the codegen'd
     equivalent of the :func:`simhash` column expression (identical
-    values; the array-lambda form is interpreted and ~100× slower)."""
+    values; the array-lambda form is interpreted and ~100× slower).
+
+    ``hash_mode="portable"`` swaps the token hash for
+    :func:`portable_hash64` so the fingerprints (and therefore the
+    pair set) are bit-reproducible in any engine with md5 — the
+    oracle-checked variant. Portable hashes are < 2**60, so fp bits
+    60-63 always vote negative and stay 0 on both engines.
+    """
+    token_hash = (portable_hash64(F.col("w")) if hash_mode == "portable"
+                  else F.xxhash64("w"))
     words = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("w"),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", token_hash.alias("h"))
     mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
     aggs = [
         F.sum(
@@ -372,7 +449,8 @@ def simhash_fingerprints(docs: DataFrame, *, bits: int = 64,
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  hash_mode: str = "xx") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split the 64-bit fingerprint into
@@ -383,7 +461,7 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     chunks = max_hamming + 1
     width = 64 // chunks
     fp = simhash_fingerprints(
-        docs, id_col=id_col, text_col=text_col
+        docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode
     ).persist()  # fingerprints feed banding AND the verify join
     banded = fp.select(
         "id", "fp",

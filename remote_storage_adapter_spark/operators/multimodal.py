@@ -47,7 +47,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("byte_len", T.LongType(), False),
-        T.StructField("sha1", T.StringType(), False),
+        T.StructField("sha256", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -81,11 +81,20 @@ def _decode_real(payload: bytes, media_type: str):
 
 
 def _fake_feature(payload: bytes, dim: int) -> list:
-    """Deterministic pseudo-feature from the payload digest."""
+    """Deterministic pseudo-feature from the payload digest.
+
+    Component i = big-endian uint16 of sha256-digest bytes [2i, 2i+2)
+    (cycled), scaled to [0, 1] and rounded to 6 decimals — so any
+    engine with sha256 recomputes a component exactly: a 6-decimal
+    multiple survives the float32 feature column round-trip (float32
+    error ≈6e-8 ≪ the 5e-7 re-round margin), keeping the stub
+    oracle-checkable while the column type stays the realistic
+    array<float>.
+    """
     digest = hashlib.sha256(payload).digest()
     raw = (digest * ((dim * 2) // len(digest) + 1))[: dim * 2]
     return [
-        int.from_bytes(raw[2 * i : 2 * i + 2], "big") / 65535.0
+        round(int.from_bytes(raw[2 * i : 2 * i + 2], "big") / 65535.0, 6)
         for i in range(dim)
     ]
 
@@ -108,8 +117,8 @@ def extract_features(media: DataFrame, *, dim: int = 16,
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": payloads.map(len).astype("int64"),
-                    "sha1": payloads.map(
-                        lambda p: hashlib.sha1(p).hexdigest()
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
                     ),
                     "feature": payloads.map(
                         lambda p: _fake_feature(p, dim)

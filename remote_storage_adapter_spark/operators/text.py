@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from remote_storage_adapter_spark.operators.dedup import fingerprint, normalized
+from remote_storage_adapter_spark.operators.dedup import (
+    fingerprint,
+    normalized,
+    portable_hash64,
+)
 
 #: tiny deterministic stopword lists per language for the n-gram/stopword
 #: language heuristic (public-knowledge word lists).
@@ -103,7 +107,8 @@ def lang_id(text: Column) -> Column:
 
 def winnow_fingerprints(docs: DataFrame, *, k: int = 8, window: int = 16,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        hash_mode: str = "xx") -> DataFrame:
     """Winnowing document fingerprints (rolling-hash sketch; public
     algorithm: Schleimer/Wilkerson/Aiken, SIGMOD 2003).
 
@@ -117,18 +122,22 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 8, window: int = 16,
 
     Returns (id, fingerprint) rows — join on fingerprint for candidate
     passage-sharing pairs. Shuffle rows are (id, long) only.
+
+    ``hash_mode="portable"`` hashes k-grams with md5-derived
+    :func:`portable_hash64` instead of xxhash64 so the selected minima
+    are bit-reproducible in any engine — the oracle-checked variant.
     """
     base = docs.select(
         F.col(id_col).alias("id"), normalized(F.col(text_col)).alias("nt")
     )
     n_grams = F.greatest(F.length("nt") - (k - 1), F.lit(1))
+    gram = F.col("nt").substr(F.col("pos"), F.lit(k))
+    gram_hash = (portable_hash64(gram) if hash_mode == "portable"
+                 else F.xxhash64(gram))
     grams = base.select(
         "id", "nt",
         F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_i", "pos"),
-    ).select(
-        "id", "pos",
-        F.xxhash64(F.col("nt").substr(F.col("pos"), F.lit(k))).alias("h"),
-    )
+    ).select("id", "pos", gram_hash.alias("h"))
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
         grams.select("id", F.min("h").over(win).alias("fingerprint"))

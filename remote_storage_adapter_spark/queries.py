@@ -790,18 +790,119 @@ FROM pairs WHERE common / (n_a + n_b - common) >= 0.2
 """
 
 
+def _ph_sql(e: str) -> str:
+    """DuckDB twin of dedup.portable_hash64: first 15 md5 nibbles."""
+    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    # rows-only: xxhash64-based signatures aren't reproducible in DuckDB
+    """MinHash+LSH banded near-dup pairs, portable-hash mode: the
+    md5-derived signatures and exact band keys are bit-reproducible in
+    DuckDB, so the full pair set is oracle-checked (the xxhash64
+    OPH/kmin fast paths share the topology and are unit-tested +
+    benched)."""
     docs = load_table(_prep(spark), sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                threshold=0.2, mode="portable")
     return pairs.select("id_a", "id_b",
                         F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def _O_minhash_lsh(k: int = 64, bands: int = 16,
+                   threshold: float = 0.2) -> str:
+    rpb = k // bands
+    sig_cols = ",\n         ".join(
+        "min({}) AS h{}".format(_ph_sql("shingle || '#%d'" % i), i)
+        for i in range(k)
+    )
+    band_items = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (b, " || ',' || ".join(f"h{b * rpb + i}::VARCHAR"
+                                 for i in range(rpb)))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""{_SHINGLE_CTE}
+, sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, unnest([{band_items}]) AS bb FROM sigs
+), banded AS (
+  SELECT doc_id, bb.band AS band, bb.key AS key FROM bk
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), est AS (
+  SELECT id_a, id_b, ({agree}) / {k}.0 AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.id_a
+  JOIN sigs sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+O_dedup_minhash_lsh = _O_minhash_lsh()
+
+
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only: xxhash64-based fingerprints
+    """SimHash pigeonhole near-dup pairs, portable-hash mode (md5-based
+    token hashes → DuckDB recomputes identical fingerprints; the
+    xxhash64 fast path shares the plan and is unit-tested)."""
     docs = load_table(_prep(spark), sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=7)
+    return D.simhash_pairs(docs, max_hamming=7, hash_mode="portable")
+
+
+def _O_simhash(max_hamming: int = 7) -> str:
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+    def mask_sql(m: int) -> str:
+        # bit 63 == signed-long min: literal needs the subtraction form
+        return ("(-9223372036854775807 - 1)" if m < 0
+                else f"{m}::BIGINT")
+
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h & {mask_sql(m)}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i, m in enumerate(mask_vals)
+    )
+    fp_expr = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN {mask_sql(m)} ELSE 0::BIGINT END)"
+        for i, m in enumerate(mask_vals)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents
+), h AS (
+  SELECT doc_id, {_ph_sql('w')} AS h FROM w
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, ({fp_expr}) AS fp FROM v
+), keyed AS (
+  SELECT doc_id, fp, c.chunk AS chunk,
+         (fp >> (c.chunk * {width})) & {(1 << width) - 1} AS key
+  FROM fp CROSS JOIN (SELECT unnest(range({chunks})) AS chunk) c
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM keyed a JOIN keyed b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+O_dedup_simhash = _O_simhash()
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -1045,14 +1146,36 @@ FROM documents
 
 
 def q_text_winnow(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (rows-only: xxhash64 has no
-    DuckDB twin; the shared-passage guarantee is unit-tested)."""
+    """Winnowing rolling-hash fingerprints, portable-hash mode: the
+    md5-derived k-gram hashes make the selected minima bit-reproducible
+    in DuckDB (the xxhash64 fast path shares the plan; the
+    shared-passage guarantee is unit-tested)."""
     docs = load_table(_prep(spark), sf_dir, "documents")
-    fps = TX.winnow_fingerprints(docs, k=8, window=16)
+    fps = TX.winnow_fingerprints(docs, k=8, window=16, hash_mode="portable")
     return fps.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fp"),
     )
+
+
+O_text_winnow = f"""
+WITH base AS (
+  SELECT doc_id AS id, {NORM_SQL} AS nt FROM documents
+), pos AS (
+  SELECT id, nt,
+         unnest(range(1, greatest(length(nt) - 7, 1) + 1)) AS pos
+  FROM base
+), g AS (
+  SELECT id, pos, {_ph_sql('substring(nt, pos, 8)')} AS h FROM pos
+), wmin AS (
+  SELECT id, min(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+           AS fingerprint
+  FROM g
+), d AS (SELECT DISTINCT id, fingerprint FROM wmin)
+SELECT id, count(*) AS n_fingerprints, min(fingerprint) AS min_fp
+FROM d GROUP BY id
+"""
 
 
 def q_text_fingerprint(spark, sf_dir):
@@ -1090,12 +1213,29 @@ FROM documents
 
 
 def q_multimodal_features(spark, sf_dir):
-    # rows-only: mapInPandas stub decode (no SQL equivalent)
+    """Arrow-batched mapInPandas feature extraction (stub decode). The
+    stub feature is sha256-derived and 6-dp-rounded, so the whole
+    pipeline — binary payload → Python batch stage → float feature
+    column — is recomputable in DuckDB SQL and fully oracle-checked."""
     docs = load_table(_prep(spark), sf_dir, "documents")
     media = MM.media_from_documents(docs)
     feats = MM.extract_features(media, dim=16, decode_stub=True)
-    return feats.select("media_id", "byte_len", "sha1",
-                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+    # cast BEFORE rounding: round() on a float32 column rounds in
+    # float32 space and re-widens with representation noise
+    return feats.select(
+        "media_id", "byte_len", "sha256",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+O_multimodal_features = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256,
+       round((('0x' || substr(sha256(text), 1, 4))::BIGINT) / 65535.0, 6)
+         AS f0
+FROM documents
+"""
 
 
 def q_simsearch_ivf(spark, sf_dir):
@@ -1170,9 +1310,11 @@ FROM sel ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def q_simsearch_ivf_trained(spark, sf_dir):
-    """ANN over a Lloyd-refined (k-means) IVF index — rows-only: the
-    iterative training is not SQL-expressible (the seed-centroid
-    variant simsearch_ivf carries the full oracle)."""
+    """ANN over a Lloyd-refined (k-means) IVF index. iters is FIXED at
+    2 so the driver-side training loop unrolls into chained oracle CTEs
+    (assign → per-dim mean → re-assign → mean); every step is
+    deterministic (argmax ties → lowest cell id, empty cells keep the
+    previous centroid), so the probed top-k is fully oracle-checked."""
     spark = _prep(spark)
     embs = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
@@ -1189,6 +1331,65 @@ def q_simsearch_ivf_trained(spark, sf_dir):
         centroids, key=lambda c: (-cos(c[1]), c[0]))[:4]]
     top = S.ivf_topk(idx, probe, qv, k=10)
     return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
+def _O_ivf_trained(n_cells: int = 16, dim: int = 64, n_probe: int = 4,
+                   k: int = 10) -> str:
+    """Two Lloyd rounds unrolled as CTEs, mirroring ivf_train(iters=2):
+    c0 = 16 smallest-id vectors → assign a1 → per-dim means c1 (empty
+    cells keep c0) → assign a2 → means c2; probe = top-4 cells of c2 by
+    query cosine; result = exact top-k within a2's probed cells."""
+
+    def assign(src_cells: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a='e', b='cv')} DESC, c.cell
+           ) AS rn
+    FROM v CROSS JOIN {src_cells} c
+  ) WHERE rn = 1
+)"""
+
+    def means(asn: str, prev: str, out: str) -> str:
+        return f"""{out}_m AS (
+  SELECT {asn}.cell, d.dim, avg(v.e[d.dim]) AS m
+  FROM {asn} JOIN v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS dim) d
+  GROUP BY {asn}.cell, d.dim
+), {out} AS (
+  SELECT {prev}.cell, coalesce(mv.cv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN (
+    SELECT cell, list(m ORDER BY dim) AS cv FROM {out}_m GROUP BY cell
+  ) mv USING (cell)
+)"""
+
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+), {assign('c0', 'a1')}, {means('a1', 'c0', 'c1')},
+{assign('c1', 'a2')}, {means('a2', 'c1', 'c2')},
+probe AS (
+  SELECT cell FROM c2, q
+  ORDER BY {_IVF_COS.format(a='cv', b='qe')} DESC, cell LIMIT {n_probe}
+), sel AS (
+  SELECT v.vec_id, {_IVF_COS.format(a='e', b='qe')} AS cosine
+  FROM v JOIN a2 USING (vec_id), q
+  WHERE a2.cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id AS id, round(cosine, 6) AS cosine
+FROM sel ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+O_simsearch_ivf_trained = _O_ivf_trained()
 
 
 # --------------------------------------------------------------------------
@@ -1293,8 +1494,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # dedup extension
     "dedup_exact": (q_dedup_exact, O_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
+    "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
     "dedup_embedding_cosine_pandas": (q_dedup_embedding_cosine_pandas,
@@ -1305,7 +1506,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "simsearch_lsh_multiprobe": (q_simsearch_lsh_multiprobe,
                                  O_simsearch_lsh_multiprobe),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
-    "simsearch_ivf_trained": (q_simsearch_ivf_trained, None),
+    "simsearch_ivf_trained": (q_simsearch_ivf_trained,
+                              O_simsearch_ivf_trained),
 
     "sink_graphite_lines": (q_sink_graphite_lines, O_sink_graphite_lines),
     "sink_influx_lines": (q_sink_influx_lines, O_sink_influx_lines),
@@ -1315,10 +1517,10 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_lang_id": (q_text_lang_id, O_text_lang_id),
     "text_token_stats": (q_text_token_stats, O_text_token_stats),
     "text_fingerprint": (q_text_fingerprint, O_text_fingerprint),
-    "text_winnow": (q_text_winnow, None),
+    "text_winnow": (q_text_winnow, O_text_winnow),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, O_multimodal_features),
 }
 
 

@@ -22,13 +22,10 @@ def test_registry_shapes():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 25
-    # every oracle has a query; rows-only entries are the known set
+    # every oracle has a query; since round 2 EVERY registry query
+    # carries a DuckDB oracle (portable-hash modes closed the gap)
     assert set(oracles) <= set(qs)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "dedup_minhash_lsh", "dedup_simhash", "multimodal_features",
-        "text_winnow", "simsearch_ivf_trained",
-    }
+    assert set(qs) - set(oracles) == set()
 
 
 def test_parity_spot_check(spark, sf_dir):
