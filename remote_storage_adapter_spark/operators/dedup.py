@@ -124,19 +124,38 @@ def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
                         threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_df: int | None = None) -> DataFrame:
     """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
 
     Inverted-index join: explode shingles → self-join on the shingle →
     count common shingles per pair → |A∪B| = |A|+|B|-common. The
     shingle is the blocking key, so only docs sharing a shingle ever
     meet; the join carries (shingle-hash, id) pairs, not text.
+
+    ``max_df`` caps the document frequency of indexed shingles: a
+    shingle shared by f docs produces f² join rows, so one ubiquitous
+    shingle (a boilerplate header at corpus scale) is a quadratic hot
+    key. Shingles with df > max_df are dropped BEFORE the self-join —
+    the standard stop-shingle cut (it also improves precision: such
+    shingles carry no signal). Set sizes and common counts are both
+    computed over the retained universe, so the reported value stays a
+    true Jaccard (of the sub-max_df shingle sets). Default None keeps
+    exact full-universe semantics (the oracle-checked mode).
     """
     # distinct (id, shingle-hash) via the codegen explode/window path;
     # per-doc set size joins back on (much smaller) doc-count rows
     distinct_sh = shingle_hash_rows(
         docs, n=n, id_col=id_col, text_col=text_col
     ).dropDuplicates(["id", "h"])
+    if max_df is not None:
+        df_counts = distinct_sh.groupBy("h").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        distinct_sh = (
+            distinct_sh.join(df_counts.filter(F.col("_df") <= max_df), "h")
+            .select("id", "h")
+        )
     sizes = distinct_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     exploded = distinct_sh.join(sizes, "id").select(
         "id", "n_sh", F.col("h").alias("shingle")
@@ -281,7 +300,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       threshold: float = 0.5,
                       id_col: str = "doc_id",
                       text_col: str = "text",
-                      mode: str = "oph") -> DataFrame:
+                      mode: str = "oph",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard from signature agreement.
 
     Signatures are banded (``bands`` bands of k/bands rows); docs
@@ -294,6 +314,14 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     "kmin" (classic k independent min-hashes), or "portable"
     (md5-derived signatures + exact band keys, bit-reproducible in any
     engine — the oracle-checked variant).
+
+    ``max_bucket_size`` bounds the quadratic hot-bucket risk: a
+    boilerplate-heavy corpus puts f near-identical docs in one
+    (band, bucket), yielding f² candidate rows. Buckets larger than
+    the cap are dropped before the pair join — a heavily-duplicated
+    group still collides in its OTHER bands unless it exceeds the cap
+    in all of them (at which point exact dedup should have collapsed
+    it first). Default None = exact banding (the oracle-checked mode).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -344,6 +372,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        bucket_counts = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        banded = (
+            banded.join(
+                bucket_counts.filter(F.col("_n") <= max_bucket_size),
+                ["band", "bucket"],
+            )
+            .select("id", "band", "bucket")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -562,8 +601,12 @@ def embedding_near_dup_pairs(embs: DataFrame, *, threshold: float = 0.95,
         return F.sqrt(F.aggregate(c, F.lit(0.0),
                                   lambda a, x: a + x.cast("double") * x.cast("double")))
 
+    # repartition on the JOIN key: the self-join needs both sides
+    # hash-partitioned on block anyway, so this one shuffle serves
+    # both small-file parallelism and join co-location (a repartition
+    # on id would be thrown away by the block join's own exchange).
     parallelism = embs.sparkSession.sparkContext.defaultParallelism
-    embs = embs.repartition(parallelism, F.col(id_col))
+    embs = embs.repartition(parallelism, F.col(block_col))
     v = embs.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),

