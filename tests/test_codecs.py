@@ -37,6 +37,25 @@ def test_graphite_escape_percent_encoded():
     assert graphite.escape("日") == "%E6%97%A5"
 
 
+def test_graphite_escape_control_char_zero_padded():
+    # SURVEY §4.5.8: bytes < 0x10 get the two-digit %02X form (the
+    # reference emits unpadded %X, graphite/escape.go:90,99, which its
+    # own two-hex-digit unmarshal could never round-trip)
+    assert graphite.escape("\x05") == "%05"
+    assert graphite.escape("a\tb") == "a%09b"
+    assert graphite.escape("\x0f\x10") == "%0F%10"
+
+
+def test_opentsdb_marshal_control_char_round_trips():
+    # SURVEY §4.5.8: _%02X keeps unmarshal an exact inverse for
+    # control bytes (the reference's unpadded _%X cannot round-trip:
+    # opentsdb/tagvalue.go:82 vs :111-158)
+    assert opentsdb.marshal("\x05") == "_05"
+    assert opentsdb.unmarshal("_05") == "\x05"
+    s = "a\x01b\x0fc"
+    assert opentsdb.unmarshal(opentsdb.marshal(s)) == s
+
+
 def test_graphite_escape_doc_examples():
     # examples from graphite/escape.go doc comment
     assert graphite.escape("foo-bar-42") == "foo-bar-42"

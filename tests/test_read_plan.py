@@ -142,6 +142,81 @@ def test_to_read_response_shape(spark):
     assert all(l["name"] != "x" for l in db["labels"])
 
 
+def test_to_read_response_golden(spark):
+    """Full-dict golden for the remote-read response (VERDICT r1 next
+    #5): hand-built expected ReadResponse, locking the wire shape the
+    gateway protobuf-encodes (clickhouse/client.go:212-223) including
+    the '='-in-value edges from ADVICE r1:
+
+    - ``env=stage=blue``: Go ``SplitN(tag, "=", 2)`` keeps everything
+      after the FIRST '=' → value ``stage=blue`` (makeLabels,
+      clickhouse/tagvalue.go:32-49).
+    - ``odd==x``: splits to value ``=x`` — non-empty, so KEPT.
+    - ``drop=``: empty value → dropped (M4 semantics).
+    """
+    from remote_storage_adapter_spark.plans.read import to_read_response
+
+    flat = spark.createDataFrame(
+        [("up", ["__name__=up", "env=stage=blue", "odd==x", "drop="],
+          2000, 2.5),
+         ("up", ["__name__=up", "env=stage=blue", "odd==x", "drop="],
+          1000, 1.5),
+         ("rq", ["__name__=rq"], 1000, 9.0)],
+        "name string, tags array<string>, t long, value double",
+    )
+    resp = to_read_response(assemble_series(flat))
+    assert resp == {
+        "results": [
+            {
+                "timeseries": [
+                    {
+                        "labels": [
+                            {"name": "__name__", "value": "rq"},
+                        ],
+                        "samples": [{"timestamp": 1000, "value": 9.0}],
+                    },
+                    {
+                        "labels": [
+                            {"name": "__name__", "value": "up"},
+                            {"name": "env", "value": "stage=blue"},
+                            {"name": "odd", "value": "=x"},
+                        ],
+                        "samples": [
+                            {"timestamp": 1000, "value": 1.5},
+                            {"timestamp": 2000, "value": 2.5},
+                        ],
+                    },
+                ]
+            }
+        ]
+    }
+
+
+def test_read_request_overlap_deterministic(spark):
+    """ADVICE r1 low: two queries whose ranges clip the same bucket
+    differently must yield the FIRST query's cnt/value for that bucket,
+    not an arbitrary survivor."""
+    from remote_storage_adapter_spark.plans.read import read_request
+
+    # bucket [10000,20000): q0 sees only ts=10s..14s (3 samples),
+    # q1 sees the whole bucket (6 samples) → they disagree on cnt.
+    rows = [("m", {"__name__": "m"}, float(v), 10_000 + v * 1500)
+            for v in range(8)]  # ts 10.0s..20.5s → buckets 10000, 20000
+    m = _metrics(spark, rows)
+    q0 = PromQuery(10_000, 14_500, step_s=10)
+    q1 = PromQuery(0, 60_000, step_s=10)
+    out = {r["t"]: (r["cnt"], r["value"])
+           for r in read_request(m, [q0, q1],
+                                 exact_quantile=True).collect()}
+    # first-query-wins on the contested bucket: the merged result must
+    # carry exactly what q0 alone computes there.
+    solo = {r["t"]: (r["cnt"], r["value"])
+            for r in read_request(m, [q0], exact_quantile=True).collect()}
+    assert out[10_000] == solo[10_000]
+    # buckets only q1 covers still present
+    assert 20_000 in out
+
+
 def test_approx_quantile_close_to_exact(spark):
     # the scale path uses percentile_approx (mergeable sketch ≙ CH's
     # approximate quantile); bound its error against exact percentile
