@@ -57,6 +57,61 @@ def test_stream_rollup_finalizes_windows(spark, tmp_path):
     assert rows["2024-01-01T00:01:00"] == 6.0  # avg(5, 7)
 
 
+def _write_raw_versioned(spark, path, ts_vals, updated_ms, **kw):
+    """Land rows with an explicit LWW version stamp (a rewrite)."""
+    df = spark.createDataFrame(_samples(ts_vals, **kw), SAMPLES_SCHEMA)
+    write_metrics(
+        to_metrics(df, updated=F.timestamp_millis(F.lit(updated_ms))), path
+    )
+
+
+def test_stream_rollup_lww_rewrite_matches_batch(spark, tmp_path):
+    """VERDICT r2 #1: a rewrite of the same (name, tags, ts) landing a
+    micro-batch LATER (with a higher ``updated``) must replace — not be
+    averaged with — the stale value, so the finalized streaming window
+    equals the batch tier job over the same rows."""
+    from remote_storage_adapter_spark.plans.rollup import rollup
+
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "tier30")
+    ckpt = str(tmp_path / "ckpt")
+
+    # micro-batch 1: two samples in the [0, 30s) window, version U0
+    _write_raw_versioned(spark, raw, [(0, 1.0), (10000, 3.0)], BASE_MS)
+    q = stream_rollup(spark, raw, out, ckpt, precision_s=30,
+                      watermark="1 minute", available_now=True)
+    q.awaitTermination(120)
+
+    # micro-batch 2: REWRITE of ts=0 with a newer version + an
+    # advancer that pushes the watermark past the rewritten window
+    _write_raw_versioned(spark, raw, [(0, 100.0)], BASE_MS + 500_000)
+    _write_raw_versioned(spark, raw, [(3_600_000, 9.0)], BASE_MS + 500_000)
+    for _ in range(2):  # second pass flushes chained-operator output
+        q = stream_rollup(spark, raw, out, ckpt, precision_s=30,
+                          watermark="1 minute", available_now=True)
+        q.awaitTermination(120)
+
+    got = {
+        (r["name"], tuple(r["tags"]), r["ts"].isoformat()):
+            (r["val"], r["date"], tuple(sorted(r["labels"].items())))
+        for r in spark.read.parquet(out).collect()
+    }
+    # the rewritten window averages the WINNING values: avg(100, 3)
+    key = ("m", ("__name__=m", "job=a"), "2024-01-01T00:00:00")
+    assert key in got and got[key][0] == 51.5
+
+    # every finalized streaming window equals the batch tier job
+    # (plans/rollup.rollup) over the same raw rows
+    batch = {
+        (r["name"], tuple(r["tags"]), r["ts"].isoformat()):
+            (r["val"], r["date"], tuple(sorted(r["labels"].items())))
+        for r in rollup(spark.read.parquet(raw), 30,
+                        now_ms=BASE_MS + 10 ** 10).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v
+
+
 def test_series_state_across_batches(spark, tmp_path):
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
