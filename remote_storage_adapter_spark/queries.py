@@ -1052,6 +1052,34 @@ FROM s ORDER BY s.cosine DESC, vec_id LIMIT 10
 O_simsearch_lsh_multiprobe = _O_simsearch_lsh_multiprobe()
 
 
+def _scratch_index_path(kind: str, sf_dir: str) -> str:
+    """Deterministic per-sf scratch dir for materialized ANN indexes
+    (the registry contract gives no writable workspace, so index-build
+    queries land under the system temp dir; overwrite-mode writes make
+    repeated runs idempotent)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{kind}_idx_{tag}")
+
+
+def q_simsearch_lsh_indexed(spark, sf_dir):
+    """The at-scale LSH path (VERDICT r2 #8): build the
+    bucket-partitioned index, then probe it with partition pruning.
+    Shares simsearch_lsh's oracle — the gate proves the indexed probe
+    returns exactly the full-scan result set."""
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    path = _scratch_index_path("lsh", sf_dir)
+    S.lsh_index(embs, path, n_planes=8, dim=len(qv))
+    top = S.lsh_topk_indexed(spark, path, qv, k=10, n_planes=8)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
 # --------------------------------------------------------------------------
 # text analysis extension (E3)
 # --------------------------------------------------------------------------
@@ -1309,6 +1337,36 @@ FROM sel ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_simsearch_ivf_indexed(spark, sf_dir):
+    """The at-scale IVF path (mirror of q_simsearch_lsh_indexed):
+    materialize the cell-partitioned index, probe the 4 nearest cells
+    with partition pruning. Shares simsearch_ivf's oracle — the gate
+    proves the indexed probe equals the DataFrame-path result."""
+    spark = _prep(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    import math
+
+    seeds = (
+        embs.orderBy(F.col("vec_id")).limit(16)
+        .select("vec_id", "embedding").collect()
+    )
+    centroids = [(r["vec_id"], [float(x) for x in r["embedding"]])
+                 for r in seeds]
+    path = _scratch_index_path("ivf", sf_dir)
+    S.ivf_write_index(embs, path, centroids)
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(v):
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        return sum(float(x) * y for x, y in zip(v, qv)) / (n * qn)
+
+    probe = [cid for cid, vec in sorted(
+        centroids, key=lambda c: (-cos(c[1]), c[0]))[:4]]
+    top = S.ivf_topk_indexed(spark, path, probe, qv, k=10)
+    return top.select("id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_simsearch_ivf_trained(spark, sf_dir):
     """ANN over a Lloyd-refined (k-means) IVF index. iters is FIXED at
     2 so the driver-side training loop unrolls into chained oracle CTEs
@@ -1505,7 +1563,9 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
     "simsearch_lsh_multiprobe": (q_simsearch_lsh_multiprobe,
                                  O_simsearch_lsh_multiprobe),
+    "simsearch_lsh_indexed": (q_simsearch_lsh_indexed, O_simsearch_lsh),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
+    "simsearch_ivf_indexed": (q_simsearch_ivf_indexed, O_simsearch_ivf),
     "simsearch_ivf_trained": (q_simsearch_ivf_trained,
                               O_simsearch_ivf_trained),
 
