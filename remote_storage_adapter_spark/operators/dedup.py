@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cap_stats(counts: DataFrame, count_col: str, cap: int,
+               dropped_key: str, max_key: str) -> dict:
+    """Eager accounting for a scale-guard cut ('no silent caps'):
+    postings removed = Σ count over over-cap keys, plus the observed
+    max. One extra tiny action over the (already small) counts
+    aggregate. Eager-by-design: a ``df.observe`` CollectMetrics node
+    here would be duplicated into both branches of the downstream
+    self-join, which breaks metric retrieval under AQE.
+    """
+    row = counts.agg(
+        F.coalesce(
+            F.sum(F.when(F.col(count_col) > cap, F.col(count_col))),
+            F.lit(0),
+        ).alias("dropped"),
+        F.max(F.col(count_col)).alias("mx"),
+    ).first()
+    return {dropped_key: row["dropped"], max_key: row["mx"]}
+
+
 def normalized(text: Column) -> Column:
     """lowercase + collapse whitespace — the canonical text form."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
@@ -125,7 +144,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
                         threshold: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 500,
+                        caps_stats: dict | None = None) -> DataFrame:
     """All pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
 
     Inverted-index join: explode shingles → self-join on the shingle →
@@ -140,8 +160,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     the standard stop-shingle cut (it also improves precision: such
     shingles carry no signal). Set sizes and common counts are both
     computed over the retained universe, so the reported value stays a
-    true Jaccard (of the sub-max_df shingle sets). Default None keeps
-    exact full-universe semantics (the oracle-checked mode).
+    true Jaccard (of the sub-max_df shingle sets). The cap is ON by
+    default (the 100 TB-safe profile); pass ``max_df=None`` for exact
+    full-universe semantics (the oracle-checked mode).
+
+    Capped runs are never silent: pass ``caps_stats`` (a dict) and it
+    is eagerly filled with ``dropped_shingle_rows`` (doc-shingle
+    postings removed by the cut) and ``max_df_seen`` — zero drops ⇒
+    the capped result IS the exact result.
     """
     # distinct (id, shingle-hash) via the codegen explode/window path;
     # per-doc set size joins back on (much smaller) doc-count rows
@@ -152,6 +178,11 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
         df_counts = distinct_sh.groupBy("h").agg(
             F.count(F.lit(1)).alias("_df")
         )
+        if caps_stats is not None:
+            caps_stats.update(_cap_stats(
+                df_counts, "_df", max_df,
+                "dropped_shingle_rows", "max_df_seen",
+            ))
         distinct_sh = (
             distinct_sh.join(df_counts.filter(F.col("_df") <= max_df), "h")
             .select("id", "h")
@@ -301,7 +332,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       id_col: str = "doc_id",
                       text_col: str = "text",
                       mode: str = "oph",
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = 1000,
+                      caps_stats: dict | None = None) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard from signature agreement.
 
     Signatures are banded (``bands`` bands of k/bands rows); docs
@@ -321,7 +353,14 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     the cap are dropped before the pair join — a heavily-duplicated
     group still collides in its OTHER bands unless it exceeds the cap
     in all of them (at which point exact dedup should have collapsed
-    it first). Default None = exact banding (the oracle-checked mode).
+    it first). The cap is ON by default (the 100 TB-safe profile);
+    pass ``max_bucket_size=None`` for exact banding (the
+    oracle-checked mode).
+
+    Capped runs are never silent: pass ``caps_stats`` (a dict) and it
+    is eagerly filled with ``dropped_banded_rows`` ((id, band)
+    postings removed by the cap) and ``max_bucket_seen`` — zero drops
+    ⇒ the capped result IS the exact result.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -376,6 +415,11 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
         bucket_counts = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_n")
         )
+        if caps_stats is not None:
+            caps_stats.update(_cap_stats(
+                bucket_counts, "_n", max_bucket_size,
+                "dropped_banded_rows", "max_bucket_seen",
+            ))
         banded = (
             banded.join(
                 bucket_counts.filter(F.col("_n") <= max_bucket_size),

@@ -771,7 +771,9 @@ ex AS (SELECT doc_id, n_sh, unnest(shl) AS shingle FROM sized)
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(_prep(spark), sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    # max_df=None: exact full-universe semantics — required for the
+    # DuckDB oracle; production callers keep the default df cap
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -802,8 +804,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     OPH/kmin fast paths share the topology and are unit-tested +
     benched)."""
     docs = load_table(_prep(spark), sf_dir, "documents")
+    # max_bucket_size=None: exact banding — required for the DuckDB
+    # oracle; production callers keep the default bucket cap
     pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
-                                threshold=0.2, mode="portable")
+                                threshold=0.2, mode="portable",
+                                max_bucket_size=None)
     return pairs.select("id_a", "id_b",
                         F.round("est_jaccard", 6).alias("est_jaccard"))
 
