@@ -370,10 +370,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
         "kmin": minhash_signatures,
         "portable": minhash_signatures_portable,
     }[mode]
+    # persist: computed once, reused by banding + both join-backs
+    # within the SAME action. Caller contract for long-lived sessions:
+    # the cache stays pinned after the action until
+    # spark.catalog.clearCache() (the registry harness does this per
+    # query via _prep) or an explicit unpersist.
     sigs = sig_fn(
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
-    ).persist()  # barrier: computed once, reused by banding + both join-backs
+    ).persist()
     # banding carries only (id, band, bucket) — the shuffle stays ~24
     # bytes/row regardless of signature width; signatures are re-joined
     # onto the (much smaller) candidate-pair set afterwards. The fast
@@ -543,9 +548,12 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     """
     chunks = max_hamming + 1
     width = 64 // chunks
+    # persist: fingerprints feed banding AND the verify join within
+    # one action; same long-lived-session contract as
+    # minhash_lsh_pairs (clearCache/unpersist after the action).
     fp = simhash_fingerprints(
         docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode
-    ).persist()  # fingerprints feed banding AND the verify join
+    ).persist()
     banded = fp.select(
         "id", "fp",
         F.explode(

@@ -59,6 +59,11 @@ NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
 def _prep(spark: SparkSession) -> SparkSession:
+    # release persisted intermediates a previous registry query left
+    # behind (minhash signatures / simhash fingerprints cache inside
+    # one job's plan reuse; in a long-lived session they would
+    # otherwise pin executor memory until GC — VERDICT r2 'wrong' #2)
+    spark.catalog.clearCache()
     return tune(spark)
 
 
