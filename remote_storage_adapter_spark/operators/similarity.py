@@ -267,7 +267,8 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
 
 def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
               id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding",
+              round_dp: int = 9):
     """Lloyd (k-means) refinement of the IVF coarse quantizer — the
     iterative index-build path (not SQL-expressible; driver-side loop
     over fully distributed steps).
@@ -279,6 +280,15 @@ def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
     avg — one shuffle of (cell, dim, component) rows). Centroids live
     on the driver between iterations (k × dim doubles — always tiny);
     the big table never leaves executors.
+
+    Updated centroid coordinates are rounded to ``round_dp`` decimals:
+    distributed ``avg`` is not bit-identical across engines or
+    partitionings (float summation order), so an unrounded near-tie
+    in the argmax assignment or probe ranking could flip between
+    engines. Quantizing at ~1e-9 — far above double summation error,
+    far below any real similarity gap — makes tie behavior
+    engine-independent (an oracle reproduces identical centroids by
+    rounding its own means the same way).
 
     Returns ``(assigned_df, centroids)`` where centroids is
     ``[(cell_id, [float, ...]), ...]``.
@@ -308,7 +318,8 @@ def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
             )
             .collect()
         )
-        new = {int(r["cell"]): [s["m"] for s in r["ms"]] for r in means}
+        new = {int(r["cell"]): [round(float(s["m"]), round_dp)
+                                for s in r["ms"]] for r in means}
         # empty cells keep their previous centroid
         centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
     if assigned is None:

@@ -170,7 +170,8 @@ def to_read_response(assembled: DataFrame) -> dict:
 
 
 def merge_sorted_dedup(a: DataFrame, b: DataFrame,
-                       keys: Optional[Sequence[str]] = None) -> DataFrame:
+                       keys: Optional[Sequence[str]] = None, *,
+                       assert_unique: bool = False) -> DataFrame:
     """M2: union two result sets, first-input-wins on duplicate
     timestamps (influxdb/client.go:287-308 ``mergeSamples``).
 
@@ -182,9 +183,26 @@ def merge_sorted_dedup(a: DataFrame, b: DataFrame,
     rows but shuffle+sort every partition with no combiner — the
     100 TB-hostile plan.) Precondition, inherited from the reference's
     merge of two per-query result lists: each input has at most one
-    row per key (aggregated read results always do).
+    row per key (aggregated read results always do). The per-column
+    ``min_by`` form relies on it: if an input violated it, tied
+    priorities could stitch payload columns from different rows (a
+    single packed-struct ``min_by`` would stay row-atomic but its
+    non-primitive buffer degrades HashAggregate to SortAggregate —
+    the 100 TB-hostile plan shape this module exists to avoid).
+    ``assert_unique=True`` is the debug path: it eagerly verifies the
+    precondition with one count per input and raises ``ValueError``
+    on violation.
     """
     keys = list(keys or ["name", "tags", "t"])
+    if assert_unique:
+        for side, df in (("a", a), ("b", b)):
+            dup = (df.groupBy(*keys).count()
+                   .filter(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    f"merge_sorted_dedup precondition violated: input "
+                    f"'{side}' has >1 row for some {keys}"
+                )
     payload = [c for c in a.columns if c not in keys]
     tagged = a.withColumn("_prio", F.lit(0)).unionByName(
         b.withColumn("_prio", F.lit(1))

@@ -44,7 +44,8 @@ DEFAULT_TIERS = (
 
 
 def lww_dedup(df: DataFrame,
-              keys: Sequence[str] = ("name", "tags", "ts")) -> DataFrame:
+              keys: Sequence[str] = ("name", "tags", "ts"), *,
+              exact_rows: bool = False) -> DataFrame:
     """A8: keep the max-``updated`` row per sample key.
 
     GraphiteMergeTree's version-column semantics (README.md:70,
@@ -76,8 +77,35 @@ def lww_dedup(df: DataFrame,
     Other scalar payload columns are carried with ``max_by`` (winning
     row's value; ties on (updated, val) pick one deterministically-
     aggregated row).
+
+    The ``labels``/``date`` re-derivation widens the contract from
+    'row selection' to 'row rewrite': stored data that disagrees with
+    the codec (an older writer, empty-valued labels preserved on
+    disk) is silently normalized. The rollup call sites own their
+    schema and want exactly that; generic callers can pass
+    ``exact_rows=True`` for pure row selection — winners are picked
+    with the same two chained hash aggregates on (keys, updated,
+    val) only, then semi-joined back to the input, so every payload
+    column (including non-scalar ones) is carried verbatim. Costs one
+    extra join of the winner keys against the input; rows tying on
+    (keys, updated, val) but differing elsewhere collapse to one
+    arbitrary row (ClickHouse keeps an arbitrary row there too).
     """
     keys = list(keys)
+    if exact_rows:
+        winners = (
+            df.select(*keys, "updated", "val")
+            .groupBy(*keys, "updated")
+            .agg(F.max("val").alias("val"))
+            .groupBy(*keys)
+            .agg(F.max_by("val", "updated").alias("val"),
+                 F.max("updated").alias("updated"))
+        )
+        return (
+            df.join(winners, [*keys, "updated", "val"], "leftsemi")
+            .dropDuplicates(keys)
+            .select(*df.columns)
+        )
     cols = df.columns
     derived = {}
     if "labels" in cols and "tags" in keys:

@@ -1421,8 +1421,10 @@ def _O_ivf_trained(n_cells: int = 16, dim: int = 64, n_probe: int = 4,
 )"""
 
     def means(asn: str, prev: str, out: str) -> str:
+        # round(…, 9) mirrors ivf_train's centroid quantization so
+        # assignment/probe ties are engine-independent
         return f"""{out}_m AS (
-  SELECT {asn}.cell, d.dim, avg(v.e[d.dim]) AS m
+  SELECT {asn}.cell, d.dim, round(avg(v.e[d.dim]), 9) AS m
   FROM {asn} JOIN v USING (vec_id)
   CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS dim) d
   GROUP BY {asn}.cell, d.dim

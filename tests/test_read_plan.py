@@ -118,6 +118,28 @@ def test_merge_dedup_first_wins(spark):
     assert out == {1000: 1.0, 2000: 2.0}
 
 
+def test_merge_dedup_assert_unique_guard(spark):
+    """ADVICE r2 #1: the debug path enforces the at-most-one-row-per-
+    key precondition the per-column min_by form relies on."""
+    import pytest
+
+    clean = spark.createDataFrame(
+        [("m", "k", 1000, 1.0)],
+        "name string, tags string, t long, value double",
+    )
+    dup = spark.createDataFrame(
+        [("m", "k", 1000, 1.0), ("m", "k", 1000, 2.0)],
+        "name string, tags string, t long, value double",
+    )
+    # clean inputs pass the guard unchanged
+    out = merge_sorted_dedup(clean, clean, keys=["name", "tags", "t"],
+                             assert_unique=True)
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="precondition"):
+        merge_sorted_dedup(clean, dup, keys=["name", "tags", "t"],
+                           assert_unique=True)
+
+
 def test_to_read_response_shape(spark):
     from remote_storage_adapter_spark.plans.read import to_read_response
 

@@ -43,6 +43,31 @@ def test_lww_keeps_latest_version(spark):
     assert out == {1: 99.0, 2: 2.0}
 
 
+def test_lww_exact_rows_preserves_stored_payload(spark):
+    """ADVICE r2 #2: exact_rows=True is pure row selection — stored
+    labels that disagree with the tags codec (an empty-valued label an
+    older writer kept) ride through verbatim instead of being
+    re-derived, and the winner per key is still the max-updated row."""
+    m = _metrics(spark, [
+        ("m", 1000, 1.0, 100),
+        ("m", 1000, 99.0, 200),   # later write wins
+        ("m", 2000, 2.0, 100),
+    ]).withColumn(
+        # stored labels diverge from what labels_from_tags(tags) gives:
+        # an empty-valued label the codec would drop
+        "labels",
+        F.map_concat("labels", F.create_map(F.lit("stale"), F.lit(""))),
+    )
+    out = {r["ts"].second: r for r in
+           lww_dedup(m, exact_rows=True).collect()}
+    assert {s: r["val"] for s, r in out.items()} == {1: 99.0, 2: 2.0}
+    # pure selection: the divergent stored labels survive
+    assert all(r["labels"].get("stale") == "" for r in out.values())
+    # default mode rewrites: the codec-derived labels drop the empty one
+    rederived = lww_dedup(m).collect()
+    assert all("stale" not in r["labels"] for r in rederived)
+
+
 def test_rollup_avg_bucketing(spark):
     # 4 samples across two 30 s buckets, all older than cutoff
     m = _metrics(spark, [
