@@ -119,21 +119,44 @@ def observed_ingest(samples: DataFrame):
     return observed.filter(finite), obs
 
 
-def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_metrics(df: DataFrame, path: str, mode: str = "append", *,
+                  format: str = "parquet") -> None:
     """K1: date-partitioned columnar append, MergeTree-like layout.
 
     ``sortWithinPartitions(name, ts)`` ≈ primary key ``(name, tags,
     ts)`` (0001-create-table.sql:12) → parquet row-group min/max
-    skipping on name/ts at read time. Delta would add ACID+OPTIMIZE;
-    parquet keeps the test environment dependency-free.
+    skipping on name/ts at read time.
+
+    ``format="delta"`` upgrades the sink to an ACID table — the
+    production posture behind the at-least-once → effectively-once
+    story: a retried micro-batch's append is atomic (no partial
+    files), and readers never see an in-flight commit. Requires the
+    ``delta-spark`` package plus a session built with the Delta SQL
+    extension and catalog (``delta.configure_spark_with_delta_pip``);
+    raises ``ImportError`` with that guidance when absent. The default
+    stays parquet so the library has zero hard dependencies beyond
+    Spark (this container ships no delta-spark — the delta path is
+    exercised by a skip-if-absent test).
     """
-    (
+    if format == "delta":
+        try:
+            import delta  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "write_metrics(format='delta') needs the delta-spark "
+                "package and a Delta-enabled SparkSession (see "
+                "delta.configure_spark_with_delta_pip)"
+            ) from e
+    writer = (
         df.repartition(F.col(PARTITION_COLUMN))
         .sortWithinPartitions(*SORT_COLUMNS)
         .write.mode(mode)
         .partitionBy(PARTITION_COLUMN)
-        .parquet(path)
     )
+    if format == "delta":
+        writer.format("delta").save(path)
+    else:
+        writer.parquet(path)
 
 
 def write_metrics_table(df: DataFrame, table_name: str, *,

@@ -101,6 +101,30 @@ def test_partitioned_write_layout(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_delta_write_layout(spark, tmp_path):
+    """K1 ACID variant (VERDICT r1 #7 / r2 #6): same partitioned
+    layout through the Delta writer. Skips cleanly when delta-spark is
+    absent (this container ships without it); the format gate's
+    ImportError guidance is asserted either way."""
+    import pytest
+
+    m = to_metrics(
+        flatten_write_requests(_requests(spark)),
+        updated=F.timestamp_millis(F.lit(0)),
+    )
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="delta-spark"):
+            write_metrics(m, str(tmp_path / "d"), format="delta")
+        pytest.skip("delta-spark not installed")
+    path = str(tmp_path / "metrics_delta")
+    write_metrics(m, path, format="delta")
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+    back = spark.read.format("delta").load(path)
+    assert back.count() == 2
+
+
 def test_streaming_fanout_two_sinks(spark, tmp_path):
     # K2 (main.go:311-319): one batch fans out to N writers
     landing = str(tmp_path / "landing")
