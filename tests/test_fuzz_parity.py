@@ -42,10 +42,12 @@ matcher_st = st.one_of(
 )
 
 
-def sql_for(m: LabelMatcher) -> str:
+def sql_for(m: LabelMatcher, parity_mode: bool = False) -> str:
     """Independently compile one matcher to DuckDB SQL over the m view
     (name, user_id columns) — mirrors the documented semantics, not the
-    Spark code."""
+    Spark code. ``parity_mode`` reproduces the reference's §4.5.3
+    bug-compatibility: a label RE/NRE whose value lacks a ``^`` anchor
+    degrades to a label-presence test."""
     col = "name" if m.name == "__name__" else "user_id"
     v = m.value.replace("'", "''")
     if m.name == "__name__":
@@ -60,6 +62,9 @@ def sql_for(m: LabelMatcher) -> str:
         alts = ",".join(f"'{a}'" for a in v.split("|"))
         base = f"{col} IN ({alts})"
         return base if m.type == "EQ" else f"NOT ({base})"
+    if parity_mode and not m.value.startswith("^"):
+        base = f"{col} IS NOT NULL"
+        return base if m.type == "RE" else f"NOT ({base})"
     anchored = m.value if m.value.startswith("^") else "^(?:%s)" % m.value
     anchored = anchored.replace("'", "''")
     base = f"regexp_matches({col}, '{anchored}')"
@@ -112,5 +117,49 @@ def test_random_query_matches_duckdb(metrics, duck, ms, t0, t1):
         (r["cnt"], r["t"], r["name"], ",".join(r["tags"]),
          round(r["value"], 6))
         for r in read_query(metrics, q, exact_quantile=True).collect()
+    )
+    assert got == sorted(tuple(r) for r in oracle)
+
+
+@given(
+    ms=st.lists(matcher_st, min_size=0, max_size=3),
+    t0=st.integers(0, 29), t1=st.integers(0, 29),
+    parity=st.booleans(),
+    step_s=st.sampled_from([None, 7, 60, 3600]),
+)
+@settings(max_examples=25, deadline=None)
+def test_random_query_matches_duckdb_all_modes(metrics, duck, ms, t0, t1,
+                                               parity, step_s):
+    """VERDICT r2 #5: the same property over BOTH semantics modes and
+    explicit step overrides. parity_mode=True reproduces the
+    reference's bugs (§4.5.1 step stuck at the 10 s floor, §4.5.3
+    unanchored label-RE degrading to presence) against a DuckDB twin
+    that independently reproduces them too; explicit ``step_s``
+    bypasses the dynamic-step formula in both engines."""
+    lo, hi = sorted((t0, t1))
+    start = JAN1 + lo * 86400000
+    end = JAN1 + (hi + 1) * 86400000
+    q = PromQuery(start, end,
+                  tuple(LabelMatcher(t, n, v) for t, n, v in ms),
+                  step_s=step_s)
+    step = step_s or compute_step_s(start, end, parity_mode=parity)
+    if parity and step_s is None:
+        assert step == 10  # §4.5.1: inverted subtraction floors the step
+    where = " AND ".join(
+        ["1=1"] + [sql_for(m, parity_mode=parity) for m in q.matchers]
+    )
+    oracle = duck.execute(f"""
+        SELECT count(*) AS cnt, (es // {step}) * {step} * 1000 AS t,
+               name, series, round(quantile_cont(val, 0.75), 6) AS value
+        FROM m
+        WHERE ts >= make_timestamp({start * 1000})
+          AND ts <= make_timestamp({end * 1000}) AND {where}
+        GROUP BY 2, 3, 4 ORDER BY 2, 3, 4
+    """).fetchall()
+    got = sorted(
+        (r["cnt"], r["t"], r["name"], ",".join(r["tags"]),
+         round(r["value"], 6))
+        for r in read_query(metrics, q, exact_quantile=True,
+                            parity_mode=parity).collect()
     )
     assert got == sorted(tuple(r) for r in oracle)
