@@ -861,6 +861,58 @@ FROM est WHERE est_jaccard >= {threshold}
 O_dedup_minhash_lsh = _O_minhash_lsh()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    exact n-gram Jaccard pairs — (doc, canonical min-id
+    representative) per paired doc. The iterative min-label
+    propagation is a driver loop over distributed rounds; the DuckDB
+    oracle computes the same closure with a recursive CTE."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    return D.dedup_clusters(pairs)
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """Retention after clustering: one representative per duplicate
+    cluster plus all unpaired docs — the doc_id set a training
+    pipeline would actually keep."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    kept = D.resolve_duplicates(docs, D.dedup_clusters(pairs))
+    return kept.select("doc_id")
+
+
+_CLUSTER_CTE = f"""{_SHINGLE_CTE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)}
+, jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), thr AS (
+  SELECT id_a, id_b FROM jpairs
+  WHERE common / (n_a + n_b - common) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM thr
+  UNION
+  SELECT id_b, id_a FROM thr
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), cc AS (
+  SELECT src AS id, least(src, min(dst)) AS cluster
+  FROM reach GROUP BY src
+)
+"""
+
+O_dedup_clusters = _CLUSTER_CTE + "SELECT id, cluster FROM cc"
+
+O_dedup_resolve = _CLUSTER_CTE + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != cluster)
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash pigeonhole near-dup pairs, portable-hash mode (md5-based
     token hashes → DuckDB recomputes identical fingerprints; the
@@ -1564,6 +1616,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # dedup extension
     "dedup_exact": (q_dedup_exact, O_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
+    "dedup_clusters": (q_dedup_clusters, O_dedup_clusters),
+    "dedup_resolve": (q_dedup_resolve, O_dedup_resolve),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
