@@ -913,6 +913,69 @@ WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != cluster)
 """
 
 
+def _u_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of sampling.uniform_unit: md5-derived U[0,1)."""
+    h = _ph_sql(f"'{salt}#' || CAST({key_expr} AS VARCHAR)")
+    return f"({h} / 1152921504606846976.0)"
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment hashes the
+    duplicate-cluster representative (coalesce(cluster, doc_id)), so a
+    near-dup of a training doc can never land in the holdout."""
+    from remote_storage_adapter_spark.operators.sampling import hash_split
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    clusters = D.dedup_clusters(pairs)
+    keyed = docs.join(
+        clusters, docs["doc_id"] == clusters["id"], "left"
+    ).select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("skey")
+    )
+    out = hash_split(keyed,
+                     [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+                     key="skey")
+    return out.select("doc_id", "split")
+
+
+O_split_leakage_safe = _CLUSTER_CTE + f"""
+, keyed AS (
+  SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS skey
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+)
+SELECT doc_id,
+       CASE WHEN {_u_sql('skey', 'split')} < 0.9 THEN 'train'
+            WHEN {_u_sql('skey', 'split')} < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language Bernoulli downsampling (rebalance a skewed corpus)
+    — window-free deterministic membership."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"en": 0.3, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 1.0},
+        strata_col="lang", key="doc_id",
+    )
+    return out.select("doc_id", "lang")
+
+
+O_sample_stratified = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_u_sql('doc_id', 'sample')} <
+      CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5
+                WHEN 'es' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.0 END
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash pigeonhole near-dup pairs, portable-hash mode (md5-based
     token hashes → DuckDB recomputes identical fingerprints; the
@@ -1618,6 +1681,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
     "dedup_clusters": (q_dedup_clusters, O_dedup_clusters),
     "dedup_resolve": (q_dedup_resolve, O_dedup_resolve),
+    "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
+    "sample_stratified": (q_sample_stratified, O_sample_stratified),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
