@@ -145,6 +145,113 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 8, window: int = 16,
     )
 
 
+def _term_stats(docs: DataFrame, id_col: str, text_col: str):
+    """(per-(doc,term) tf + doc length, per-term df, corpus size N) —
+    the shared base for corpus-relevance scoring. Two hash aggregates
+    on compact (id, term-string) rows; the raw text never shuffles
+    past tokenization."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(dl, "id"), df_counts
+
+
+def _topk_terms(scored: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` terms per doc WITHOUT a ranking window: collect each
+    doc's (−score, term) structs, ``array_sort`` (ascending struct
+    order = score desc, term asc on ties), slice k, re-explode. The
+    per-doc term list is bounded by the doc's vocabulary, so the
+    aggregation buffer stays small; the plan is two hash aggregates —
+    no per-partition sort of the full term table.
+
+    ``score`` must arrive pre-quantized (round ~9 dp) so the ranking
+    is engine-independent (cross-engine ``ln`` can differ in the last
+    ulp — same rationale as the IVF centroid rounding)."""
+    packed = (
+        scored.groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("score")).alias("neg"), "term")
+                    )
+                ),
+                1, k,
+            ).alias("top")
+        )
+    )
+    return packed.select(
+        "id", F.explode("top").alias("t")
+    ).select(
+        "id", F.col("t.term").alias("term"),
+        (-F.col("t.neg")).alias("score"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-learn form —
+    public formulation; never divides by zero, keeps corpus-wide
+    terms positive).
+
+    Physical plan: tokenize → (id, term) tf hash-agg → df hash-agg
+    (term-keyed, tiny) broadcast back → pure-map score → window-free
+    per-doc top-k (:func:`_topk_terms`). N is one driver-side count —
+    a scalar literal in the plan.
+    """
+    tf_dl, df_counts = _term_stats(docs, id_col, text_col)
+    n_docs = docs.count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = (
+        tf_dl.join(F.broadcast(df_counts), "term")
+        .select(
+            "id", "term",
+            F.round(F.col("tf") * idf, 9).alias("score"),
+        )
+    )
+    return _topk_terms(scored, k).select(
+        F.col("id").alias(id_col), "term",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def bm25_top_terms(docs: DataFrame, *, k: int = 5,
+                   k1: float = 1.2, b: float = 0.75,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Top-``k`` terms per document by BM25 term weight
+    (Robertson–Spärck Jones idf = ln(1 + (N − df + 0.5)/(df + 0.5));
+    tf saturation k1, length normalization b — the public Okapi
+    formulation). Same plan shape as :func:`tfidf_top_terms`; the
+    average document length folds in as a driver-computed literal.
+    """
+    tf_dl, df_counts = _term_stats(docs, id_col, text_col)
+    n_docs = docs.count()
+    avgdl = tf_dl.select("id", "dl").dropDuplicates(["id"]) \
+        .agg(F.avg("dl")).first()[0] or 1.0
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf_dl.join(F.broadcast(df_counts), "term")
+        .select("id", "term", F.round(idf * tf_part, 9).alias("score"))
+    )
+    return _topk_terms(scored, k).select(
+        F.col("id").alias(id_col), "term",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Content fingerprint + rolling-shingle winnowing minimum.

@@ -1331,6 +1331,67 @@ FROM d GROUP BY id
 """
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Top-5 characteristic terms per doc by smoothed tf-idf; ranking
+    quantized at 9 dp on both engines so ln ulp differences can't
+    reorder ties."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=5)
+
+
+_TERM_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM documents)
+"""
+
+O_text_tfidf = _TERM_CTE + """
+, scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n + 1.0) / (df + 1.0)) + 1), 9) AS score
+  FROM tf JOIN dfc USING (term) CROSS JOIN nn
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS score FROM ranked WHERE rn <= 5
+"""
+
+
+def q_text_bm25(spark, sf_dir):
+    """Top-5 terms per doc by BM25 weight (k1=1.2, b=0.75)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.bm25_top_terms(docs, k=5)
+
+
+O_text_bm25 = _TERM_CTE + """
+, dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(ln(1 + (n - df + 0.5) / (df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+               9) AS score
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN nn CROSS JOIN ad
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS score FROM ranked WHERE rn <= 5
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = load_table(_prep(spark), sf_dir, "documents")
     return docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
@@ -1708,6 +1769,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_lang_id": (q_text_lang_id, O_text_lang_id),
     "text_token_stats": (q_text_token_stats, O_text_token_stats),
     "text_fingerprint": (q_text_fingerprint, O_text_fingerprint),
+    "text_tfidf": (q_text_tfidf, O_text_tfidf),
+    "text_bm25": (q_text_bm25, O_text_bm25),
     "text_winnow": (q_text_winnow, O_text_winnow),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
