@@ -252,6 +252,52 @@ def bm25_top_terms(docs: DataFrame, *, k: int = 5,
     )
 
 
+def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split every document into overlapping token-window chunks —
+    the context-window preparation step of a pretraining pipeline
+    (fixed window, stride = chunk_tokens − overlap, final partial
+    window kept so no token is dropped).
+
+    Pure map-side: tokenize once, ``posexplode`` a chunk-index
+    sequence, ``slice`` the token array per chunk — no shuffle at all;
+    at 100 TB this chunks exactly as fast as the scan reads. All
+    arithmetic is integer (ceil via ``(n - C + s - 1) div s``) so any
+    engine reproduces the chunk boundaries bit-exactly.
+
+    Output: (id, chunk_id, n_tokens, chunk) — chunk_id is 0-based and
+    dense per doc.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ws")
+    )
+    n = F.size("ws")
+    # chunks beyond the first: ceil((n - chunk_tokens) / step), ≥ 0 —
+    # numerator clamped non-negative BEFORE the division so floor vs
+    # truncate semantics can't diverge between engines
+    extra = F.floor(
+        F.greatest(F.lit(0),
+                   n - F.lit(chunk_tokens) + F.lit(step - 1))
+        / F.lit(step)
+    ).cast("long")
+    chunks = base.select(
+        "id", "ws",
+        F.posexplode(F.sequence(F.lit(0), extra)).alias("_i", "chunk_id"),
+    )
+    piece = F.slice(F.col("ws"), F.col("chunk_id") * step + 1,
+                    chunk_tokens)
+    return chunks.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Content fingerprint + rolling-shingle winnowing minimum.

@@ -1392,6 +1392,31 @@ SELECT doc_id, term, round(score, 6) AS score FROM ranked WHERE rn <= 5
 """
 
 
+def q_text_chunks(spark, sf_dir):
+    """Overlapping 128-token context windows (stride 96) per document
+    — integer-exact chunk boundaries, zero-shuffle map plan."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=128, overlap=32)
+
+
+O_text_chunks = f"""
+WITH t AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         (greatest(0, len(ws) - 128 + 95) // 96) AS extra
+  FROM t
+), g AS (
+  SELECT doc_id, ws, unnest(range(0, extra + 1)) AS chunk_id FROM c
+)
+SELECT doc_id, chunk_id,
+       len(ws[chunk_id * 96 + 1 : chunk_id * 96 + 128]) AS n_tokens,
+       array_to_string(ws[chunk_id * 96 + 1 : chunk_id * 96 + 128], ' ')
+         AS chunk
+FROM g
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = load_table(_prep(spark), sf_dir, "documents")
     return docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
@@ -1771,6 +1796,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_fingerprint": (q_text_fingerprint, O_text_fingerprint),
     "text_tfidf": (q_text_tfidf, O_text_tfidf),
     "text_bm25": (q_text_bm25, O_text_bm25),
+    "text_chunks": (q_text_chunks, O_text_chunks),
     "text_winnow": (q_text_winnow, O_text_winnow),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
