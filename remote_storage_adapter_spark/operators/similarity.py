@@ -197,6 +197,49 @@ def lsh_topk_indexed(spark, path: str, query: Sequence[float], k: int = 10,
     )
 
 
+def l2_normalize(embs: DataFrame, *, vec_col: str = "embedding",
+                 out_col: str = "embedding") -> DataFrame:
+    """Unit-normalize every embedding (cosine becomes a plain dot
+    product downstream — the standard pre-step before ANN indexing).
+    Zero vectors pass through unchanged. Pure map, no shuffle."""
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    unit = F.when(nrm == 0, v.cast("array<double>")).otherwise(
+        F.transform(v, lambda x: x.cast("double") / nrm)
+    )
+    return embs.withColumn(out_col, unit)
+
+
+def quantize_int8(embs: DataFrame, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization per vector — the 4× storage/IO
+    compression step an embedding table takes before it ships to an
+    ANN index at scale.
+
+    ``scale = max|x| / 127``; ``q_i = floor(x_i/scale + 0.5)`` —
+    round-half-up spelled as ``floor(v + 0.5)`` so every engine with
+    IEEE doubles reproduces the integers bit-exactly (library
+    ``round`` half-modes differ between engines). |q| ≤ 127 by
+    construction; a zero vector quantizes to zeros with scale 0.
+    Dequantization is ``q * scale`` (lossy, bounded by scale/2 per
+    component). Pure map, no shuffle.
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.floor(x.cast("double") / scale + F.lit(0.5))
+        ).cast("int"),
+    )
+    return embs.select(
+        F.col(id_col), scale.alias("scale"), q.alias("q")
+    )
+
+
 def ivf_index(embs: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id",
               vec_col: str = "embedding",

@@ -1477,6 +1477,57 @@ FROM documents
 """
 
 
+def q_emb_normalize(spark, sf_dir):
+    """L2-normalized embeddings (cosine → dot-product pre-step)."""
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    unit = S.l2_normalize(embs, out_col="unit")
+    return unit.select(
+        "vec_id",
+        F.transform(F.col("unit"), lambda x: F.round(x, 6)).alias("unit"),
+    )
+
+
+O_emb_normalize = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT vec_id,
+       CASE WHEN nrm = 0 THEN list_transform(e, x -> round(x, 6))
+            ELSE list_transform(e, x -> round(x / nrm, 6)) END AS unit
+FROM n
+"""
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x compression at rest);
+    integers are floor(x/scale + 0.5) so both engines agree
+    bit-exactly."""
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    out = S.quantize_int8(embs)
+    return out.select("vec_id", F.round("scale", 9).alias("scale"), "q")
+
+
+O_emb_quantize = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), m AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS mx
+  FROM v
+)
+SELECT vec_id, round(mx / 127.0, 9) AS scale,
+       list_transform(
+         e, x -> CASE WHEN mx = 0 THEN 0
+                      ELSE CAST(floor(x / (mx / 127.0) + 0.5) AS INTEGER)
+                 END) AS q
+FROM m
+"""
+
+
 def q_simsearch_ivf(spark, sf_dir):
     """IVF coarse-quantized ANN: assign every vector to its nearest of
     16 deterministic seed centroids (smallest ids), probe the 4 cells
@@ -1783,6 +1834,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "simsearch_lsh_indexed": (q_simsearch_lsh_indexed, O_simsearch_lsh),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
     "simsearch_ivf_indexed": (q_simsearch_ivf_indexed, O_simsearch_ivf),
+    "emb_normalize": (q_emb_normalize, O_emb_normalize),
+    "emb_quantize": (q_emb_quantize, O_emb_quantize),
     "simsearch_ivf_trained": (q_simsearch_ivf_trained,
                               O_simsearch_ivf_trained),
 
