@@ -223,6 +223,32 @@ def test_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert "cell" in pf
 
 
+def test_new_pipeline_operator_plan_shapes(spark, sf_dir):
+    """Scale-posture locks for the round-3 pipeline operators:
+    tf-idf/BM25 broadcast the term-df side (never a sort-merge join of
+    the term table) and stay hash-aggregate-only; chunking and
+    hash-split/stratified-sample are pure maps — zero Exchange."""
+    from remote_storage_adapter_spark.operators import text as TX
+    from remote_storage_adapter_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    tfidf = _spark_plan(TX.tfidf_top_terms(docs))
+    assert "BroadcastHashJoin" in tfidf
+    assert "SortMergeJoin" not in tfidf
+    assert "SortAggregate" not in tfidf
+
+    assert "Exchange" not in _spark_plan(TX.chunk_documents(docs))
+    assert "Exchange" not in _spark_plan(
+        hash_split(docs, [("a", 0.5), ("b", 0.5)], key="doc_id"))
+    assert "Exchange" not in _spark_plan(
+        stratified_sample(docs, 0.5, strata_col="lang", key="doc_id"))
+
+
 def test_read_query_scan_has_partition_filters(spark, tmp_path):
     from remote_storage_adapter_spark.plans.matchers import (
         LabelMatcher,
