@@ -73,6 +73,103 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+#: output of :func:`sniff_media_meta` — real parsed container metadata.
+SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def _sniff(p: bytes):
+    """REAL media-container metadata decode from raw bytes — pure
+    byte parsing of the public file-format specs, no media libraries:
+
+    - PNG: 8-byte signature, IHDR width/height (big-endian u32).
+    - GIF87a/89a: logical screen size (little-endian u16).
+    - BMP: BITMAPINFOHEADER width/height (little-endian i32).
+    - JPEG: segment walk to the first SOF0-SOF3 frame header.
+    - WAV (RIFF): fmt chunk channels/sample-rate; duration from the
+      data chunk size over the byte rate.
+
+    Returns (format, width, height, sample_rate, channels,
+    duration_ms) with None for unknown/unparsable — the honest
+    contrast to the pixel/sample DECODE step, which genuinely needs
+    Pillow/torchaudio and stays env-stubbed below.
+    """
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 \
+            and p[12:16] == b"IHDR":
+        return ("png", int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"), None, None, None)
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        return ("gif", int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"), None, None, None)
+    if p[:2] == b"BM" and len(p) >= 26:
+        return ("bmp",
+                int.from_bytes(p[18:22], "little", signed=True),
+                abs(int.from_bytes(p[22:26], "little", signed=True)),
+                None, None, None)
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(p) and p[i] == 0xFF:
+            marker = p[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                return ("jpeg", int.from_bytes(p[i + 7:i + 9], "big"),
+                        int.from_bytes(p[i + 5:i + 7], "big"),
+                        None, None, None)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker, no length field
+                continue
+            i += 2 + int.from_bytes(p[i + 2:i + 4], "big")
+        return ("jpeg", None, None, None, None, None)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        i, sr, ch, byte_rate, data_len = 12, None, None, None, None
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            clen = int.from_bytes(p[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 20 <= len(p):
+                ch = int.from_bytes(p[i + 10:i + 12], "little")
+                sr = int.from_bytes(p[i + 12:i + 16], "little")
+                byte_rate = int.from_bytes(p[i + 16:i + 20], "little")
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen % 2)  # chunks are word-aligned
+        dur = (data_len * 1000 // byte_rate
+               if data_len is not None and byte_rate else None)
+        return ("wav", None, None, sr, ch, dur)
+    return (None, None, None, None, None, None)
+
+
+def sniff_media_meta(media: DataFrame, *, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Parse real container metadata out of every binary payload via
+    Arrow-batched ``mapInPandas`` — this decode path is NOT stubbed
+    (header parsing needs no media libraries), so corrupt or
+    mislabeled media can be quarantined at scan speed before any
+    expensive pixel decode. Partition-preserving, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["format", "width", "height", "sample_rate", "channels",
+                "duration_ms"]
+        for pdf in batches:
+            parsed = pd.DataFrame(
+                [_sniff(bytes(p)) for p in pdf[payload_col]],
+                columns=cols,
+            )
+            parsed.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield parsed
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=SNIFF_SCHEMA)
+
+
 def _decode_real(payload: bytes, media_type: str):
     raise NotImplementedError(
         "real media decode requires Pillow/torchaudio/PyAV, which are "

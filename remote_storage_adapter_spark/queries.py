@@ -1780,6 +1780,40 @@ FROM events
 # registry
 # --------------------------------------------------------------------------
 
+def q_multimodal_sniff(spark, sf_dir):
+    """Real container-metadata decode, oracle-gated end to end:
+    assemble VALID PNG headers (signature + IHDR) with planted
+    dimensions per document, then recover them through the byte-level
+    parser (`sniff_media_meta`, Arrow-batched mapInPandas — the
+    decode path that is NOT stubbed). The oracle knows the planted
+    answer analytically, so the gate proves the parser inverts the
+    real format exactly."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+
+    def be32(c):  # int → 4 big-endian bytes, engine-portable
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A0000000D49484452")),
+        be32(F.col("n_chars")),
+        be32(F.col("doc_id") % 256 + 1),
+        F.lit(bytes.fromhex("0806000000")),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    out = MM.sniff_media_meta(media)
+    return out.select("media_id", "format", "width", "height")
+
+
+O_multimodal_sniff = """
+SELECT doc_id AS media_id, 'png' AS format,
+       CAST(n_chars AS INTEGER) AS width,
+       CAST(doc_id % 256 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -1854,6 +1888,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
     "multimodal_features": (q_multimodal_features, O_multimodal_features),
+    "multimodal_sniff": (q_multimodal_sniff, O_multimodal_sniff),
 }
 
 
