@@ -175,6 +175,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
         docs, n=n, id_col=id_col, text_col=text_col
     ).dropDuplicates(["id", "h"])
     if max_df is not None:
+        # the posting list feeds THREE consumers below (df counts, set
+        # sizes, the inverted index); persist + eager materialization
+        # stops parallel stages from racing an unpopulated cache and
+        # recomputing the shingle pipeline per branch (measured 2-3x
+        # on the cold path). Same release contract as the other
+        # persists here (clearCache per registry query).
+        distinct_sh = distinct_sh.persist()
+        distinct_sh.count()
         df_counts = distinct_sh.groupBy("h").agg(
             F.count(F.lit(1)).alias("_df")
         )
@@ -183,9 +191,15 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
                 df_counts, "_df", max_df,
                 "dropped_shingle_rows", "max_df_seen",
             ))
+        # anti-join against the OVER-cap shingles: that set is tiny by
+        # construction (it's what the cap exists to bound), so AQE
+        # plans a broadcast anti-join — vs joining the huge under-cap
+        # complement, which shuffles the whole posting list
         distinct_sh = (
-            distinct_sh.join(df_counts.filter(F.col("_df") <= max_df), "h")
-            .select("id", "h")
+            distinct_sh.join(
+                df_counts.filter(F.col("_df") > max_df).select("h"),
+                "h", "left_anti",
+            )
         )
     sizes = distinct_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     exploded = distinct_sh.join(sizes, "id").select(
@@ -379,6 +393,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
     ).persist()
+    if max_bucket_size is not None:
+        # eager materialization: the cap adds a bucket-count branch
+        # that otherwise races the banding branch against an
+        # unpopulated cache, recomputing the signature pipeline twice
+        # (measured ~2x cold). One cheap extra pass buys determinism.
+        sigs.count()
     # banding carries only (id, band, bucket) — the shuffle stays ~24
     # bytes/row regardless of signature width; signatures are re-joined
     # onto the (much smaller) candidate-pair set afterwards. The fast
@@ -425,12 +445,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                 bucket_counts, "_n", max_bucket_size,
                 "dropped_banded_rows", "max_bucket_seen",
             ))
+        # anti-join against the OVER-cap buckets (tiny by construction
+        # → AQE broadcast) instead of an equi-join with the huge
+        # under-cap complement
         banded = (
             banded.join(
-                bucket_counts.filter(F.col("_n") <= max_bucket_size),
-                ["band", "bucket"],
+                bucket_counts.filter(F.col("_n") > max_bucket_size)
+                .select("band", "bucket"),
+                ["band", "bucket"], "left_anti",
             )
-            .select("id", "band", "bucket")
         )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
