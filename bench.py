@@ -51,6 +51,18 @@ def bench_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
 
 
+def bench_dedup_clusters(spark, sf_dir):
+    """Cluster resolution over the production-profile (df-capped)
+    n-gram pairs — pair generation + iterative connected components;
+    the registry's dedup_clusters runs the exact-mode pairs for the
+    oracle."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return D.dedup_clusters(pairs)
+
+
 def bench_simsearch_lsh_indexed(spark, sf_dir):
     """Probe of the materialized bucket-partitioned LSH index — the
     plan actually run at 100× (partition pruning before the scan).
@@ -112,12 +124,15 @@ BENCH_QUERIES = {
     "dedup_exact": Q.q_dedup_exact,
     "dedup_minhash_lsh": bench_dedup_minhash_lsh,
     "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+    "dedup_clusters": bench_dedup_clusters,
     "simsearch_topk": Q.q_simsearch_topk,
     "simsearch_ivf": Q.q_simsearch_ivf,
     "simsearch_lsh_indexed": bench_simsearch_lsh_indexed,
     "simsearch_ivf_indexed": bench_simsearch_ivf_indexed,
     "sink_graphite_lines": Q.q_sink_graphite_lines,
     "text_quality": Q.q_text_quality,
+    "text_bm25": Q.q_text_bm25,
+    "text_chunks": Q.q_text_chunks,
     "multimodal_features": Q.q_multimodal_features,
 }
 

@@ -486,7 +486,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
 
 def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                    id_b: str = "id_b",
-                   max_iters: int = 25) -> DataFrame:
+                   max_iters: int = 25,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over candidate near-dup pairs: the step
     every production dedup pipeline runs AFTER pair generation, since
     near-duplicate is not transitive but retention decisions must be
@@ -497,68 +498,83 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     deterministic canonical representative.
 
     Algorithm: iterative min-label propagation (label(v) ← min over
-    {v} ∪ N(v) of current labels), a driver loop over fully
-    distributed rounds — each round is one join + hash aggregate on
-    compact (long, long) rows. Converges in O(component diameter)
-    rounds; near-dup graphs are dense clique-ish blobs with tiny
-    diameters, so this beats the O(log n)-round large-star/small-star
-    scheme (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC 2014) in constant factors while staying two joins
-    simpler; ``max_iters`` guards the pathological chain. Each round
-    persists + materializes the new labels (downstream rounds read the
-    cache, so compute lineage is one round deep; the logical plan
-    grows by one join per round, bounded by ``max_iters``) and
-    unpersists the previous round — the final round's cache backs the
-    RETURNED frame, same caller contract as the signature persists
-    above (release via ``spark.catalog.clearCache()`` in long-lived
-    sessions; the registry harness does). Convergence is
-    detected from a changed-label count piggybacked on the
-    materializing action, so a converged run costs diameter+1 rounds,
-    not max_iters.
+    N(v) ∪ {v} of current labels, the self-inclusion spelled as
+    explicit self-loop edges), a driver loop over fully distributed
+    rounds — each round is ONE join + ONE hash aggregate on compact
+    (long, long) rows, and crucially references the previous round's
+    labels exactly once, so the logical plan grows LINEARLY in rounds
+    (a formulation that reads the label frame twice per round doubles
+    the plan per round — exponential analysis time on long chains).
+    Converges in O(component diameter) rounds; near-dup graphs are
+    dense clique-ish blobs with tiny diameters, so this beats the
+    O(log n)-round large-star/small-star scheme (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) in
+    constant factors while staying simpler; ``max_iters`` guards the
+    pathological chain. Each round persists + materializes the new
+    labels and unpersists the previous round — the final round's
+    cache backs the RETURNED frame (release via
+    ``spark.catalog.clearCache()`` in long-lived sessions; the
+    registry harness does). Convergence is read off the label-sum
+    (strictly decreasing until fixpoint, since labels only ever
+    decrease) piggybacked on the materializing action.
+
+    No silent caps: pass ``stats`` (a dict) to receive ``rounds`` and
+    ``converged``; a ``max_iters`` exhaustion additionally emits a
+    ``RuntimeWarning``, since an unconverged labeling can still split
+    one true component across clusters.
     """
+    import warnings
+
+    both = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = both.select(F.col("src").alias("id")).dropDuplicates(["id"])
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"),
-                         F.col(id_a).alias("dst"))
+        both.dropDuplicates(["src", "dst"])
+        .unionByName(  # self-loops fold each node's own label in
+            nodes.select(F.col("id").alias("src"),
+                         F.col("id").alias("dst"))
         )
-        .dropDuplicates(["src", "dst"])
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .dropDuplicates(["id"])
-        .withColumn("lbl", F.col("id"))
-        .persist()
-    )
+    labels = nodes.withColumn("lbl", F.col("id")).persist()
+    rounds, converged, prev_sum = 0, False, None
     try:
         for _ in range(max_iters):
-            neigh_min = (
+            rounds += 1
+            new_labels = (
                 edges.join(labels, edges["src"] == labels["id"])
-                .groupBy(F.col("dst").alias("id2"))
-                .agg(F.min("lbl").alias("nlbl"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
             )
-            stepped = (
-                labels.join(neigh_min, labels["id"] == neigh_min["id2"],
-                            "left")
-                .select(
-                    "id",
-                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl"))
-                    .alias("lbl"),
-                    (F.coalesce("nlbl", "lbl") < F.col("lbl"))
-                    .cast("long").alias("_chg"),
-                )
-            )
-            new_labels = stepped.persist()
-            # the agg action materializes new_labels' cache, so the
-            # previous round's cache can be dropped immediately
-            changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+            # the sum action materializes new_labels' cache (so the
+            # previous round can be dropped immediately) AND detects
+            # the fixpoint: every label is non-increasing, so the sum
+            # strictly decreases until convergence. decimal(38)
+            # accumulation rules out long overflow on huge ids.
+            s = new_labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))
+            ).first()[0]
             labels.unpersist()
-            labels = new_labels.drop("_chg")
-            if changed == 0:
+            labels = new_labels
+            if s == prev_sum:
+                converged = True
                 break
+            prev_sum = s
     finally:
         edges.unpersist()
+    if stats is not None:
+        stats.update({"rounds": rounds, "converged": converged})
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters hit max_iters={max_iters} before "
+            "convergence; components wider than that diameter are "
+            "split across labels",
+            RuntimeWarning,
+        )
     return labels.select("id", F.col("lbl").alias("cluster"))
 
 
