@@ -298,6 +298,179 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 128,
     )
 
 
+def _gram_occurrences(docs: DataFrame, n: int, id_col: str,
+                      text_col: str) -> DataFrame:
+    """All word n-gram occurrences (NON-distinct) as compact
+    (id, gram, cnt) rows — explode + hash aggregate; the raw text
+    never shuffles, only (id, n-word-string) pairs with map-side
+    partial counts."""
+    words = tokens(F.col(text_col))
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def repetition_stats(docs: DataFrame, *, top_n: int = 2, dup_n: int = 5,
+                     min_grams: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    'Scaling Language Models', §A1.1 — public formulation, gram-
+    fraction simplification):
+
+    - ``top{top_n}gram_frac``: fraction of n-gram occurrences taken by
+      the single most frequent ``top_n``-gram (boilerplate detector);
+    - ``dup{dup_n}gram_frac``: fraction of ``dup_n``-gram occurrences
+      that belong to a gram appearing more than once (internal
+      copy-paste detector);
+    - ``rep_flag``: 1 when either fraction crosses the published
+      Gopher cut (0.20 for top-2-gram, 0.15 for dup-5-gram) AND the
+      doc has at least ``min_grams`` occurrences at that n — tiny docs
+      trivially hit fraction 1.0 and must not flag.
+
+    Both fractions are in [0, 1]. Plan: two explode→hash-aggregate
+    passes over compact (id, gram) rows joined on id — no window, no
+    sort; both aggregates combine map-side, so at 100 TB the shuffle
+    carries per-doc gram counts, not text.
+    """
+    def _per_doc(n: int, prefix: str, frac) -> DataFrame:
+        occ = _gram_occurrences(docs, n, id_col, text_col)
+        return occ.groupBy("id").agg(
+            frac(F.max("cnt"), F.sum("cnt"),
+                 F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                       .otherwise(F.lit(0)))).alias(prefix),
+            F.sum("cnt").alias(f"_n{n}"),
+        )
+
+    def top_frac(mx, total, _dup):
+        return F.round(mx / F.greatest(total, F.lit(1)), 6)
+
+    def dup_frac(_mx, total, dup):
+        return F.round(dup / F.greatest(total, F.lit(1)).cast("double"), 6)
+
+    top_col = f"top{top_n}gram_frac"
+    dup_col = f"dup{dup_n}gram_frac"
+    top = _per_doc(top_n, top_col, top_frac)
+    dup = _per_doc(dup_n, dup_col, dup_frac)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(top, "id", "left").join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(top_col, F.lit(0.0)).alias(top_col),
+            F.coalesce(dup_col, F.lit(0.0)).alias(dup_col),
+            F.when(
+                ((F.coalesce(top_col, F.lit(0.0)) > 0.20)
+                 & (F.coalesce(f"_n{top_n}", F.lit(0)) >= min_grams))
+                | ((F.coalesce(dup_col, F.lit(0.0)) > 0.15)
+                   & (F.coalesce(f"_n{dup_n}", F.lit(0)) >= min_grams)),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("rep_flag"),
+        )
+    )
+
+
+#: PII patterns — RE2-safe subset (no backrefs/lookaround) so Spark's
+#: Java regex and DuckDB's RE2 match the same spans.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (training-data scrubbing pass).
+
+    Counts and masks emails, IPv4 addresses, and international-format
+    phone numbers with typed placeholder tokens (``[EMAIL]`` etc.).
+    Pure ``regexp_extract_all`` / ``regexp_replace`` — whole-stage
+    codegen, zero shuffle: at 100 TB this runs at scan speed. Phone
+    runs FIRST so an IPv4-looking fragment inside a phone number is
+    consumed before the IP pass (fixed order = deterministic output).
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
+    n_ip = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(t, PII_PHONE, "[PHONE]"), F.lit(PII_IPV4), 0
+        )
+    )
+    red = F.regexp_replace(t, PII_PHONE, "[PHONE]")
+    red = F.regexp_replace(red, PII_EMAIL, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4, "[IP]")
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(n_email.cast("long"), F.lit(0)).alias("n_emails"),
+        F.coalesce(n_phone.cast("long"), F.lit(0)).alias("n_phones"),
+        F.coalesce(n_ip.cast("long"), F.lit(0)).alias("n_ips"),
+        red.alias("redacted"),  # stays NULL for NULL text
+    )
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame, *, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination check (the GPT-3 appendix-C / PaLM
+    n-gram decontamination recipe, public): for every training
+    document, the number and fraction of its distinct word ``n``-grams
+    that also occur anywhere in the benchmark corpus.
+
+    Scale shape: the benchmark side is tiny relative to 100 TB of
+    training text, so its distinct gram set is **broadcast** — the
+    corpus-side explode never shuffles; the semi-join and both
+    aggregates stay map-side per input split except the final per-doc
+    count combine. Grams are joined as strings here (oracle-friendly);
+    at 100× hash them with ``portable_hash64`` first to cut the
+    broadcast bytes.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams_of(df, idc, txt):
+        words = tokens(F.col(txt))
+        k = F.size(words) - (n - 1)
+        arr = F.when(
+            k > 0,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )),
+        ).otherwise(F.array())
+        return df.select(F.col(idc).alias("id"), F.explode(arr).alias("g"))
+
+    bench_grams = grams_of(benchmark, bench_text_col, bench_text_col) \
+        .select("g").distinct()
+    doc_grams = grams_of(docs, id_col, text_col)
+    totals = doc_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(broadcast(bench_grams), "g", "left_semi")
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left").join(hits, "id", "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.greatest("n_grams", F.lit(1)).cast("double"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Content fingerprint + rolling-shingle winnowing minimum.

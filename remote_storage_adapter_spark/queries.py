@@ -37,6 +37,7 @@ from remote_storage_adapter_spark.plans.rollup import lww_dedup, rollup
 from remote_storage_adapter_spark.operators.ingest import finite_filter
 from remote_storage_adapter_spark.operators import dedup as D
 from remote_storage_adapter_spark.operators import similarity as S
+from remote_storage_adapter_spark.operators import sketch as SK
 from remote_storage_adapter_spark.operators import text as TX
 from remote_storage_adapter_spark.operators import multimodal as MM
 from remote_storage_adapter_spark.functions import graphite as G
@@ -1814,6 +1815,198 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition-quality signals (top-2-gram fraction,
+    duplicated-5-gram fraction, combined flag)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.repetition_stats(docs)
+
+
+def _grams_select(n: int) -> str:
+    """DuckDB twin of the Spark word n-gram builder (non-distinct)."""
+    return (f"SELECT doc_id, unnest(list_transform("
+            f"range(0, greatest(len(ws) - {n - 1}, 0)), "
+            f"i -> array_to_string(ws[i+1:i+{n}], ' '))) AS g")
+
+
+O_text_repetition = f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+), g2 AS ({_grams_select(2)} FROM w),
+o2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+t2 AS (
+  SELECT doc_id, round(max(cnt) / greatest(sum(cnt), 1), 6)
+           AS top2gram_frac,
+         sum(cnt) AS n2
+  FROM o2 GROUP BY 1
+), g5 AS ({_grams_select(5)} FROM w),
+o5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+t5 AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+               / CAST(greatest(sum(cnt), 1) AS DOUBLE), 6) AS dup5gram_frac,
+         sum(cnt) AS n5
+  FROM o5 GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(top2gram_frac, 0.0) AS top2gram_frac,
+  coalesce(dup5gram_frac, 0.0) AS dup5gram_frac,
+  CAST(CASE WHEN (coalesce(top2gram_frac, 0.0) > 0.20
+                  AND coalesce(n2, 0) >= 5)
+              OR (coalesce(dup5gram_frac, 0.0) > 0.15
+                  AND coalesce(n5, 0) >= 5)
+       THEN 1 ELSE 0 END AS INTEGER) AS rep_flag
+FROM documents d LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id)
+"""
+
+
+#: deterministic PII planting — the synthetic corpus has no real PII,
+#: so the query plants typed patterns per doc_id (same recipe on both
+#: engines) and the gate proves detection+redaction inverts it exactly.
+def _planted_pii(doc_id, text):
+    did = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.when(doc_id % 2 == 0,
+               F.concat(F.lit(" contact user"), did,
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0,
+               F.concat(F.lit(" call +1-202-"),
+                        (doc_id % 9000 + 1000).cast("string"), F.lit("-"),
+                        ((doc_id * 7) % 9000 + 1000).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0,
+               F.concat(F.lit(" host 10."),
+                        (doc_id % 256).cast("string"), F.lit(".0."),
+                        ((doc_id * 3) % 256).cast("string")))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_text_pii_redact(spark, sf_dir):
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        _planted_pii(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    return TX.pii_scrub(planted)
+
+
+_PII_PLANT_SQL = """
+  text
+  || CASE WHEN doc_id % 2 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' call +1-202-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            || '-' || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR)
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+       ELSE '' END
+"""
+
+O_text_pii_redact = f"""
+WITH p AS (
+  SELECT doc_id, {_PII_PLANT_SQL} AS t FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{TX.PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{TX.PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(
+    regexp_replace(t, '{TX.PII_PHONE}', '[PHONE]', 'g'), '{TX.PII_IPV4}'))
+    AS BIGINT) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{TX.PII_PHONE}', '[PHONE]', 'g'),
+      '{TX.PII_EMAIL}', '[EMAIL]', 'g'),
+    '{TX.PII_IPV4}', '[IP]', 'g') AS redacted
+FROM p
+"""
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark decontamination: every 97th document doubles as the
+    'benchmark' set, so member docs must come back fully contaminated
+    (frac 1.0) and unrelated word-salad docs near 0."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return TX.contamination(docs, bench, n=8)
+
+
+O_text_contamination = f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(0, greatest(len(ws) - 7, 0)),
+    i -> array_to_string(ws[i+1:i+8], ' ')))) AS g
+  FROM w
+), t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT doc_id, count(*) AS n_cont FROM g JOIN b USING (g) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+  round(coalesce(h.n_cont, 0)
+        / CAST(greatest(coalesce(t.n_grams, 0), 1) AS DOUBLE), 6)
+    AS contaminated_frac
+FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN h USING (doc_id)
+"""
+
+
+def q_sketch_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog: per-event-type approximate distinct props,
+    oracle-checked against the SAME estimator in DuckDB (registers from
+    md5 — engine-independent), with the exact count alongside."""
+    ev = load_table(_prep(spark), sf_dir, "events") \
+        .filter(F.col("props").isNotNull())
+    est = SK.hll_distinct(ev, "props", ["event_type"], p=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("props").alias("n_exact"))
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_registers_used", "hll_estimate", "n_exact")
+
+
+#: ((0.7213/(1+1.079/m))·m·m·2^49) — association mirrors
+#: sketch.hll_estimate exactly so both engines divide the same double.
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 * float(2 ** 49)
+
+O_sketch_hll_distinct = f"""
+WITH src AS (
+  SELECT event_type, props FROM events WHERE props IS NOT NULL
+), h AS (
+  SELECT event_type, {_ph_sql('props')} AS h FROM src
+), r AS (
+  SELECT event_type, h % 4096 AS register, h // 4096 AS rest FROM h
+), rr AS (
+  SELECT event_type, register,
+         CASE WHEN rest = 0 THEN 49 ELSE 49 - length(bin(rest)) END AS rho
+  FROM r
+), mx AS (
+  SELECT event_type, register, max(rho) AS max_rho FROM rr GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS used,
+         sum(CAST(power(2.0, 49 - max_rho) AS BIGINT)) AS sum_used
+  FROM mx GROUP BY 1
+), e AS (
+  SELECT event_type, used, 4096 - used AS zeros,
+         CAST(sum_used + (4096 - used) * {2 ** 49} AS DOUBLE) AS sum_scaled
+  FROM s
+), ex AS (
+  SELECT event_type, count(DISTINCT props) AS n_exact FROM src GROUP BY 1
+)
+SELECT e.event_type,
+  CAST(used AS BIGINT) AS hll_registers_used,
+  round(CASE WHEN {_HLL_NUM!r} / sum_scaled <= 10240.0 AND zeros > 0
+        THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+        ELSE {_HLL_NUM!r} / sum_scaled END, 4) AS hll_estimate,
+  n_exact
+FROM e JOIN ex USING (event_type)
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -1885,6 +2078,11 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_bm25": (q_text_bm25, O_text_bm25),
     "text_chunks": (q_text_chunks, O_text_chunks),
     "text_winnow": (q_text_winnow, O_text_winnow),
+    "text_repetition": (q_text_repetition, O_text_repetition),
+    "text_pii_redact": (q_text_pii_redact, O_text_pii_redact),
+    "text_contamination": (q_text_contamination, O_text_contamination),
+    # sketch extension
+    "sketch_hll_distinct": (q_sketch_hll_distinct, O_sketch_hll_distinct),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
     "multimodal_features": (q_multimodal_features, O_multimodal_features),
