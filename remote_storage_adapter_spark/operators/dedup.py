@@ -530,10 +530,16 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    nodes = both.select(F.col("src").alias("id")).dropDuplicates(["id"])
+    # materialize the symmetrized pair set ONCE before anything
+    # branches off it: edges and labels are both persisted lazily, and
+    # if their caches fill from the same first action each branch
+    # recomputes the (potentially expensive) upstream pair-generation
+    # plan — the cache-race that made clustering cost ~2× the pair job.
+    base = both.dropDuplicates(["src", "dst"]).persist()
+    base.count()
+    nodes = base.select(F.col("src").alias("id")).dropDuplicates(["id"])
     edges = (
-        both.dropDuplicates(["src", "dst"])
-        .unionByName(  # self-loops fold each node's own label in
+        base.unionByName(  # self-loops fold each node's own label in
             nodes.select(F.col("id").alias("src"),
                          F.col("id").alias("dst"))
         )
@@ -566,6 +572,7 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
             prev_sum = s
     finally:
         edges.unpersist()
+        base.unpersist()
     if stats is not None:
         stats.update({"rounds": rounds, "converged": converged})
     if not converged:

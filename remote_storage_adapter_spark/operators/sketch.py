@@ -103,3 +103,62 @@ def hll_distinct(df: DataFrame, key_col: str,
     """
     return hll_estimate(hll_registers(df, key_col, group_cols, p=p),
                         group_cols, p=p)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005, J. Algorithms — public)
+# ---------------------------------------------------------------------------
+
+def _cms_cell(key, j: int, width: int):
+    """Row-``j`` cell index for a key: salted portable hash mod width
+    (DuckDB twin: ``('0x'||substr(md5(key || '#j'),1,15))::BIGINT %
+    width``)."""
+    return portable_hash64(F.concat(key.cast("string"),
+                                    F.lit(f"#{j}"))) % width
+
+
+def cms_sketch(df: DataFrame, key_col: str, *,
+               depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build a count-min frequency sketch: ``depth × width`` counters,
+    returned as (sketch_row, cell, cnt) rows.
+
+    One explode(depth) + one hash aggregate; the sketch is at most
+    ``depth * width`` rows TOTAL however large the input — the
+    fixed-size summary you persist per day/partition and merge by
+    summing cells. Estimates are one-sided: est ≥ true count, and
+    est ≤ true + εN with probability 1−δ (ε = e/width, δ = e^−depth).
+    """
+    rows = df.select(
+        *[
+            _cms_cell(F.col(key_col), j, width).alias(f"c{j}")
+            for j in range(depth)
+        ]
+    )
+    exploded = rows.select(
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(depth)]))
+        .alias("sketch_row", "cell")
+    )
+    return exploded.groupBy("sketch_row", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, *,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate frequencies for a candidate key set: min over the
+    ``depth`` salted cells. ``keys`` is expected to be small (heavy-
+    hitter candidates), so the probe side broadcasts; a key whose cell
+    was never touched estimates 0.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(F.array(*[
+            _cms_cell(F.col(key_col), j, width).alias(f"c{j}")
+            for j in range(depth)
+        ])).alias("sketch_row", "cell"),
+    )
+    joined = probes.join(sketch, ["sketch_row", "cell"], "left") \
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    return joined.groupBy(key_col).agg(
+        F.min("cnt").cast("long").alias("cms_est")
+    )

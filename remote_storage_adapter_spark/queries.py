@@ -2007,6 +2007,54 @@ FROM e JOIN ex USING (event_type)
 """
 
 
+def q_sketch_cms_topk(spark, sf_dir):
+    """Count-min frequency sketch over document tokens: the exact
+    top-10 tokens probed against the sketch — the oracle runs the SAME
+    sketch in DuckDB, so cell collisions and the one-sided error are
+    reproduced exactly, not approximated."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    sk = SK.cms_sketch(toks, "token", depth=4, width=1024)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(10)
+    est = SK.cms_estimate(sk, top.select("token"), "token",
+                          depth=4, width=1024)
+    return top.join(est, "token").select(
+        "token", F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est")
+
+
+O_sketch_cms_topk = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+), js AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (
+  SELECT token, j,
+         {_ph_sql("token || '#' || CAST(j AS VARCHAR)")} % 1024 AS cell
+  FROM toks CROSS JOIN js
+), sk AS (
+  SELECT j AS sketch_row, cell, count(*) AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
+), top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token ASC LIMIT 10
+), probe AS (
+  SELECT t.token, j,
+         {_ph_sql("t.token || '#' || CAST(j AS VARCHAR)")} % 1024 AS cell
+  FROM top t CROSS JOIN js
+), est AS (
+  SELECT token, min(coalesce(cnt, 0)) AS cms_est
+  FROM probe LEFT JOIN sk ON sk.sketch_row = probe.j
+                         AND sk.cell = probe.cell
+  GROUP BY 1
+)
+SELECT top.token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM top JOIN est USING (token)
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -2083,6 +2131,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_contamination": (q_text_contamination, O_text_contamination),
     # sketch extension
     "sketch_hll_distinct": (q_sketch_hll_distinct, O_sketch_hll_distinct),
+    "sketch_cms_topk": (q_sketch_cms_topk, O_sketch_cms_topk),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
     "multimodal_features": (q_multimodal_features, O_multimodal_features),
