@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from remote_storage_adapter_spark.operators.dedup import portable_hash64
@@ -162,3 +162,69 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, *,
     return joined.groupBy(key_col).agg(
         F.min("cnt").cast("long").alias("cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-boundary histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def hist_sketch(df: DataFrame, value_col: str,
+                group_cols: Sequence[str] = (), *,
+                lo: float, hi: float, bins: int = 128) -> DataFrame:
+    """Equi-width histogram sketch: (group, bin, cnt) counters over
+    fixed ``[lo, hi)`` boundaries; out-of-range values clamp into the
+    edge bins (documented bias — pick bounds that cover the domain).
+
+    Mergeable by summing per-bin counts, so per-partition/per-day
+    histograms union into one; at most ``bins`` rows shuffle per group
+    however large the input — the same scale contract as the HLL and
+    CMS sketches. Unlike ``approx_percentile``'s private buffers the
+    sketch is a plain table any engine reproduces.
+    """
+    x = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        df.where(x.isNotNull() & ~F.isnan(x))
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(hist: DataFrame, qs: Sequence[float],
+                   group_cols: Sequence[str] = (), *,
+                   lo: float, hi: float, bins: int = 128) -> DataFrame:
+    """Quantile estimates from a histogram sketch: per group and per
+    ``q``, find the bin where the running count crosses ``q·N`` and
+    interpolate linearly inside it (the classic histogram_quantile —
+    max error = one bin width).
+
+    The ranking window here is NOT a scale concern: it runs over the
+    already-collapsed sketch (≤ ``bins`` rows per group), not the
+    data. All boundary arithmetic is plain doubles on integer counts,
+    identical in any engine.
+    """
+    width = (hi - lo) / bins
+    wcum = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    base = hist.select(
+        *group_cols, "bin", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    exploded = base.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    tgt = F.col("q") * F.col("n")
+    sel = exploded.where(
+        (F.col("cum") >= tgt) & ((F.col("cum") - F.col("cnt")) < tgt)
+    )
+    val = (
+        F.lit(float(lo)) + F.lit(width) * F.col("bin")
+        + F.lit(width) * (tgt - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return sel.select(*group_cols, "q", F.round(val, 6).alias("hist_q"))

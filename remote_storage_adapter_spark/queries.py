@@ -2055,6 +2055,49 @@ FROM top JOIN est USING (token)
 """
 
 
+def q_sketch_hist_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles (p50/p90/p99 of event value per
+    type): the oracle builds the identical equi-width sketch, so the
+    interpolation — including its one-bin-width error — is checked
+    exactly rather than against the true quantile."""
+    ev = load_table(_prep(spark), sf_dir, "events")
+    h = SK.hist_sketch(ev, "value", ["event_type"],
+                       lo=0.0, hi=500.0, bins=250)
+    return SK.hist_quantiles(h, (0.5, 0.9, 0.99), ["event_type"],
+                             lo=0.0, hi=500.0, bins=250)
+
+
+O_sketch_hist_quantiles = """
+WITH src AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), hb AS (
+  SELECT event_type,
+         CAST(least(249, greatest(0, CAST(floor((x - 0.0) / 2.0) AS BIGINT)))
+              AS INTEGER) AS bin
+  FROM src
+), h AS (
+  SELECT event_type, bin, count(*) AS cnt FROM hb GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+), e AS (
+  SELECT *, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                    CAST(0.99 AS DOUBLE)]) AS q
+  FROM c
+)
+SELECT event_type, q,
+       round(0.0 + 2.0 * bin + 2.0 * (q * n - (cum - cnt)) / cnt, 6)
+         AS hist_q
+FROM e
+WHERE cum >= q * n AND (cum - cnt) < q * n
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -2132,6 +2175,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # sketch extension
     "sketch_hll_distinct": (q_sketch_hll_distinct, O_sketch_hll_distinct),
     "sketch_cms_topk": (q_sketch_cms_topk, O_sketch_cms_topk),
+    "sketch_hist_quantiles": (q_sketch_hist_quantiles,
+                              O_sketch_hist_quantiles),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
     "multimodal_features": (q_multimodal_features, O_multimodal_features),
