@@ -133,6 +133,11 @@ BENCH_QUERIES = {
     "text_quality": Q.q_text_quality,
     "text_bm25": Q.q_text_bm25,
     "text_chunks": Q.q_text_chunks,
+    "text_repetition": Q.q_text_repetition,
+    "text_contamination": Q.q_text_contamination,
+    "sketch_hll_distinct": Q.q_sketch_hll_distinct,
+    "sketch_cms_topk": Q.q_sketch_cms_topk,
+    "sketch_hist_quantiles": Q.q_sketch_hist_quantiles,
     "multimodal_features": Q.q_multimodal_features,
 }
 

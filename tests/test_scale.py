@@ -266,3 +266,27 @@ def test_read_query_scan_has_partition_filters(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "date" in pf and ">=" in pf and "<=" in pf
+
+
+def test_sketch_plans_are_pure_hash_aggregates(spark):
+    """The sketch family's scale contract: HLL and CMS collapse to
+    chained hash aggregates (map-side combine, bounded output — no
+    window, no sort anywhere); the histogram build is the same, with
+    the ranking window confined to the post-sketch quantile step that
+    runs over at most `bins` rows per group."""
+    from remote_storage_adapter_spark.operators import sketch as SK
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    for plan in (
+        _spark_plan(SK.hll_distinct(df, "k")),
+        _spark_plan(SK.cms_sketch(df, "k")),
+        _spark_plan(SK.hist_sketch(df, "v", lo=0.0, hi=10.0, bins=16)),
+    ):
+        assert "HashAggregate" in plan
+        assert "Window" not in plan
+        assert "SortAggregate" not in plan
+        assert "Sort [" not in plan
