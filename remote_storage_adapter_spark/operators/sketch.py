@@ -228,3 +228,59 @@ def hist_quantiles(hist: DataFrame, qs: Sequence[float],
         + F.lit(width) * (tgt - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
     )
     return sel.select(*group_cols, "q", F.round(val, 6).alias("hist_q"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, CACM — public)
+# ---------------------------------------------------------------------------
+
+def bloom_sketch(df: DataFrame, key_col: str, *,
+                 m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Set-membership sketch: the DISTINCT set bit positions of a
+    ``m_bits``-wide Bloom filter with ``k`` salted hash functions —
+    stored sparse as (bit) rows, at most ``m_bits`` however large the
+    input. Merge two filters by unioning their bit sets (bitwise OR).
+
+    Guarantees: NO false negatives ever; false-positive rate
+    ≈ (1 − e^(−k·n/m))^k. Spark's own ``bloom_filter_agg`` is
+    engine-private; salted md5 bits reproduce anywhere, so membership
+    answers are oracle-checkable like the rest of the sketch family.
+    """
+    bits = F.array(*[
+        _cms_cell(F.col(key_col), j, m_bits).alias(f"b{j}")
+        for j in range(k)
+    ])
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .dropDuplicates(["bit"])
+    )
+
+
+def bloom_contains(sketch: DataFrame, keys: DataFrame, key_col: str, *,
+                   m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Probe a Bloom sketch: ``bloom_hit = 1`` iff all ``k`` bits of
+    the key are set. The sketch side is bounded (≤ ``m_bits`` rows) so
+    it broadcasts; the probe is a map-side semi-join + one count
+    aggregate per key — no full-table shuffle of the probed corpus.
+    """
+    from pyspark.sql.functions import broadcast
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            _cms_cell(F.col(key_col), j, m_bits) for j in range(k)
+        ])).alias("bit"),
+    )
+    hits = (
+        probes.join(broadcast(sketch), "bit", "left_semi")
+        .groupBy(key_col).agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        keys.select(key_col).dropDuplicates([key_col])
+        .join(hits, key_col, "left")
+        .select(
+            key_col,
+            F.when(F.coalesce("_hits", F.lit(0)) == k, F.lit(1))
+            .otherwise(F.lit(0)).alias("bloom_hit"),
+        )
+    )

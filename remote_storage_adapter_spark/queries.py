@@ -2098,6 +2098,52 @@ WHERE cum >= q * n AND (cum - cnt) < q * n
 """
 
 
+def q_sketch_bloom_membership(spark, sf_dir):
+    """Bloom-filter cross-corpus membership: filter built over the
+    even-doc half's tokens, probed with the odd-doc half's distinct
+    tokens, ground truth alongside — the oracle reproduces the exact
+    bit set, so false positives (if any) match bit-for-bit and false
+    negatives are structurally impossible."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    corpus = toks.filter(F.col("doc_id") % 2 == 0).select("token")
+    probes = toks.filter(F.col("doc_id") % 2 == 1).select("token").distinct()
+    bloom = SK.bloom_sketch(corpus, "token", m_bits=1 << 16, k=4)
+    hit = SK.bloom_contains(bloom, probes, "token", m_bits=1 << 16, k=4)
+    truth = corpus.distinct().withColumn("truly_present", F.lit(1))
+    return hit.join(truth, "token", "left").select(
+        "token", "bloom_hit",
+        F.coalesce("truly_present", F.lit(0)).alias("truly_present"))
+
+
+O_sketch_bloom_membership = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+  FROM documents
+), corpus AS (SELECT token FROM toks WHERE doc_id % 2 = 0),
+probes AS (SELECT DISTINCT token FROM toks WHERE doc_id % 2 = 1),
+js AS (SELECT unnest(range(0, 4)) AS j),
+bits AS (
+  SELECT DISTINCT
+         {_ph_sql("token || '#' || CAST(j AS VARCHAR)")} % 65536 AS bit
+  FROM corpus CROSS JOIN js
+), pb AS (
+  SELECT token,
+         {_ph_sql("token || '#' || CAST(j AS VARCHAR)")} % 65536 AS bit
+  FROM probes CROSS JOIN js
+), hits AS (
+  SELECT token, count(*) AS h FROM pb JOIN bits USING (bit) GROUP BY 1
+), truth AS (SELECT DISTINCT token FROM corpus)
+SELECT p.token,
+  CAST(CASE WHEN coalesce(h.h, 0) = 4 THEN 1 ELSE 0 END AS INTEGER)
+    AS bloom_hit,
+  CAST(CASE WHEN t.token IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS truly_present
+FROM probes p LEFT JOIN hits h USING (token) LEFT JOIN truth t USING (token)
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -2177,6 +2223,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "sketch_cms_topk": (q_sketch_cms_topk, O_sketch_cms_topk),
     "sketch_hist_quantiles": (q_sketch_hist_quantiles,
                               O_sketch_hist_quantiles),
+    "sketch_bloom_membership": (q_sketch_bloom_membership,
+                                O_sketch_bloom_membership),
     # multimodal extension
     "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
     "multimodal_features": (q_multimodal_features, O_multimodal_features),
