@@ -597,6 +597,48 @@ def resolve_duplicates(docs: DataFrame, clusters: DataFrame, *,
     return docs.join(losers, docs[id_col] == losers["id"], "left_anti")
 
 
+def resolve_duplicates_best(docs: DataFrame, clusters: DataFrame, *,
+                            score: Column,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware retention: keep the highest-``score`` member of
+    each duplicate cluster (ties broken by lowest id, so the winner is
+    unique and deterministic) plus every unpaired document. The
+    production alternative to :func:`resolve_duplicates` when cluster
+    members differ — e.g. keep the longest or highest-quality copy of
+    a near-dup group rather than whichever has the smallest id.
+
+    ``score`` is a Column evaluated against ``docs`` (an integer
+    metric such as token count is preferred: float scores can tie
+    differently across engines). Shape: two chained HASH aggregates on
+    the cluster key — max score per cluster, then min id among the
+    tied-best members — plus an anti-join of the losers. (A single
+    ``max_by`` over a (score, -id) ordering struct is the obvious
+    spelling, but a struct extremum buffer forces SortAggregate; the
+    two-step keeps every aggregate hash-based and map-side-combined,
+    and the second agg reuses the first's cluster-key partitioning.)
+    Documents absent from ``clusters`` never enter the aggregates and
+    pass through untouched.
+    """
+    scored = docs.select(F.col(id_col).alias("_rid"),
+                         score.alias("_score"))
+    members = clusters.join(
+        scored, clusters["id"] == scored["_rid"]
+    ).select("id", "cluster", "_score")
+    best = members.groupBy("cluster").agg(
+        F.max("_score").alias("_best"))
+    winners = (
+        members.join(best, "cluster")
+        .filter(F.col("_score") == F.col("_best"))
+        .groupBy("cluster").agg(F.min("id").alias("_keep"))
+    )
+    losers = (
+        members.join(winners, "cluster")
+        .filter(F.col("id") != F.col("_keep"))
+        .select("id")
+    )
+    return docs.join(losers, docs[id_col] == losers["id"], "left_anti")
+
+
 def simhash(text: Column, *, bits: int = 64, shingle_n: int = 1) -> Column:
     """64-bit SimHash fingerprint, fully JVM-side.
 

@@ -19,6 +19,9 @@ md5 reproduces the exact membership (the DuckDB oracles do).
 - :func:`stratified_sample` — per-stratum Bernoulli sampling with
   per-group rates (a dict) or one global rate; window-free (no
   per-group ranking), so it scales as a pure map.
+- :func:`pack_shards` — sequential token-budget shard assignment via
+  a distributed two-pass prefix sum (never a single-reducer global
+  window).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from typing import Mapping, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from remote_storage_adapter_spark.operators.dedup import portable_hash64
 
@@ -102,3 +106,73 @@ def stratified_sample(df: DataFrame,
     else:
         rate = F.lit(float(fractions))
     return df.filter(u < rate)
+
+
+def pack_shards(df: DataFrame, *, budget: int,
+                order_col: str, weight_col: str,
+                out_col: str = "shard",
+                num_buckets: int = 32) -> DataFrame:
+    """Assign rows to contiguous output shards by cumulative weight in
+    ``order_col`` order: ``shard = exclusive-prefix-sum(weight) div
+    budget`` — the step that packs documents into fixed-token-budget
+    training files.
+
+    A naive formulation is one global window (a single reducer sorting
+    the whole corpus — the canonical 100 TB scale-killer). This is the
+    classic distributed prefix sum instead:
+
+    1. ``num_buckets - 1`` quantile boundaries of ``order_col`` are
+       collected once (driver-tiny), making the bucket id a PURE
+       function of the order key — unlike ``spark_partition_id`` after
+       a range shuffle, a recompute or cache eviction can't re-draw
+       the boundaries out from under pass 2.
+    2. per-bucket weight subtotals → driver (``num_buckets`` rows),
+       exclusive-prefix offsets folded back in as a literal map.
+    3. one window PARTITIONED BY bucket (parallel over buckets, each a
+       bounded slice) adds the within-bucket running sum.
+
+    The result is the exact global running sum for ANY boundary
+    placement, so correctness never depends on the quantile sketch.
+    Shard ids are integer division of a long cumsum — no float
+    anywhere, bit-identical in any engine. ``order_col`` must be
+    unique (it is the total order); ``weight_col`` must be a
+    non-negative integer column.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    bounds = df.approxQuantile(
+        order_col,
+        [i / num_buckets for i in range(1, num_buckets)], 0.001,
+    ) if num_buckets > 1 else []
+    bucket = F.lit(0)
+    for b in bounds:  # sorted ascending; duplicates just void a bucket
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b),
+                                 F.lit(1)).otherwise(F.lit(0))
+    d = df.withColumn("_bkt", bucket)
+    totals = sorted(
+        d.groupBy("_bkt").agg(F.sum(weight_col).alias("_tot")).collect(),
+        key=lambda r: r["_bkt"],
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_bkt"]] = acc
+        acc += int(r["_tot"] or 0)
+    if offsets:
+        off_map = F.create_map(*[
+            lit for b in sorted(offsets)
+            for lit in (F.lit(b), F.lit(offsets[b]))
+        ])
+        off = F.coalesce(off_map[F.col("_bkt")], F.lit(0))
+    else:  # empty input: zero-arg create_map is VOID-typed
+        off = F.lit(0)
+    w = Window.partitionBy("_bkt").orderBy(order_col)
+    cum_excl = (
+        F.sum(F.col(weight_col).cast("long")).over(w)
+        - F.col(weight_col).cast("long")
+        + off.cast("long")
+    )
+    return (
+        d.withColumn("_cum", cum_excl)
+        .withColumn(out_col, F.expr(f"_cum div {int(budget)}"))
+        .drop("_bkt", "_cum")
+    )

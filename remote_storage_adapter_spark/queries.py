@@ -2144,6 +2144,69 @@ FROM probes p LEFT JOIN hits h USING (token) LEFT JOIN truth t USING (token)
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware duplicate resolution: keep the longest (by token
+    count) member of each near-dup cluster instead of the smallest-id
+    one — what a curation pipeline actually wants when near-dup copies
+    differ (truncations, boilerplate-stripped variants). Integer score
+    + lowest-id tie-break keeps the winner engine-independent."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    kept = D.resolve_duplicates_best(
+        docs, D.dedup_clusters(pairs),
+        score=TX.token_count(F.col("text")).cast("long"))
+    return kept.select("doc_id")
+
+
+O_dedup_keep_best = _CLUSTER_CTE + f"""
+, sc AS (
+  SELECT cc.id, cc.cluster,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS score
+  FROM cc JOIN documents d ON d.doc_id = cc.id
+), rn AS (
+  SELECT id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, id ASC) AS rk
+  FROM sc
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM rn WHERE rk > 1)
+"""
+
+
+def q_text_shard_pack(spark, sf_dir):
+    """Token-budget shard packing: documents stream into fixed-budget
+    training shards in doc_id order; the shard id is the exclusive
+    prefix sum of token counts integer-divided by the budget —
+    computed as a distributed two-pass prefix sum (bucketed windows +
+    driver-tiny offsets), never a single global window."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        pack_shards,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tok"))
+    out = pack_shards(d, budget=2000, order_col="doc_id",
+                      weight_col="n_tok")
+    return out.select("doc_id", "n_tok", "shard")
+
+
+O_text_shard_pack = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok,
+  CAST((sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_tok) // 2000 AS BIGINT) AS shard
+FROM t
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -2182,6 +2245,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
     "dedup_clusters": (q_dedup_clusters, O_dedup_clusters),
     "dedup_resolve": (q_dedup_resolve, O_dedup_resolve),
+    "dedup_keep_best": (q_dedup_keep_best, O_dedup_keep_best),
     "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
     "sample_stratified": (q_sample_stratified, O_sample_stratified),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
@@ -2218,6 +2282,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "text_repetition": (q_text_repetition, O_text_repetition),
     "text_pii_redact": (q_text_pii_redact, O_text_pii_redact),
     "text_contamination": (q_text_contamination, O_text_contamination),
+    "text_shard_pack": (q_text_shard_pack, O_text_shard_pack),
     # sketch extension
     "sketch_hll_distinct": (q_sketch_hll_distinct, O_sketch_hll_distinct),
     "sketch_cms_topk": (q_sketch_cms_topk, O_sketch_cms_topk),

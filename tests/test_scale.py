@@ -290,3 +290,31 @@ def test_sketch_plans_are_pure_hash_aggregates(spark):
         assert "Window" not in plan
         assert "SortAggregate" not in plan
         assert "Sort [" not in plan
+
+
+def test_keep_best_and_shard_pack_plan_shapes(spark):
+    """keep_best resolves winners with a hash `max_by` + anti-join —
+    no window, no sort; pack_shards' single window is PARTITIONED BY
+    the bucket key (parallel bounded slices), never the global
+    empty-partition window that funnels the corpus through one
+    reducer."""
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.operators.sampling import (
+        pack_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bbb")], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, cluster long")
+    plan = _spark_plan(D.resolve_duplicates_best(
+        docs, clusters, score=F.length("text")))
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(5).cast("long").alias("w"))
+    plan2 = _spark_plan(
+        pack_shards(df, budget=10, order_col="k", weight_col="w"))
+    assert "Window" in plan2
+    assert "windowspecdefinition(_bkt" in plan2
