@@ -135,6 +135,7 @@ BENCH_QUERIES = {
     "text_chunks": Q.q_text_chunks,
     "text_repetition": Q.q_text_repetition,
     "text_contamination": Q.q_text_contamination,
+    "text_shard_pack": Q.q_text_shard_pack,
     "sketch_hll_distinct": Q.q_sketch_hll_distinct,
     "sketch_cms_topk": Q.q_sketch_cms_topk,
     "sketch_hist_quantiles": Q.q_sketch_hist_quantiles,

@@ -111,24 +111,29 @@ def shingle_rows(docs: DataFrame, *, n: int = 3,
     """
     norm = normalized(F.col(text_col))
     base = docs.select(F.col(id_col).alias("id"), norm.alias("nt"))
-    nw = F.size(F.split(F.col("nt"), " "))
-    # <n-word docs: the whole normalized text is the single shingle
-    # (word_shingles fallback semantics)
-    short = base.filter(nw < n).select("id", F.col("nt").alias("s"))
-    words = base.filter(nw >= n).select(
+    words = base.select(
         "id", F.posexplode(F.split(F.col("nt"), " ")).alias("pos", "w")
     )
     win = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    shingles = (
-        words.select("id", *[p.alias(f"_w{i}") for i, p in enumerate(parts)])
-        .filter(F.col(f"_w{n - 1}").isNotNull())
+    # <n-word docs fall out of the SAME window pass: their pos-0 row
+    # has a null tail lead, and concat_ws skips nulls, so the emitted
+    # shingle is all their words joined — exactly the normalized text
+    # (word_shingles fallback semantics). Keeping every doc on the
+    # window path (no short-doc union) matters downstream: the output
+    # stays hash-partitioned by id, so consumers' per-doc aggregates
+    # (distinct sets, minhash mins) add NO exchange — a union node
+    # would erase the partitioning and reshuffle the posting list.
+    return (
+        words.select(
+            "id", "pos",
+            *[p.alias(f"_w{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"_w{n - 1}").isNotNull() | (F.col("pos") == 0))
         .select(
             "id",
             F.concat_ws(" ", *[F.col(f"_w{i}") for i in range(n)]).alias("s"),
         )
     )
-    return shingles.unionByName(short)
 
 
 def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
@@ -137,6 +142,25 @@ def shingle_hash_rows(docs: DataFrame, *, n: int = 3,
     """(id, shingle-hash) rows: :func:`shingle_rows` + one xxhash64."""
     return shingle_rows(docs, n=n, id_col=id_col, text_col=text_col).select(
         "id", F.xxhash64(F.col("s")).alias("h")
+    )
+
+
+def shingle_hash_sets(docs: DataFrame, *, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, DISTINCT shingle-hash array ``hs``) — one row per doc.
+
+    Same shingle universe as :func:`shingle_hash_rows` +
+    ``dropDuplicates``, but the distinct-set aggregation
+    (``collect_set``) runs directly on the window output, which is
+    already hash-partitioned by id — the aggregate adds NO exchange.
+    Per-doc set sizes are then ``size(hs)`` — free — instead of
+    another groupBy + join-back pass over the posting list.
+    """
+    return (
+        shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+        .select("id", F.xxhash64(F.col("s")).alias("h"))
+        .groupBy("id").agg(F.collect_set("h").alias("hs"))
     )
 
 
@@ -169,21 +193,23 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     postings removed by the cut) and ``max_df_seen`` — zero drops ⇒
     the capped result IS the exact result.
     """
-    # distinct (id, shingle-hash) via the codegen explode/window path;
-    # per-doc set size joins back on (much smaller) doc-count rows
-    distinct_sh = shingle_hash_rows(
-        docs, n=n, id_col=id_col, text_col=text_col
-    ).dropDuplicates(["id", "h"])
+    # distinct per-doc shingle sets via the codegen explode/window
+    # path, aggregated BEFORE the short-doc union so the collect_set
+    # reuses the window's id partitioning — set size is then a free
+    # size(hs), no groupBy + join-back pass over the posting list
+    sets = shingle_hash_sets(docs, n=n, id_col=id_col, text_col=text_col)
     if max_df is not None:
-        # the posting list feeds THREE consumers below (df counts, set
-        # sizes, the inverted index); persist + eager materialization
+        # the exploded posting list feeds the df counts AND the
+        # post-cut re-aggregation; persist + eager materialization
         # stops parallel stages from racing an unpopulated cache and
         # recomputing the shingle pipeline per branch (measured 2-3x
         # on the cold path). Same release contract as the other
         # persists here (clearCache per registry query).
-        distinct_sh = distinct_sh.persist()
-        distinct_sh.count()
-        df_counts = distinct_sh.groupBy("h").agg(
+        posts = sets.select(
+            "id", F.explode("hs").alias("h")
+        ).persist()
+        posts.count()
+        df_counts = posts.groupBy("h").agg(
             F.count(F.lit(1)).alias("_df")
         )
         if caps_stats is not None:
@@ -194,16 +220,17 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
         # anti-join against the OVER-cap shingles: that set is tiny by
         # construction (it's what the cap exists to bound), so AQE
         # plans a broadcast anti-join — vs joining the huge under-cap
-        # complement, which shuffles the whole posting list
-        distinct_sh = (
-            distinct_sh.join(
-                df_counts.filter(F.col("_df") > max_df).select("h"),
-                "h", "left_anti",
-            )
+        # complement, which shuffles the whole posting list. Set sizes
+        # are recomputed over the RETAINED universe (one id-keyed
+        # aggregate), keeping the reported value a true Jaccard of the
+        # sub-max_df shingle sets.
+        kept = posts.join(
+            df_counts.filter(F.col("_df") > max_df).select("h"),
+            "h", "left_anti",
         )
-    sizes = distinct_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    exploded = distinct_sh.join(sizes, "id").select(
-        "id", "n_sh", F.col("h").alias("shingle")
+        sets = kept.groupBy("id").agg(F.collect_set("h").alias("hs"))
+    exploded = sets.select(
+        "id", F.size("hs").alias("n_sh"), F.explode("hs").alias("shingle")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (

@@ -22,6 +22,8 @@ md5 reproduces the exact membership (the DuckDB oracles do).
 - :func:`pack_shards` — sequential token-budget shard assignment via
   a distributed two-pass prefix sum (never a single-reducer global
   window).
+- :func:`quota_topk` — per-group retention quotas (keep the best N
+  documents per language/domain/source).
 """
 
 from __future__ import annotations
@@ -175,4 +177,31 @@ def pack_shards(df: DataFrame, *, budget: int,
         d.withColumn("_cum", cum_excl)
         .withColumn(out_col, F.expr(f"_cum div {int(budget)}"))
         .drop("_bkt", "_cum")
+    )
+
+
+def quota_topk(df: DataFrame, *, group_col: str, score: Column,
+               n: int, id_col: str = "doc_id") -> DataFrame:
+    """Per-group retention quota: keep the ``n`` highest-``score``
+    rows of each group (ties broken by lowest id — unique,
+    engine-independent winners), e.g. cap every language/domain/source
+    at its best N documents when rebalancing a scraped corpus.
+
+    Shape: one rank window PARTITIONED BY the group (parallel across
+    groups; ``row_number`` evaluates streamingly over each sorted run,
+    so a group is never materialized whole). The shuffle moves each
+    group to one task — a pathologically hot group serializes its own
+    sort; pre-filter such groups with a score threshold (a cheap
+    per-group ``approx_percentile``) before ranking if a single group
+    approaches executor-partition size. Prefer integer scores: float
+    near-ties can rank differently across engines.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        score.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
     )

@@ -2207,6 +2207,34 @@ FROM t
 """
 
 
+def q_sample_quota_topk(spark, sf_dir):
+    """Per-language retention quota: every language keeps its 20
+    longest documents (integer token-count score, lowest-id
+    tie-break) — the per-domain/per-language cap step of corpus
+    rebalancing."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        quota_topk,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    kept = quota_topk(
+        docs, group_col="lang",
+        score=TX.token_count(F.col("text")).cast("long"), n=20)
+    return kept.select("doc_id", "lang")
+
+
+O_sample_quota_topk = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id, lang FROM t
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n_tok DESC, doc_id ASC) <= 20
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -2248,6 +2276,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_keep_best": (q_dedup_keep_best, O_dedup_keep_best),
     "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
     "sample_stratified": (q_sample_stratified, O_sample_stratified),
+    "sample_quota_topk": (q_sample_quota_topk, O_sample_quota_topk),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,

@@ -318,3 +318,19 @@ def test_keep_best_and_shard_pack_plan_shapes(spark):
         pack_shards(df, budget=10, order_col="k", weight_col="w"))
     assert "Window" in plan2
     assert "windowspecdefinition(_bkt" in plan2
+
+
+def test_shingle_pipeline_single_exchange(spark):
+    """The posting-list pipeline's scale contract: every per-doc
+    aggregate (distinct shingle sets, minhash mins) rides the shingle
+    window's id partitioning — exactly ONE Exchange in the whole
+    pipeline (the window's), no re-shuffle of the posting list for
+    dedup/sizes/signatures."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string")
+    for df in (D.shingle_hash_sets(docs),
+               D.minhash_signatures_oph(docs, num_hashes=8),
+               D.minhash_signatures(docs, num_hashes=4)):
+        assert _spark_plan(df).count("Exchange") == 1
