@@ -746,6 +746,103 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per user, the first
+    view, the first click strictly AFTER that view, and the first
+    purchase strictly after that click; stage = how deep the user got.
+    Spark-first shape: three chained conditional-min hash aggregates
+    joined on user_id (one key partitioning reused end-to-end) — no
+    per-user event arrays, no window, so a power user with millions of
+    events costs the same as anyone else. Strict ``>`` ordering on the
+    timestamp keeps qualification value-deterministic across engines.
+    """
+    ev = load_table(_prep(spark), sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("tv")))
+    c = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("tv")))
+         .groupBy("user_id").agg(F.min("ts").alias("tc")))
+    p = (ev.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("tc")))
+         .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    users = ev.select("user_id").distinct()
+    out = (users.join(v, "user_id", "left")
+           .join(c, "user_id", "left")
+           .join(p, "user_id", "left"))
+    stage = (F.when(F.col("tp").isNotNull(), F.lit(3))
+             .when(F.col("tc").isNotNull(), F.lit(2))
+             .when(F.col("tv").isNotNull(), F.lit(1))
+             .otherwise(F.lit(0)))
+    return out.select("user_id", "tv", "tc", "tp",
+                      stage.alias("stage"))
+
+
+O_events_funnel = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+)
+SELECT u.user_id, v.tv, c.tc, p.tp,
+  CAST(CASE WHEN p.tp IS NOT NULL THEN 3
+            WHEN c.tc IS NOT NULL THEN 2
+            WHEN v.tv IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+def q_events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by the week of their
+    first event; for each (cohort week, week offset) the count of
+    cohort members active that week. Two hash aggregates + one join on
+    user_id; the offset is exact integer day-arithmetic on
+    Monday-truncated weeks (identical in any engine), never an
+    engine-specific 'week diff'."""
+    ev = load_table(_prep(spark), sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("w0"))
+    active = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select("user_id", "w0",
+                (F.datediff(F.col("w"), F.col("w0")) / 7)
+                .cast("int").alias("week_offset"))
+        .groupBy(F.col("w0").alias("cohort_week"), "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+O_events_retention_cohorts = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS w0
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+)
+SELECT f.w0 AS cohort_week,
+       CAST(date_diff('day', f.w0, a.w) // 7 AS INTEGER) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup extension (E1)
 # --------------------------------------------------------------------------
@@ -2265,6 +2362,9 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "tpch_order_rank": (q_tpch_order_rank, O_tpch_order_rank),
     "events_distinct_users": (q_events_distinct_users,
                               O_events_distinct_users),
+    "events_funnel": (q_events_funnel, O_events_funnel),
+    "events_retention_cohorts": (q_events_retention_cohorts,
+                                 O_events_retention_cohorts),
     "events_asof_join": (q_events_asof_join, O_events_asof_join),
     "events_range_join": (q_events_range_join, O_events_range_join),
     "events_sessionize": (q_events_sessionize, O_events_sessionize),
