@@ -396,6 +396,45 @@ def ivf_write_index(embs: DataFrame, path: str, centroids, *,
     )
 
 
+def ivf_append(new_embs: DataFrame, path: str, centroids, *,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+    """Incrementally absorb new vectors into a materialized IVF index
+    WITHOUT rebuilding it: assign against the SAME frozen centroids
+    (they must be the build-time ones — mixing centroid sets silently
+    corrupts probe recall) and append into the existing
+    cell-partitioned layout. Each batch adds one file per touched
+    cell directory; probes see old + new rows through the same
+    partition-pruned scan. Periodically rewrite small files with
+    ``plans.compact.compact_table`` — append never rewrites history,
+    so the index ingests a firehose of fresh embeddings at any scale.
+    """
+    assigned = ivf_index(new_embs, id_col=id_col, vec_col=vec_col,
+                         seed_rows=centroids)
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def lsh_append(new_embs: DataFrame, path: str, *, n_planes: int = 8,
+               dim: int, vec_col: str = "embedding") -> None:
+    """Incremental twin of :func:`lsh_index`: hyperplane signs are a
+    pure function of the vector (no trained state), so new vectors
+    append straight into the bucket-partitioned layout — same columns,
+    same ``n_planes``/``dim`` as the build — and become probe-visible
+    immediately. Compact small files periodically as with
+    :func:`ivf_append`."""
+    bucket = bucket_of(F.col(vec_col), n_planes, dim)
+    (
+        new_embs.withColumn("bucket", bucket)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(spark, path: str, cells: Sequence[int],
                      query: Sequence[float], k: int = 10,
                      id_col: str = "vec_id",

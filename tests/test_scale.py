@@ -223,6 +223,56 @@ def test_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert "cell" in pf
 
 
+def test_index_append_equals_full_build(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: build on half the vectors,
+    append the other half with the SAME frozen centroids/planes — any
+    probe then returns exactly what a full rebuild returns, and the
+    probe still partition-prunes."""
+    from remote_storage_adapter_spark.operators.similarity import (
+        ivf_append,
+        ivf_topk_indexed,
+        ivf_write_index,
+        lsh_append,
+        lsh_index,
+        lsh_topk_indexed,
+    )
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0)
+          .select("embedding").first()["embedding"]]
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+
+    # LSH: build A, append B == build A+B
+    p_inc = str(tmp_path / "lsh_inc")
+    p_full = str(tmp_path / "lsh_full")
+    lsh_index(half_a, p_inc, n_planes=8, dim=len(qv))
+    lsh_append(half_b, p_inc, n_planes=8, dim=len(qv))
+    lsh_index(embs, p_full, n_planes=8, dim=len(qv))
+    inc = lsh_topk_indexed(spark, p_inc, qv, k=10, multi_probe=True)
+    full = lsh_topk_indexed(spark, p_full, qv, k=10, multi_probe=True)
+    assert [(r["id"], round(r["cosine"], 9)) for r in inc.collect()] \
+        == [(r["id"], round(r["cosine"], 9)) for r in full.collect()]
+    assert "PartitionFilters: [" in _spark_plan(inc)
+
+    # IVF: same frozen centroids across build + append
+    seeds = (embs.orderBy(F.col("vec_id")).limit(16)
+             .select("vec_id", "embedding").collect())
+    centroids = [(r["vec_id"], [float(x) for x in r["embedding"]])
+                 for r in seeds]
+    q_inc = str(tmp_path / "ivf_inc")
+    q_full = str(tmp_path / "ivf_full")
+    ivf_write_index(half_a, q_inc, centroids)
+    ivf_append(half_b, q_inc, centroids)
+    ivf_write_index(embs, q_full, centroids)
+    cells = list(range(16))  # probe everything: strongest equality
+    inc = ivf_topk_indexed(spark, q_inc, cells, qv, k=10)
+    full = ivf_topk_indexed(spark, q_full, cells, qv, k=10)
+    assert [(r["id"], round(r["cosine"], 9)) for r in inc.collect()] \
+        == [(r["id"], round(r["cosine"], 9)) for r in full.collect()]
+
+
 def test_new_pipeline_operator_plan_shapes(spark, sf_dir):
     """Scale-posture locks for the round-3 pipeline operators:
     tf-idf/BM25 broadcast the term-df side (never a sort-merge join of
