@@ -2332,6 +2332,78 @@ QUALIFY row_number() OVER (PARTITION BY lang
 """
 
 
+def q_pipeline_curation(spark, sf_dir):
+    """End-to-end corpus curation — the whole training-data flow in
+    one lazily-composed plan: near-dup clustering → keep the longest
+    copy per cluster → per-language quota (best 50) → deterministic
+    90/5/5 split → token-budget shard packing of the train split.
+    Every stage is an operator from this package; Catalyst sees ONE
+    plan, so column pruning and filter pushdown cross stage
+    boundaries. The oracle replays the identical pipeline in SQL."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        hash_split,
+        pack_shards,
+        quota_topk,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text")).cast("long")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    kept = D.resolve_duplicates_best(
+        docs, D.dedup_clusters(pairs), score=n_tok)
+    capped = quota_topk(kept, group_col="lang", score=n_tok, n=50)
+    base = capped.select("doc_id", "lang", n_tok.alias("n_tok"))
+    split = hash_split(
+        base, [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+        key="doc_id")
+    train = pack_shards(
+        split.filter(F.col("split") == "train"),
+        budget=2000, order_col="doc_id", weight_col="n_tok")
+    rest = (split.filter(F.col("split") != "train")
+            .withColumn("shard", F.lit(-1).cast("long")))
+    return (train.unionByName(rest)
+            .select("doc_id", "lang", "split", "shard"))
+
+
+O_pipeline_curation = _CLUSTER_CTE + f"""
+, sc AS (
+  SELECT cc.id, cc.cluster,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS score
+  FROM cc JOIN documents d ON d.doc_id = cc.id
+), rn AS (
+  SELECT id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, id ASC) AS rk
+  FROM sc
+), kept AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+  WHERE doc_id NOT IN (SELECT id FROM rn WHERE rk > 1)
+), capped AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY n_tok DESC, doc_id ASC) <= 50
+), sp AS (
+  SELECT doc_id, lang, n_tok,
+         CASE WHEN {_u_sql('doc_id', 'split')} < 0.9 THEN 'train'
+              WHEN {_u_sql('doc_id', 'split')} < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM capped
+), tr AS (
+  SELECT doc_id, lang, split,
+         CAST((sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok) // 2000 AS BIGINT) AS shard
+  FROM sp WHERE split = 'train'
+)
+SELECT doc_id, lang, split, shard FROM tr
+UNION ALL
+SELECT doc_id, lang, split, CAST(-1 AS BIGINT) AS shard
+FROM sp WHERE split != 'train'
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
@@ -2377,6 +2449,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
     "sample_stratified": (q_sample_stratified, O_sample_stratified),
     "sample_quota_topk": (q_sample_quota_topk, O_sample_quota_topk),
+    "pipeline_curation": (q_pipeline_curation, O_pipeline_curation),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
