@@ -396,6 +396,79 @@ def ivf_write_index(embs: DataFrame, path: str, centroids, *,
     )
 
 
+def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Batched k-nearest-neighbor join: EVERY query vector against the
+    corpus in ONE corpus scan — the retrieval-evaluation / cross-corpus
+    semantic-dedup shape, where per-query single probes would rescan
+    the corpus Q times.
+
+    The query batch is driver-collected into a broadcast numpy matrix
+    (bounded: it is a probe batch, not a table — thousands, not
+    billions; shard larger batches across calls). Each Arrow corpus
+    batch computes its (batch × Q) cosine matrix with one BLAS matmul
+    and keeps only its LOCAL top-k per query under the FINAL total
+    order (cosine rounded to 9 dp desc, id asc — the prefix property
+    guarantees the global top-k survives local pruning, and ranking on
+    the rounded value makes near-ties engine-independent). The corpus
+    itself never shuffles; only O(Q × k) candidate rows per partition
+    move into the final per-query window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries batch is empty")
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    bq = corpus.sparkSession.sparkContext.broadcast(
+        (qids, (qm / qn[:, None]).T))  # dim × Q, pre-normalized
+
+    def local_topk(batches):
+        qi, qmat = bq.value
+        nq = len(qi)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((m / norms[:, None]) @ qmat, 9)  # B × Q
+            ids = pdf["id"].to_numpy()
+            kk = min(k, len(ids))
+            out_q, out_i, out_c = [], [], []
+            for j in range(nq):
+                # total order (−cos, id): lexsort's last key is primary
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                out_q.append(np.full(kk, qi[j]))
+                out_i.append(ids[order])
+                out_c.append(sims[order, j])
+            yield pd.DataFrame({
+                "q_id": np.concatenate(out_q),
+                "id": np.concatenate(out_i),
+                "cosine": np.concatenate(out_c),
+            })
+
+    cand = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInPandas(local_topk, schema="q_id long, id long, cosine double")
+    from pyspark.sql.window import Window as _W
+    w = _W.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "id", "cosine")
+    )
+
+
 def ivf_append(new_embs: DataFrame, path: str, centroids, *,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> None:

@@ -2332,6 +2332,40 @@ QUALIFY row_number() OVER (PARTITION BY lang
 """
 
 
+def q_simsearch_knn_join(spark, sf_dir):
+    """Batched kNN join: every 100th vector queries the whole corpus
+    in one scan (broadcast query matrix, per-Arrow-batch BLAS matmul,
+    local-then-global top-k under a rounded-cosine total order). The
+    oracle replays the cross join + QUALIFY rank in SQL."""
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = S.knn_join(queries, embs, k=5)
+    return out.select("q_id", "id", F.round("cosine", 6).alias("cosine"))
+
+
+O_simsearch_knn_join = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id % 100 = 0
+), v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT q.q_id, v.id,
+         round(
+           list_sum(list_transform(range(1, len(e) + 1),
+                                   i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))), 9)
+           AS cos
+  FROM v, q
+)
+SELECT q_id, id, round(cos, 6) AS cosine FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, id ASC) <= 5
+"""
+
+
 def q_pipeline_curation(spark, sf_dir):
     """End-to-end corpus curation — the whole training-data flow in
     one lazily-composed plan: near-dup clustering → keep the longest
@@ -2462,6 +2496,7 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "simsearch_lsh_multiprobe": (q_simsearch_lsh_multiprobe,
                                  O_simsearch_lsh_multiprobe),
     "simsearch_lsh_indexed": (q_simsearch_lsh_indexed, O_simsearch_lsh),
+    "simsearch_knn_join": (q_simsearch_knn_join, O_simsearch_knn_join),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
     "simsearch_ivf_indexed": (q_simsearch_ivf_indexed, O_simsearch_ivf),
     "emb_normalize": (q_emb_normalize, O_emb_normalize),
