@@ -129,6 +129,7 @@ BENCH_QUERIES = {
     "simsearch_ivf": Q.q_simsearch_ivf,
     "simsearch_lsh_indexed": bench_simsearch_lsh_indexed,
     "simsearch_ivf_indexed": bench_simsearch_ivf_indexed,
+    "simsearch_knn_join": Q.q_simsearch_knn_join,
     "sink_graphite_lines": Q.q_sink_graphite_lines,
     "text_quality": Q.q_text_quality,
     "text_bm25": Q.q_text_bm25,

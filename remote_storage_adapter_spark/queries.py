@@ -2366,6 +2366,61 @@ QUALIFY row_number() OVER (PARTITION BY q_id
 """
 
 
+def q_simsearch_knn_classify(spark, sf_dir):
+    """kNN label prediction: majority label among each query's top-5
+    neighbors (the query itself excluded), ties broken by smallest
+    label — retrieval-quality evaluation over the labeled embedding
+    set, expressed as knn_join + two hash aggregates."""
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    neigh = (S.knn_join(queries, embs, k=6)
+             .filter(F.col("q_id") != F.col("id")))
+    votes = (neigh.join(embs.select(F.col("vec_id").alias("id"),
+                                    "label"), "id")
+             .groupBy("q_id", "label")
+             .agg(F.count(F.lit(1)).alias("n")))
+    best = votes.groupBy("q_id").agg(F.max("n").alias("n_max"))
+    return (votes.join(best, "q_id")
+            .filter(F.col("n") == F.col("n_max"))
+            .groupBy("q_id")
+            .agg(F.min("label").alias("pred_label"))
+            .select("q_id", "pred_label"))
+
+
+O_simsearch_knn_classify = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id % 100 = 0
+), v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT q.q_id, v.id,
+         round(
+           list_sum(list_transform(range(1, len(e) + 1),
+                                   i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))), 9)
+           AS cos
+  FROM v, q
+), topk AS (
+  SELECT q_id, id FROM s
+  QUALIFY row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, id ASC) <= 6
+), neigh AS (
+  SELECT t.q_id, e.label FROM topk t
+  JOIN embeddings e ON e.vec_id = t.id
+  WHERE t.q_id != t.id
+), votes AS (
+  SELECT q_id, label, count(*) AS n FROM neigh GROUP BY 1, 2
+)
+SELECT q_id, CAST(min(label) AS INTEGER) AS pred_label
+FROM votes v
+WHERE n = (SELECT max(n) FROM votes w WHERE w.q_id = v.q_id)
+GROUP BY q_id
+"""
+
+
 def q_pipeline_curation(spark, sf_dir):
     """End-to-end corpus curation — the whole training-data flow in
     one lazily-composed plan: near-dup clustering → keep the longest
@@ -2497,6 +2552,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                  O_simsearch_lsh_multiprobe),
     "simsearch_lsh_indexed": (q_simsearch_lsh_indexed, O_simsearch_lsh),
     "simsearch_knn_join": (q_simsearch_knn_join, O_simsearch_knn_join),
+    "simsearch_knn_classify": (q_simsearch_knn_classify,
+                               O_simsearch_knn_classify),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
     "simsearch_ivf_indexed": (q_simsearch_ivf_indexed, O_simsearch_ivf),
     "emb_normalize": (q_emb_normalize, O_emb_normalize),
