@@ -2493,10 +2493,370 @@ FROM sp WHERE split != 'train'
 """
 
 
+# --------------------------------------------------------------------------
+# merged registry queries (round-4 consolidation)
+#
+# The driver's correctness gate checks a 50-query prefix of the
+# registry (CORRECTNESS_r03 held rows for exactly the first 50 of 71
+# entries), so round 3 left a third of the surface outside the oracle
+# gate. Round 4 folds related per-doc / per-event queries into single
+# registry rows — a join for same-key profiles, a tagged UNION for
+# same-shape variants — so EVERY registered component fits inside the
+# window. The constituent q_* functions stay exported (bench.py and
+# pytest use them directly); only the registry shrinks.
+# --------------------------------------------------------------------------
+
+def q_rollup_tiers(spark, sf_dir):
+    """Retention tiers 2+3 in one row (A7): 30 s buckets for rows ≥ 1
+    day old, 300 s for ≥ 2 days, tagged by tier width."""
+    t30 = q_rollup_tier_30s(spark, sf_dir) \
+        .withColumn("tier", F.lit(30).cast("int"))
+    t300 = q_rollup_tier_300s(spark, sf_dir) \
+        .withColumn("tier", F.lit(300).cast("int"))
+    return t30.unionByName(t300)
+
+
+def _tier_union_sql(step: int, older_than_s: int) -> str:
+    cutoff_us = (NOW_MS - older_than_s * 1000) * 1000
+    return (
+        f"SELECT name, series, (es // {step}) * {step} * 1000 AS t, "
+        f"round(avg(val), 6) AS val, CAST({step} AS INTEGER) AS tier "
+        f"FROM m WHERE ts < make_timestamp({cutoff_us}) GROUP BY 1, 2, 3"
+    )
+
+
+O_rollup_tiers = f"""{M_CTE}
+{_tier_union_sql(30, 86400)}
+UNION ALL
+{_tier_union_sql(300, 172800)}
+"""
+
+
+def q_emb_transforms(spark, sf_dir):
+    """L2-normalize + symmetric int8 quantization in one row.
+
+    The r3 harness crash (`TypeError: unhashable type: 'list'`) came
+    from returning raw array columns — the driver's pandas
+    canonicalization can't factorize list cells. Vectors are therefore
+    projected to deterministic CSV strings: 6-dp fixed-point for the
+    unit vector (with -0.0 normalized to 0.0 before formatting) and
+    plain ints for the quantized codes."""
+    embs = load_table(_prep(spark), sf_dir, "embeddings")
+    unit = S.l2_normalize(embs, out_col="unit")
+    unit_csv = F.array_join(
+        F.transform(
+            "unit",
+            lambda x: F.format_string("%.6f", F.round(x, 6) + F.lit(0.0)),
+        ),
+        ",",
+    )
+    qz = S.quantize_int8(embs)
+    left = unit.select("vec_id", unit_csv.alias("unit_csv"))
+    right = qz.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
+        .alias("q_csv"),
+    )
+    return left.join(right, "vec_id")
+
+
+O_emb_transforms = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), u AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(e, x -> printf('%.6f',
+           round(CASE WHEN nrm = 0 THEN x ELSE x / nrm END, 6) + 0.0)),
+           'string_agg', ',') AS unit_csv
+  FROM n
+), m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+  FROM v
+), qz AS (
+  SELECT vec_id, round(mx / 127.0, 9) AS scale,
+         list_aggregate(list_transform(e, x ->
+           CAST(CASE WHEN mx = 0 THEN 0
+                ELSE CAST(floor(x / (mx / 127.0) + 0.5) AS INTEGER) END
+                AS VARCHAR)),
+           'string_agg', ',') AS q_csv
+  FROM m
+)
+SELECT u.vec_id, unit_csv, scale, q_csv FROM u JOIN qz USING (vec_id)
+"""
+
+
+def q_text_profile(spark, sf_dir):
+    """Single-scan per-doc text profile: quality features + lang-id +
+    token stats as one projection (one parquet scan, zero shuffles —
+    the shape this runs at 100 TB, vs. three separate scans)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    feats = TX.quality_features(docs)
+    return feats.select(
+        "doc_id",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
+        "q_mean_token_len", "q_punct_ratio", "q_stopword_ratio", "q_score",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(TX.bpe_ish_tokens(F.col("text"))).cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+O_text_profile = f"""
+WITH a AS ({O_text_quality}), b AS ({O_text_lang_id}),
+c AS ({O_text_token_stats})
+SELECT a.*, b.lang_pred, c.n_ws_tokens, c.n_bpe_tokens
+FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+"""
+
+
+def q_text_fingerprints(spark, sf_dir):
+    """Whole-doc md5 fingerprint + winnowing rolling-hash minima in
+    one row (inner join: docs shorter than the winnow k-gram emit no
+    fingerprints on either engine)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    fp = docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
+    w = (
+        TX.winnow_fingerprints(docs, k=8, window=16, hash_mode="portable")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+             F.min("fingerprint").alias("min_fp"))
+        .withColumnRenamed("id", "doc_id")
+    )
+    return fp.join(w, "doc_id")
+
+
+O_text_fingerprints = f"""
+WITH a AS ({O_text_fingerprint}), b AS ({O_text_winnow})
+SELECT a.doc_id, a.fp, b.n_fingerprints, b.min_fp
+FROM a JOIN b ON a.doc_id = b.id
+"""
+
+
+def q_text_term_scores(spark, sf_dir):
+    """Top-5 characteristic terms per doc under BOTH rankers (smoothed
+    tf-idf and BM25 k1=1.2 b=0.75), tagged by scorer."""
+    t = q_text_tfidf(spark, sf_dir).withColumn("scorer", F.lit("tfidf"))
+    b = q_text_bm25(spark, sf_dir).withColumn("scorer", F.lit("bm25"))
+    return t.unionByName(b)
+
+
+O_text_term_scores = f"""
+WITH t AS ({O_text_tfidf}), b AS ({O_text_bm25})
+SELECT doc_id, term, score, 'tfidf' AS scorer FROM t
+UNION ALL
+SELECT doc_id, term, score, 'bm25' AS scorer FROM b
+"""
+
+
+def q_text_hygiene(spark, sf_dir):
+    """Corpus-hygiene profile per doc: Gopher repetition signals +
+    planted-PII detection/redaction + benchmark decontamination, one
+    registry row (all three are full-coverage per-doc frames)."""
+    r = q_text_repetition(spark, sf_dir)
+    p = q_text_pii_redact(spark, sf_dir)
+    c = q_text_contamination(spark, sf_dir)
+    return r.join(p, "doc_id").join(c, "doc_id")
+
+
+O_text_hygiene = f"""
+WITH r AS ({O_text_repetition}), p AS ({O_text_pii_redact}),
+c AS ({O_text_contamination})
+SELECT r.doc_id, r.top2gram_frac, r.dup5gram_frac, r.rep_flag,
+       p.n_emails, p.n_phones, p.n_ips, p.redacted,
+       c.n_grams, c.n_contaminated, c.contaminated_frac
+FROM r JOIN p USING (doc_id) JOIN c USING (doc_id)
+"""
+
+
+def q_sketch_profile(spark, sf_dir):
+    """All four mergeable sketches in one tagged union — HLL distinct
+    (events.props), count-min top-10 tokens, histogram quantiles
+    (event value), Bloom cross-corpus membership. Unused value slots
+    carry -1.0 (never NULL: NULL vs NaN canonicalizes differently
+    across engines)."""
+    hll = q_sketch_hll_distinct(spark, sf_dir).select(
+        F.lit("hll").alias("sketch"),
+        F.col("event_type").alias("key"),
+        F.col("hll_registers_used").cast("double").alias("v1"),
+        F.col("hll_estimate").cast("double").alias("v2"),
+        F.col("n_exact").cast("double").alias("v3"),
+    )
+    cms = q_sketch_cms_topk(spark, sf_dir).select(
+        F.lit("cms").alias("sketch"),
+        F.col("token").alias("key"),
+        F.col("exact_cnt").cast("double").alias("v1"),
+        F.col("cms_est").cast("double").alias("v2"),
+        F.lit(-1.0).alias("v3"),
+    )
+    hist = q_sketch_hist_quantiles(spark, sf_dir).select(
+        F.lit("hist").alias("sketch"),
+        F.concat(F.col("event_type"), F.lit("@"),
+                 F.format_string("%.2f", F.col("q"))).alias("key"),
+        F.col("hist_q").cast("double").alias("v1"),
+        F.lit(-1.0).alias("v2"),
+        F.lit(-1.0).alias("v3"),
+    )
+    bloom = q_sketch_bloom_membership(spark, sf_dir).select(
+        F.lit("bloom").alias("sketch"),
+        F.col("token").alias("key"),
+        F.col("bloom_hit").cast("double").alias("v1"),
+        F.col("truly_present").cast("double").alias("v2"),
+        F.lit(-1.0).alias("v3"),
+    )
+    return hll.unionByName(cms).unionByName(hist).unionByName(bloom)
+
+
+O_sketch_profile = f"""
+WITH hll AS ({O_sketch_hll_distinct}), cms AS ({O_sketch_cms_topk}),
+hist AS ({O_sketch_hist_quantiles}), bloom AS ({O_sketch_bloom_membership})
+SELECT 'hll' AS sketch, event_type AS key,
+       CAST(hll_registers_used AS DOUBLE) AS v1,
+       CAST(hll_estimate AS DOUBLE) AS v2,
+       CAST(n_exact AS DOUBLE) AS v3
+FROM hll
+UNION ALL
+SELECT 'cms', token, CAST(exact_cnt AS DOUBLE), CAST(cms_est AS DOUBLE), -1.0
+FROM cms
+UNION ALL
+SELECT 'hist', event_type || '@' || printf('%.2f', q),
+       CAST(hist_q AS DOUBLE), -1.0, -1.0
+FROM hist
+UNION ALL
+SELECT 'bloom', token, CAST(bloom_hit AS DOUBLE),
+       CAST(truly_present AS DOUBLE), -1.0
+FROM bloom
+"""
+
+
+def q_multimodal_profile(spark, sf_dir):
+    """Multimodal plumbing in one row: opaque-payload byte accounting,
+    Arrow-batched stub feature extraction, and the REAL PNG container
+    parser recovering planted dimensions (media_id join)."""
+    b = q_multimodal_bytes(spark, sf_dir)
+    f_ = q_multimodal_features(spark, sf_dir).select(
+        "media_id", "sha256", "f0")
+    s = q_multimodal_sniff(spark, sf_dir)
+    return b.join(f_, "media_id").join(s, "media_id")
+
+
+O_multimodal_profile = f"""
+WITH b AS ({O_multimodal_bytes}), f AS ({O_multimodal_features}),
+s AS ({O_multimodal_sniff})
+SELECT b.media_id, b.byte_len, b.payload_md5, b.media_type,
+       f.sha256, f.f0, s.format, s.width, s.height
+FROM b JOIN f USING (media_id) JOIN s USING (media_id)
+"""
+
+
+def q_sink_wire_formats(spark, sf_dir):
+    """All three remote-write wire codecs in one tagged union —
+    Graphite plaintext (W10/W11/W14), Influx line protocol (W9/K3),
+    OpenTSDB /api/put JSON (W12/W13)."""
+    g = q_sink_graphite_lines(spark, sf_dir).select(
+        F.lit("graphite").alias("sink"), "line")
+    i = q_sink_influx_lines(spark, sf_dir).select(
+        F.lit("influx").alias("sink"), "line")
+    o = q_sink_opentsdb_json(spark, sf_dir).select(
+        F.lit("opentsdb").alias("sink"), F.col("body").alias("line"))
+    return g.unionByName(i).unionByName(o)
+
+
+O_sink_wire_formats = f"""
+WITH g AS ({O_sink_graphite_lines}), i AS ({O_sink_influx_lines}),
+o AS ({O_sink_opentsdb_json})
+SELECT 'graphite' AS sink, line FROM g
+UNION ALL
+SELECT 'influx' AS sink, line FROM i
+UNION ALL
+-- to_json yields DuckDB's JSON type; without the cast the UNION
+-- coerces the plaintext graphite/influx lines to JSON and errors
+SELECT 'opentsdb' AS sink, CAST(body AS VARCHAR) AS line FROM o
+"""
+
+
+def q_simsearch_lsh_modes(spark, sf_dir):
+    """Hyperplane-LSH candidate search, exact-bucket and multiprobe
+    (query bucket ± one flipped plane) in one tagged union."""
+    a = q_simsearch_lsh(spark, sf_dir).withColumn("mode", F.lit("exact"))
+    b = q_simsearch_lsh_multiprobe(spark, sf_dir) \
+        .withColumn("mode", F.lit("multiprobe"))
+    return a.unionByName(b)
+
+
+O_simsearch_lsh_modes = f"""
+WITH a AS ({O_simsearch_lsh}), b AS ({O_simsearch_lsh_multiprobe})
+SELECT id, cosine, 'exact' AS mode FROM a
+UNION ALL
+SELECT id, cosine, 'multiprobe' AS mode FROM b
+"""
+
+
+def q_dedup_resolve_modes(spark, sf_dir):
+    """Both cluster-resolution policies in one row: keep the
+    smallest-id member vs. keep the highest-quality (longest) member
+    of each near-dup cluster. The expensive pair generation +
+    iterative connected components runs ONCE; both retention policies
+    derive from the same cluster frame."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+    clusters = D.dedup_clusters(pairs)
+    a = D.resolve_duplicates(docs, clusters).select("doc_id") \
+        .withColumn("strategy", F.lit("min_id"))
+    b = D.resolve_duplicates_best(
+        docs, clusters,
+        score=TX.token_count(F.col("text")).cast("long")) \
+        .select("doc_id").withColumn("strategy", F.lit("keep_best"))
+    return a.unionByName(b)
+
+
+O_dedup_resolve_modes = f"""
+WITH a AS ({O_dedup_resolve}), b AS ({O_dedup_keep_best})
+SELECT doc_id, 'min_id' AS strategy FROM a
+UNION ALL
+SELECT doc_id, 'keep_best' AS strategy FROM b
+"""
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
+#:
+#: HARD CAP: 50 entries (the driver's correctness gate checks exactly
+#: the first 50 registry rows — tests/test_entry.py enforces the cap).
+#: Queries the driver used to check individually live on as merged
+#: rows: rollup_tiers (30s+300s), dedup_resolve_modes
+#: (min_id+keep_best), simsearch_lsh_modes (exact+multiprobe),
+#: emb_transforms (normalize+quantize), sink_wire_formats
+#: (graphite+influx+opentsdb), text_profile (quality+lang_id+
+#: token_stats), text_fingerprints (fingerprint+winnow),
+#: text_term_scores (tfidf+bm25), text_hygiene (repetition+pii+
+#: contamination), sketch_profile (hll+cms+hist+bloom),
+#: multimodal_profile (bytes+features+sniff). Oracle-sharing twins
+#: (salted assembly, pandas cosine, indexed LSH/IVF probes) are
+#: equality-locked against their registered siblings in pytest
+#: (test_scale.py / test_extensions.py) instead of holding rows.
+#:
+#: Never-checked-in-r3 components lead the order so a lower driver
+#: cap would still cover them first.
 REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           Optional[str]]] = {
-    # reference read path
+    # --- components with no green row in round 3 (checked first) ---
+    "emb_transforms": (q_emb_transforms, O_emb_transforms),
+    "text_term_scores": (q_text_term_scores, O_text_term_scores),
+    "text_chunks": (q_text_chunks, O_text_chunks),
+    "text_hygiene": (q_text_hygiene, O_text_hygiene),
+    "text_shard_pack": (q_text_shard_pack, O_text_shard_pack),
+    "sketch_profile": (q_sketch_profile, O_sketch_profile),
+    "multimodal_profile": (q_multimodal_profile, O_multimodal_profile),
+    "text_profile": (q_text_profile, O_text_profile),
+    "text_fingerprints": (q_text_fingerprints, O_text_fingerprints),
+    "sink_wire_formats": (q_sink_wire_formats, O_sink_wire_formats),
+    # --- reference read path ---
     "read_downsample_q75": (q_read_downsample_q75, O_read_downsample_q75),
     "read_downsample_auto_step": (q_read_downsample_auto_step,
                                   O_read_downsample_auto_step),
@@ -2505,18 +2865,15 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "read_multi_query_union": (q_read_multi_query_union,
                                O_read_multi_query_union),
     "read_series_assembly": (q_read_series_assembly, O_read_series_assembly),
-    "read_series_assembly_salted": (q_read_series_assembly_salted,
-                                    O_read_series_assembly),
     "read_merge_dedup": (q_read_merge_dedup, O_read_merge_dedup),
-    # write path + rollup
+    # --- write path + rollup ---
     "ingest_nan_filter": (q_ingest_nan_filter, O_ingest_nan_filter),
     "ingest_tags_codec": (q_ingest_tags_codec, O_ingest_tags_codec),
-    "rollup_tier_30s": (q_rollup_tier_30s, O_rollup_tier_30s),
-    "rollup_tier_300s": (q_rollup_tier_300s, O_rollup_tier_300s),
+    "rollup_tiers": (q_rollup_tiers, O_rollup_tiers),
     "rollup_tiered_view": (q_rollup_tiered_view, O_rollup_tiered_view),
     "rollup_lww": (q_rollup_lww, O_rollup_lww),
     "events_json_props": (q_events_json_props, O_events_json_props),
-    # relational extension
+    # --- relational extension ---
     "tpch_q1": (q_tpch_q1, O_tpch_q1),
     "tpch_top_nations": (q_tpch_top_nations, O_tpch_top_nations),
     "tpch_rollup_cube": (q_tpch_rollup_cube, O_tpch_rollup_cube),
@@ -2529,65 +2886,29 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "events_asof_join": (q_events_asof_join, O_events_asof_join),
     "events_range_join": (q_events_range_join, O_events_range_join),
     "events_sessionize": (q_events_sessionize, O_events_sessionize),
-    # dedup extension
+    # --- dedup extension ---
     "dedup_exact": (q_dedup_exact, O_dedup_exact),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_dedup_ngram_jaccard),
     "dedup_clusters": (q_dedup_clusters, O_dedup_clusters),
-    "dedup_resolve": (q_dedup_resolve, O_dedup_resolve),
-    "dedup_keep_best": (q_dedup_keep_best, O_dedup_keep_best),
-    "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
-    "sample_stratified": (q_sample_stratified, O_sample_stratified),
-    "sample_quota_topk": (q_sample_quota_topk, O_sample_quota_topk),
-    "pipeline_curation": (q_pipeline_curation, O_pipeline_curation),
+    "dedup_resolve_modes": (q_dedup_resolve_modes, O_dedup_resolve_modes),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
-    "dedup_embedding_cosine_pandas": (q_dedup_embedding_cosine_pandas,
-                                      O_dedup_embedding_cosine),
-    # similarity search extension
+    # --- sampling / splitting ---
+    "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
+    "sample_stratified": (q_sample_stratified, O_sample_stratified),
+    "sample_quota_topk": (q_sample_quota_topk, O_sample_quota_topk),
+    "pipeline_curation": (q_pipeline_curation, O_pipeline_curation),
+    # --- similarity search extension ---
     "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),
-    "simsearch_lsh": (q_simsearch_lsh, O_simsearch_lsh),
-    "simsearch_lsh_multiprobe": (q_simsearch_lsh_multiprobe,
-                                 O_simsearch_lsh_multiprobe),
-    "simsearch_lsh_indexed": (q_simsearch_lsh_indexed, O_simsearch_lsh),
+    "simsearch_lsh_modes": (q_simsearch_lsh_modes, O_simsearch_lsh_modes),
     "simsearch_knn_join": (q_simsearch_knn_join, O_simsearch_knn_join),
     "simsearch_knn_classify": (q_simsearch_knn_classify,
                                O_simsearch_knn_classify),
     "simsearch_ivf": (q_simsearch_ivf, O_simsearch_ivf),
-    "simsearch_ivf_indexed": (q_simsearch_ivf_indexed, O_simsearch_ivf),
-    "emb_normalize": (q_emb_normalize, O_emb_normalize),
-    "emb_quantize": (q_emb_quantize, O_emb_quantize),
     "simsearch_ivf_trained": (q_simsearch_ivf_trained,
                               O_simsearch_ivf_trained),
-
-    "sink_graphite_lines": (q_sink_graphite_lines, O_sink_graphite_lines),
-    "sink_influx_lines": (q_sink_influx_lines, O_sink_influx_lines),
-    "sink_opentsdb_json": (q_sink_opentsdb_json, O_sink_opentsdb_json),
-    # text analysis extension
-    "text_quality": (q_text_quality, O_text_quality),
-    "text_lang_id": (q_text_lang_id, O_text_lang_id),
-    "text_token_stats": (q_text_token_stats, O_text_token_stats),
-    "text_fingerprint": (q_text_fingerprint, O_text_fingerprint),
-    "text_tfidf": (q_text_tfidf, O_text_tfidf),
-    "text_bm25": (q_text_bm25, O_text_bm25),
-    "text_chunks": (q_text_chunks, O_text_chunks),
-    "text_winnow": (q_text_winnow, O_text_winnow),
-    "text_repetition": (q_text_repetition, O_text_repetition),
-    "text_pii_redact": (q_text_pii_redact, O_text_pii_redact),
-    "text_contamination": (q_text_contamination, O_text_contamination),
-    "text_shard_pack": (q_text_shard_pack, O_text_shard_pack),
-    # sketch extension
-    "sketch_hll_distinct": (q_sketch_hll_distinct, O_sketch_hll_distinct),
-    "sketch_cms_topk": (q_sketch_cms_topk, O_sketch_cms_topk),
-    "sketch_hist_quantiles": (q_sketch_hist_quantiles,
-                              O_sketch_hist_quantiles),
-    "sketch_bloom_membership": (q_sketch_bloom_membership,
-                                O_sketch_bloom_membership),
-    # multimodal extension
-    "multimodal_bytes": (q_multimodal_bytes, O_multimodal_bytes),
-    "multimodal_features": (q_multimodal_features, O_multimodal_features),
-    "multimodal_sniff": (q_multimodal_sniff, O_multimodal_sniff),
 }
 
 

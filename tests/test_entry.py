@@ -28,7 +28,16 @@ def test_registry_shapes():
     assert set(qs) - set(oracles) == set()
 
 
+def test_registry_fits_driver_oracle_window():
+    """The driver's correctness gate checks exactly the first 50
+    registry rows (CORRECTNESS_r03 held a 50-row prefix of 71
+    entries, silently leaving 21 queries unverified — VERDICT r3 #1).
+    Registering a 51st query must fail HERE, not silently shrink the
+    oracle window; merge it into an existing row instead."""
+    assert len(entry_mod.queries()) <= 50
+
+
 def test_parity_spot_check(spark, sf_dir):
     con = duck_con(sf_dir)
-    for name in ("read_downsample_q75", "tpch_q1", "text_fingerprint"):
+    for name in ("read_downsample_q75", "tpch_q1", "text_fingerprints"):
         assert compare(name, spark, con, sf_dir, verbose=False), name
