@@ -367,6 +367,49 @@ def minhash_signatures_portable(docs: DataFrame, *, num_hashes: int = 64,
     )
 
 
+def _band_frame(sigs: DataFrame, *, bands: int, rows_per_band: int,
+                mode: str) -> DataFrame:
+    """(id, band, bucket) banding of a signature frame.
+
+    The banded shuffle carries only ~24 bytes/row regardless of
+    signature width; signatures are re-joined onto the (much smaller)
+    candidate set afterwards. Fast paths compress the band slice to an
+    xxhash64 bucket; portable mode renders the slice as a string so
+    any engine forms the identical key (hash-collision-free by
+    construction)."""
+    if mode == "portable":
+        def band_key(b):
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1,
+                            rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+    else:
+        def band_key(b):
+            return F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1,
+                        rows_per_band).cast("string"),
+            )
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.5,
@@ -426,43 +469,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
         # unpopulated cache, recomputing the signature pipeline twice
         # (measured ~2x cold). One cheap extra pass buys determinism.
         sigs.count()
-    # banding carries only (id, band, bucket) — the shuffle stays ~24
-    # bytes/row regardless of signature width; signatures are re-joined
-    # onto the (much smaller) candidate-pair set afterwards. The fast
-    # paths compress the band slice to an xxhash64 bucket; portable
-    # mode joins on the slice rendered as a string so any engine forms
-    # the identical key (hash-collision-free by construction).
-    if mode == "portable":
-        def band_key(b):
-            return F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1,
-                            rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-    else:
-        def band_key(b):
-            return F.xxhash64(
-                F.slice(F.col("sig"), b * rows_per_band + 1,
-                        rows_per_band).cast("string"),
-            )
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_key(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    banded = _band_frame(sigs, bands=bands, rows_per_band=rows_per_band,
+                         mode=mode)
     if max_bucket_size is not None:
         bucket_counts = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_n")
@@ -508,6 +516,87 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
         paired.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
+                     num_hashes: int = 64, bands: int = 16,
+                     shingle_n: int = 3, threshold: float = 0.5,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     mode: str = "oph",
+                     max_bucket_size: int | None = 1000) -> DataFrame:
+    """Cross-corpus fuzzy join: near-duplicate (left, right) doc pairs
+    across two corpora — dedup-incoming-against-reference, or
+    decontaminate a training set against an eval corpus at the
+    whole-document level (the n-gram `contamination` operator covers
+    passage overlap; this catches paraphrase-level near-dups).
+
+    Same banded-LSH topology as :func:`minhash_lsh_pairs`, but the
+    candidate join runs LEFT-bands × RIGHT-bands (no intra-corpus
+    pairs, no ``id <`` dedup trick needed — the sides are distinct
+    sets). Hot-bucket caps apply per side: a bucket over the cap in
+    EITHER corpus is dropped from that side before the join, bounding
+    the quadratic blowup exactly as in the self-join case. At 100 TB
+    the reference side's signatures/banding can be materialized once
+    and reused across incoming batches — the banded frame is the
+    index.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig_fn = {
+        "oph": minhash_signatures_oph,
+        "kmin": minhash_signatures,
+        "portable": minhash_signatures_portable,
+    }[mode]
+    ls = sig_fn(left, num_hashes=num_hashes, shingle_n=shingle_n,
+                id_col=id_col, text_col=text_col).persist()
+    rs = sig_fn(right, num_hashes=num_hashes, shingle_n=shingle_n,
+                id_col=id_col, text_col=text_col).persist()
+    lb = _band_frame(ls, bands=bands, rows_per_band=rows_per_band,
+                     mode=mode)
+    rb = _band_frame(rs, bands=bands, rows_per_band=rows_per_band,
+                     mode=mode)
+    if max_bucket_size is not None:
+        ls.count()
+        rs.count()
+        for side in ("l", "r"):
+            frame = lb if side == "l" else rb
+            over = (
+                frame.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_bucket_size)
+                .select("band", "bucket")
+            )
+            pruned = frame.join(over, ["band", "bucket"], "left_anti")
+            if side == "l":
+                lb = pruned
+            else:
+                rb = pruned
+    cand = (
+        lb.alias("a").join(
+            rb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    sig_l = ls.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"))
+    sig_r = rs.select(F.col("id").alias("id_r"), F.col("sig").alias("sig_r"))
+    paired = cand.join(sig_l, "id_l").join(sig_r, "id_r")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_l"), F.col("sig_r"),
+                       lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        paired.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_l", "id_r", "est_jaccard")
     )
 
 

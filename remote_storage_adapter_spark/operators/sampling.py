@@ -205,3 +205,60 @@ def quota_topk(df: DataFrame, *, group_col: str, score: Column,
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def temperature_mix(df: DataFrame, *, group_col: str,
+                    temperature: float, target_frac: float,
+                    key: Union[str, Column], salt: str = "mix",
+                    rate_col: str = "rate") -> DataFrame:
+    """Temperature-reweighted mixture sampling: downsample dominant
+    groups / upweight rare ones so group g's share of the OUTPUT is
+    proportional to ``share_g ** (1/T)`` (T=1 keeps natural
+    proportions, T→∞ approaches uniform across groups) — the standard
+    dataset-mixing step when assembling a multi-source/multi-lingual
+    training corpus.
+
+    Per-group keep rate: ``min(1, target_frac * N * m_g / n_g)`` where
+    ``m_g`` is the renormalized tempered share; membership is the same
+    hash-deterministic Bernoulli as :func:`stratified_sample` (pure
+    map, re-run/append stable). Rates are rounded to 6 dp BEFORE the
+    comparison: ``pow`` may differ by an ulp across engines, and the
+    rounding makes the u < rate cut engine-independent.
+
+    100 TB shape: one hash aggregate to count groups (output =
+    |groups| rows), two scalar aggregates over that tiny frame, a
+    broadcast join of the rates, then a shuffle-free filter. The data
+    itself is scanned once and never shuffled.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    # NB: name scratch columns with distinct case-insensitive spellings
+    # — Spark resolves columns case-insensitively by default, so a
+    # `_N` withColumn silently REPLACES an existing `_n`
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("grp_n"))
+    # the unpartitioned windows run over the COUNTS frame only —
+    # |groups| rows (languages/sources: dozens, not billions), so the
+    # single reducer is a non-issue at any data scale; the raw data
+    # itself never sees a window
+    every = Window.partitionBy()
+    rates = (
+        counts
+        .withColumn("tot", F.sum("grp_n").over(every))
+        .withColumn(
+            "wt", F.pow(F.col("grp_n") / F.col("tot"), 1.0 / temperature))
+        .withColumn("wsum", F.sum("wt").over(every))
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_frac) * F.col("tot")
+                    * (F.col("wt") / F.col("wsum")) / F.col("grp_n"),
+                ),
+                6,
+            ).alias(rate_col),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(uniform_unit(kc, salt) < F.col(rate_col))
+    )

@@ -2824,6 +2824,143 @@ SELECT doc_id, 'keep_best' AS strategy FROM b
 """
 
 
+def q_events_props_profile(spark, sf_dir):
+    """Per-event-type JSON-prop aggregation + exact distinct users in
+    one row (both legs are single hash aggregates over events)."""
+    ev = load_table(_prep(spark), sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy(F.col("event_type").alias("name"))
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+O_events_props_profile = """
+SELECT event_type AS name,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_sample_policies(spark, sf_dir):
+    """Both retention-sampling policies in one row: per-language
+    Bernoulli downsampling and per-language top-k quotas."""
+    a = q_sample_stratified(spark, sf_dir) \
+        .withColumn("policy", F.lit("stratified"))
+    b = q_sample_quota_topk(spark, sf_dir) \
+        .withColumn("policy", F.lit("quota_topk"))
+    return a.unionByName(b)
+
+
+O_sample_policies = f"""
+WITH a AS ({O_sample_stratified}), b AS ({O_sample_quota_topk})
+SELECT doc_id, lang, 'stratified' AS policy FROM a
+UNION ALL
+SELECT doc_id, lang, 'quota_topk' AS policy FROM b
+"""
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-reweighted dataset mixing (T=2, target half the
+    corpus): dominant languages are downsampled toward a flatter
+    mixture, rare ones kept — deterministic hash membership, so the
+    DuckDB oracle reproduces the exact kept set."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    out = temperature_mix(docs, group_col="lang", temperature=2.0,
+                          target_frac=0.5, key="doc_id", salt="mix")
+    return out.select("doc_id", "lang", "rate")
+
+
+O_mix_temperature = f"""
+WITH c AS (SELECT lang, count(*) AS grp_n FROM documents GROUP BY 1),
+t AS (SELECT sum(grp_n) AS tot FROM c),
+w AS (
+  SELECT lang, grp_n, tot,
+         power(grp_n / CAST(tot AS DOUBLE), 0.5) AS wt
+  FROM c CROSS JOIN t
+), s AS (SELECT sum(wt) AS wsum FROM w),
+r AS (
+  SELECT lang,
+         round(least(1.0, 0.5 * tot * (wt / wsum) / grp_n), 6) AS rate
+  FROM w CROSS JOIN s
+)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN r USING (lang)
+WHERE {_u_sql('doc_id', 'mix')} < r.rate
+"""
+
+
+def q_dedup_cross_join(spark, sf_dir):
+    """Cross-corpus fuzzy join: odd docs ("incoming batch") matched
+    against even docs ("reference corpus") through banded MinHash-LSH
+    — whole-document near-dup decontamination across corpora.
+    Portable-hash mode + uncapped buckets = the exact oracle-checked
+    pair set (production keeps the OPH fast path + caps)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    pairs = D.minhash_lsh_join(
+        incoming, reference, num_hashes=64, bands=16, threshold=0.2,
+        mode="portable", max_bucket_size=None)
+    return pairs.select(
+        "id_l", "id_r", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _O_minhash_join(k: int = 64, bands: int = 16,
+                    threshold: float = 0.2) -> str:
+    rpb = k // bands
+    sig_cols = ",\n         ".join(
+        "min({}) AS h{}".format(_ph_sql("shingle || '#%d'" % i), i)
+        for i in range(k)
+    )
+    band_items = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (b, " || ',' || ".join(f"h{b * rpb + i}::VARCHAR"
+                                 for i in range(rpb)))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sl.h{i} = sr.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""{_SHINGLE_CTE}
+, sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, unnest([{band_items}]) AS bb FROM sigs
+), banded AS (
+  SELECT doc_id, bb.band AS band, bb.key AS key FROM bk
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+), est AS (
+  SELECT id_l, id_r, ({agree}) / {k}.0 AS est_jaccard
+  FROM cand
+  JOIN sigs sl ON sl.doc_id = cand.id_l
+  JOIN sigs sr ON sr.doc_id = cand.id_r
+)
+SELECT id_l, id_r, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+O_dedup_cross_join = _O_minhash_join()
+
+
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
 #:
 #: HARD CAP: 50 entries (the driver's correctness gate checks exactly
@@ -2872,14 +3009,13 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "rollup_tiers": (q_rollup_tiers, O_rollup_tiers),
     "rollup_tiered_view": (q_rollup_tiered_view, O_rollup_tiered_view),
     "rollup_lww": (q_rollup_lww, O_rollup_lww),
-    "events_json_props": (q_events_json_props, O_events_json_props),
+    "events_props_profile": (q_events_props_profile,
+                             O_events_props_profile),
     # --- relational extension ---
     "tpch_q1": (q_tpch_q1, O_tpch_q1),
     "tpch_top_nations": (q_tpch_top_nations, O_tpch_top_nations),
     "tpch_rollup_cube": (q_tpch_rollup_cube, O_tpch_rollup_cube),
     "tpch_order_rank": (q_tpch_order_rank, O_tpch_order_rank),
-    "events_distinct_users": (q_events_distinct_users,
-                              O_events_distinct_users),
     "events_funnel": (q_events_funnel, O_events_funnel),
     "events_retention_cohorts": (q_events_retention_cohorts,
                                  O_events_retention_cohorts),
@@ -2895,10 +3031,11 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
+    "dedup_cross_join": (q_dedup_cross_join, O_dedup_cross_join),
     # --- sampling / splitting ---
     "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
-    "sample_stratified": (q_sample_stratified, O_sample_stratified),
-    "sample_quota_topk": (q_sample_quota_topk, O_sample_quota_topk),
+    "sample_policies": (q_sample_policies, O_sample_policies),
+    "mix_temperature": (q_mix_temperature, O_mix_temperature),
     "pipeline_curation": (q_pipeline_curation, O_pipeline_curation),
     # --- similarity search extension ---
     "simsearch_topk": (q_simsearch_topk, O_simsearch_topk),

@@ -384,3 +384,26 @@ def test_shingle_pipeline_single_exchange(spark):
                D.minhash_signatures_oph(docs, num_hashes=8),
                D.minhash_signatures(docs, num_hashes=4)):
         assert _spark_plan(df).count("Exchange") == 1
+
+
+def test_merged_profile_queries_keep_scale_shape(spark, sf_dir):
+    """The round-4 registry merges must not regress plan shape:
+    text_profile stays a ZERO-Exchange single-scan projection (three
+    per-doc analyses fused into one pass over documents — at 100 TB
+    this is one map stage, not three scans), and sketch_profile stays
+    window-free (every sketch leg is a bounded hash aggregate)."""
+    from remote_storage_adapter_spark.queries import (
+        q_sketch_profile,
+        q_text_profile,
+    )
+
+    tp = _spark_plan(q_text_profile(spark, sf_dir))
+    assert "Exchange" not in tp
+    assert tp.count("Scan parquet") == 1
+
+    # sketch legs may window only over SKETCH-sized frames (the hist
+    # cumulative sum runs per event_type over ≤250 bins) — never a
+    # global single-reducer window over raw data
+    sp = _spark_plan(q_sketch_profile(spark, sf_dir))
+    for spec in sp.split("windowspecdefinition(")[1:]:
+        assert spec.startswith("event_type"), spec[:80]
