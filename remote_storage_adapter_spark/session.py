@@ -22,6 +22,12 @@ _RUNTIME_CONF = {
     # the driver's events.parquet carries TIMESTAMP(NANOS) which the
     # parquet reader rejects by default; read as long (ns) + convert.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # round-5 testdata switched events.ts to tz-naive TIMESTAMP(MICROS),
+    # which Spark 4 infers as TIMESTAMP_NTZ by default — NTZ forbids the
+    # epoch casts the read path is built on. Read naive parquet
+    # timestamps as LTZ; with the session pinned to UTC this is exactly
+    # DuckDB's naive-as-UTC semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -44,12 +44,24 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond timestamp (what DuckDB does implicitly).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            from pyspark.sql import functions as F
 
-        # integer DIV: float division loses sub-µs bits at 1e18 ns and
-        # can round the timestamp up by 1 µs vs DuckDB's truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # integer DIV: float division loses sub-µs bits at 1e18 ns
+            # and can round the timestamp up by 1 µs vs DuckDB's
+            # truncation
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            # fallback when inferTimestampNTZ=false (session.py) is
+            # locked by the session owner: NTZ → LTZ in the UTC
+            # session is a wall-clock no-op but restores the epoch
+            # casts (cast to long / unix_timestamp) NTZ forbids
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
