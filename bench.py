@@ -184,6 +184,11 @@ def main():
     Q.q_simsearch_ivf_indexed(spark, sf_dir).count()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # queries whose r3→r4 deltas sat inside their measured spread get
+    # extra reps so direction is resolvable (VERDICT r4 next #4);
+    # target spread ≤10% of median
+    extra_reps = {"dedup_clusters": max(reps, 5),
+                  "simsearch_ivf": max(reps, 5)}
     timings, spread = {}, {}
     for name, fn in BENCH_QUERIES.items():
         # one untimed warm-up rep per query: the first run pays
@@ -193,27 +198,52 @@ def main():
         # dedup_exact's 1.4 s on 0.2 s, almost all first-rep noise
         # (VERDICT r3 next-round #5)
         fn(spark, sf_dir).count()
+        n_reps = extra_reps.get(name, reps)
         runs = []
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.time()
             n = fn(spark, sf_dir).count()  # count() forces execution
             runs.append(time.time() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # median
         spread[name] = round(runs[-1] - runs[0], 3)
-        print(f"# {name}: {timings[name]}s median of {reps} "
+        print(f"# {name}: {timings[name]}s median of {n_reps} "
               f"(spread {spread[name]}s, {n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full-precision record (incl. spread) goes to a file; the printed
+    # line must stay well under the driver's 2,000-char tail capture
+    # (r4's line with 36 spreads at 3-dp overflowed it and the round's
+    # bench went unparsed — VERDICT r4 wrong #1), so print a compact
+    # 2-dp line without the spread map
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
         "reps": reps,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the capture
+        line = json.dumps({"metric": compact["metric"], "value": total,
+                           "unit": "sec", "sf": sf_val},
+                          separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
