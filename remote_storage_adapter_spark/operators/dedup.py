@@ -23,8 +23,60 @@ text never shuffles.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Frames persisted by this module's operators: signature/posting caches
+# that must outlive the function call because the returned LAZY frame
+# still reads them, so the operator itself cannot unpersist. Under the
+# registry harness, spark.catalog.clearCache() (queries._prep) releases
+# them per query; a library caller in a long-lived session instead
+# calls unpersist_pinned() after materializing results, or wraps calls
+# in cache_scope(). (dedup_clusters releases its per-round caches
+# itself and only pins the final labels frame.)
+_PINNED: list[DataFrame] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist + register for later release via unpersist_pinned()."""
+    _PINNED.append(df.persist())
+    return df
+
+
+def unpersist_pinned(blocking: bool = False) -> int:
+    """Release every cache pinned by this module's operators; returns
+    the number actually released (frames a blanket
+    ``spark.catalog.clearCache()`` already freed are drained from the
+    registry but not counted). Call AFTER materializing
+    (collect/write) the frames those operators returned — unpersisting
+    first just makes the action recompute the signature pipelines."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            n += 1
+        df.unpersist(blocking)
+    return n
+
+
+@contextlib.contextmanager
+def cache_scope(blocking: bool = False):
+    """Scope the cache contract: frames pinned by operators called
+    inside the ``with`` block are unpersisted on exit (only those —
+    pins made before the scope are untouched). Materialize results
+    before the block closes::
+
+        with cache_scope():
+            pairs = minhash_lsh_pairs(docs).collect()
+    """
+    mark = len(_PINNED)
+    try:
+        yield
+    finally:
+        while len(_PINNED) > mark:
+            _PINNED.pop().unpersist(blocking)
 
 
 def _cap_stats(counts: DataFrame, count_col: str, cap: int,
@@ -205,9 +257,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
         # recomputing the shingle pipeline per branch (measured 2-3x
         # on the cold path). Same release contract as the other
         # persists here (clearCache per registry query).
-        posts = sets.select(
-            "id", F.explode("hs").alias("h")
-        ).persist()
+        posts = _pin(sets.select("id", F.explode("hs").alias("h")))
         posts.count()
         df_counts = posts.groupBy("h").agg(
             F.count(F.lit(1)).alias("_df")
@@ -459,10 +509,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     # the cache stays pinned after the action until
     # spark.catalog.clearCache() (the registry harness does this per
     # query via _prep) or an explicit unpersist.
-    sigs = sig_fn(
+    sigs = _pin(sig_fn(
         docs, num_hashes=num_hashes, shingle_n=shingle_n,
         id_col=id_col, text_col=text_col,
-    ).persist()
+    ))
     if max_bucket_size is not None:
         # eager materialization: the cap adds a bucket-count branch
         # that otherwise races the banding branch against an
@@ -524,7 +574,8 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
                      shingle_n: int = 3, threshold: float = 0.5,
                      id_col: str = "doc_id", text_col: str = "text",
                      mode: str = "oph",
-                     max_bucket_size: int | None = 1000) -> DataFrame:
+                     max_bucket_size: int | None = 1000,
+                     caps_stats: dict | None = None) -> DataFrame:
     """Cross-corpus fuzzy join: near-duplicate (left, right) doc pairs
     across two corpora — dedup-incoming-against-reference, or
     decontaminate a training set against an eval corpus at the
@@ -540,6 +591,17 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
     the reference side's signatures/banding can be materialized once
     and reused across incoming batches — the banded frame is the
     index.
+
+    Capped runs are never silent: pass ``caps_stats`` (a dict) and it
+    is eagerly filled with ``dropped_banded_rows_{left,right}`` and
+    ``max_bucket_seen_{left,right}`` — zero drops on both sides ⇒ the
+    capped result IS the exact result.
+
+    Caller contract (same as :func:`minhash_lsh_pairs`): both
+    signature frames are persisted — computed once, read by banding +
+    the join-backs — and stay pinned after the action until
+    ``spark.catalog.clearCache()`` (the registry harness does this per
+    query via ``_prep``) or an explicit unpersist.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -549,27 +611,38 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
         "kmin": minhash_signatures,
         "portable": minhash_signatures_portable,
     }[mode]
-    ls = sig_fn(left, num_hashes=num_hashes, shingle_n=shingle_n,
-                id_col=id_col, text_col=text_col).persist()
-    rs = sig_fn(right, num_hashes=num_hashes, shingle_n=shingle_n,
-                id_col=id_col, text_col=text_col).persist()
+    ls = _pin(sig_fn(left, num_hashes=num_hashes, shingle_n=shingle_n,
+                     id_col=id_col, text_col=text_col))
+    rs = _pin(sig_fn(right, num_hashes=num_hashes, shingle_n=shingle_n,
+                     id_col=id_col, text_col=text_col))
+    # eager materialization in BOTH profiles: banding and the two
+    # signature join-backs all read ls/rs, and in the uncapped path
+    # those branches otherwise race an unpopulated cache and recompute
+    # the signature pipeline twice (the same ~2x cold cost
+    # minhash_lsh_pairs' cap branch calls out)
+    ls.count()
+    rs.count()
     lb = _band_frame(ls, bands=bands, rows_per_band=rows_per_band,
                      mode=mode)
     rb = _band_frame(rs, bands=bands, rows_per_band=rows_per_band,
                      mode=mode)
     if max_bucket_size is not None:
-        ls.count()
-        rs.count()
-        for side in ("l", "r"):
-            frame = lb if side == "l" else rb
-            over = (
-                frame.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > max_bucket_size)
-                .select("band", "bucket")
+        for side, frame in (("left", lb), ("right", rb)):
+            counts = frame.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("_n")
             )
-            pruned = frame.join(over, ["band", "bucket"], "left_anti")
-            if side == "l":
+            if caps_stats is not None:
+                caps_stats.update(_cap_stats(
+                    counts, "_n", max_bucket_size,
+                    f"dropped_banded_rows_{side}",
+                    f"max_bucket_seen_{side}",
+                ))
+            pruned = frame.join(
+                counts.filter(F.col("_n") > max_bucket_size)
+                .select("band", "bucket"),
+                ["band", "bucket"], "left_anti",
+            )
+            if side == "left":
                 lb = pruned
             else:
                 rb = pruned
@@ -698,6 +771,10 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
             "split across labels",
             RuntimeWarning,
         )
+    # the final round's cache backs the returned frame — register it
+    # so unpersist_pinned()/cache_scope() release it like the other
+    # operator caches (intermediate rounds were already unpersisted)
+    _PINNED.append(labels)
     return labels.select("id", F.col("lbl").alias("cluster"))
 
 
@@ -845,9 +922,9 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     # persist: fingerprints feed banding AND the verify join within
     # one action; same long-lived-session contract as
     # minhash_lsh_pairs (clearCache/unpersist after the action).
-    fp = simhash_fingerprints(
+    fp = _pin(simhash_fingerprints(
         docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode
-    ).persist()
+    ))
     banded = fp.select(
         "id", "fp",
         F.explode(

@@ -230,10 +230,14 @@ def temperature_mix(df: DataFrame, *, group_col: str,
     broadcast join of the rates, then a shuffle-free filter. The data
     itself is scanned once and never shuffled.
     """
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature} (T=1 keeps "
+            "natural proportions; T>1 flattens toward uniform)")
+    if not 0 < target_frac <= 1:
+        raise ValueError(
+            f"target_frac must be in (0, 1], got {target_frac}")
     kc = F.col(key) if isinstance(key, str) else key
-    # NB: name scratch columns with distinct case-insensitive spellings
-    # — Spark resolves columns case-insensitively by default, so a
-    # `_N` withColumn silently REPLACES an existing `_n`
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("grp_n"))
     # the unpartitioned windows run over the COUNTS frame only —
     # |groups| rows (languages/sources: dozens, not billions), so the

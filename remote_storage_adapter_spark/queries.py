@@ -65,6 +65,10 @@ def _prep(spark: SparkSession) -> SparkSession:
     # one job's plan reuse; in a long-lived session they would
     # otherwise pin executor memory until GC — VERDICT r2 'wrong' #2)
     spark.catalog.clearCache()
+    # also drain the dedup module's pin registry so the driver-side
+    # list doesn't grow across queries (the caches themselves were
+    # just released above; this only drops the stale references)
+    D.unpersist_pinned()
     return tune(spark)
 
 

@@ -59,6 +59,18 @@ def _rows(rows, cols):
 def compare(name: str, spark, con, sf_dir: str, verbose: bool = True):
     fn = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
+    return compare_fn(fn, sql, spark, con, sf_dir, name=name,
+                      verbose=verbose)
+
+
+def compare_fn(fn, sql, spark, con, sf_dir: str, *, name: str = "?",
+               verbose: bool = True):
+    """Registry-independent parity check: run an arbitrary
+    (spark, sf_dir) -> DataFrame callable against a DuckDB oracle SQL
+    string with the driver's own comparison semantics (columns sorted
+    by name, order-insensitive rows, 1e-9 float tolerance). Lets
+    pytest lock q_* functions that are NOT registry rows (merged-row
+    legs, twins) to their oracles."""
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
