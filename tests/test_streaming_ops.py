@@ -272,3 +272,63 @@ def test_streaming_session_window(spark, tmp_path):
     rows = [(r["start"].isoformat(), r["n"])
             for r in spark.read.parquet(out).collect()]
     assert ("2024-01-01T00:00:00", 2) in rows  # both events, one session
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Incremental sketch maintenance (VERDICT r4 next #6): the HLL
+    register table maintained by foreachBatch merge over N micro-
+    batches yields the EXACT estimate the batch sketch computes over
+    the union of all rows — register merge is associative/commutative
+    and max-idempotent, so replayed batches cannot drift it."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators.sketch import (
+        hll_distinct, hll_estimate,
+    )
+    from remote_storage_adapter_spark.streaming.sketch import (
+        stream_hll_maintain,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    # three micro-batches with overlapping user sets per group
+    batches = [
+        [(u, "view") for u in range(0, 400)] +
+        [(u, "click") for u in range(0, 50)],
+        [(u, "view") for u in range(200, 600)] +
+        [(u, "click") for u in range(25, 75)],
+        [(u, "view") for u in range(550, 700)] +
+        [(u, "click") for u in range(0, 100)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+        q = stream_hll_maintain(
+            spark, landing, state, ckpt, schema=schema,
+            key_col="user_id", group_cols=("event_type",), p=10,
+            available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    streamed = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(spark.read.parquet(state),
+                              ("event_type",), p=10).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    batch = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_distinct(all_rows, "user_id", ("event_type",),
+                              p=10).collect()
+    }
+    assert streamed == batch  # bit-for-bit, not approximately
+    # sanity: estimates are near truth (700 views, 100 clicks)
+    assert abs(streamed["view"] - 700) / 700 < 0.1
+    assert abs(streamed["click"] - 100) / 100 < 0.15
