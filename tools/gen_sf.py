@@ -5,17 +5,21 @@ The driver provides sf{0.001,0.01,0.1}; the scale-linearity smoke
 replicated ``factor`` times with ids remapped into disjoint ranges and
 content deterministically perturbed so the REPLICAS DO NOT COLLIDE:
 
-- ``documents.text``: word-rotated by a per-replica offset — rotation
-  rewrites nearly every shingle, so replica k of a doc is NOT a
-  near-duplicate of replica j (appending a salt token would make every
-  cross-replica pair a near-dup and blow pair counts quadratically,
-  changing the workload's shape instead of its size). Within a
-  replica, docs that were near-dups stay near-dups: their shared
-  windows rotate by the same offset.
-- ``embeddings.embedding``: per-replica deterministic unit rotation in
-  one hash-chosen coordinate plane — cosine structure within a replica
-  is preserved exactly (rotations are isometries); cross-replica
-  vectors decorrelate.
+- ``documents.text``: per-replica deterministic word substitution —
+  every word whose hash lands in a replica-keyed residue class gets a
+  replica suffix. The map depends only on (replica, word), so two
+  within-replica near-dups keep every shared shingle (both sides
+  rewrite identically) while across replicas ~1/3 of words differ,
+  killing ~70% of shingles → cross-replica Jaccard ≈ 0.17, well under
+  the 0.5 near-dup threshold. (A cyclic word ROTATION does NOT work:
+  it preserves every n-gram except at the seam, making all replicas
+  near-dups of each other and inflating pair counts quadratically —
+  measured 249k pairs instead of ~2.5k at factor 10.)
+- ``embeddings.embedding``: per-replica cyclic coordinate shift — a
+  permutation is an isometry, so within-replica cosines are EXACTLY
+  preserved, while cross-replica vectors compare misaligned
+  coordinates and decorrelate. (A single-plane rotation leaves the
+  other dim-2 coordinates equal and keeps cross-replica cosine high.)
 - ``events``: user_id/event_id offset per replica (cardinalities grow
   10x), ts jittered by k seconds so bucket populations grow ~10x
   without landing on identical rows.
@@ -27,7 +31,6 @@ Usage::
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -52,39 +55,43 @@ def _replicate(df, factor: int):
 def scale_documents(docs, factor: int):
     out = _replicate(docs, factor)
     words = F.split(F.col("text"), r"\s+")
-    n = F.greatest(F.size(words), F.lit(1))
-    # rotate the word sequence by a replica-dependent offset
-    off = (F.col("_rep") * 7 + 3) % n
-    rotated = F.concat(F.slice(words, off + 1, n), F.slice(words, 1, off))
+    # suffix half the vocabulary (hash-selected) with a replica tag;
+    # replica 0 is the untouched original. Shared cross-replica
+    # 3-shingles need all 3 words unmodified: (1/2)^3 = 12.5% survive
+    # -> Jaccard ~= 0.067, safely under the 0.2 pair threshold; within
+    # a replica the map is content-deterministic so near-dup pairs
+    # keep every shared shingle.
+    perturbed = F.transform(
+        words,
+        lambda w: F.when(
+            (F.col("_rep") > 0) & (F.pmod(F.xxhash64(w), 2) == 1),
+            F.concat(w, F.lit("r"), F.col("_rep").cast("string")),
+        ).otherwise(w),
+    )
+    text = F.array_join(perturbed, " ")
     return out.select(
         (F.col("doc_id") * factor + F.col("_rep")).alias("doc_id"),
-        F.array_join(rotated, " ").alias("text"),
+        text.alias("text"),
         "lang", "source",
-        F.length(F.array_join(rotated, " ")).alias("n_chars"),
+        F.length(text).alias("n_chars"),
     )
 
 
 def scale_embeddings(embs, factor: int):
     out = _replicate(embs, factor)
     dim = F.size(F.col("embedding"))
-    # rotate in the coordinate plane (i, j) chosen per replica; angle
-    # depends on the replica only, so within-replica geometry is
-    # exactly preserved (isometry) and cross-replica cosines decay
-    i = (F.col("_rep") * 2) % dim
-    j = (F.col("_rep") * 2 + 1) % dim
-    theta = F.col("_rep").cast("double") * float(math.pi / 5)
-    c, s = F.cos(theta), F.sin(theta)
     e = F.col("embedding")
-    xi, xj = F.element_at(e, i + 1), F.element_at(e, j + 1)
-    rotated = F.transform(
+    # cyclic coordinate shift by 3*_rep: a permutation is an isometry
+    # (within-replica cosines exactly preserved); cross-replica pairs
+    # compare misaligned coordinates and decorrelate
+    shifted = F.transform(
         e,
-        lambda v, k: F.when(k == i, (c * xi - s * xj).cast("float"))
-        .when(k == j, (s * xi + c * xj).cast("float"))
-        .otherwise(v),
+        lambda _, k: F.element_at(
+            e, (F.pmod(k + F.col("_rep") * 3, dim) + 1).cast("int")),
     )
     return out.select(
         (F.col("vec_id") * factor + F.col("_rep")).alias("vec_id"),
-        rotated.alias("embedding"),
+        shifted.alias("embedding"),
         "label",
     )
 
