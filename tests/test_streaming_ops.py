@@ -332,3 +332,61 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     # sanity: estimates are near truth (700 views, 100 clicks)
     assert abs(streamed["view"] - 700) / 700 < 0.1
     assert abs(streamed["click"] - 100) / 100 < 0.15
+
+
+def test_streaming_cms_and_bloom_match_batch(spark, tmp_path):
+    """The CMS (sum-merge) and Bloom (OR-merge) tables maintained over
+    N micro-batches equal the batch sketches over the union of all
+    rows — same at-rest shape, so the batch estimators read them
+    directly."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from remote_storage_adapter_spark.operators.sketch import (
+        bloom_contains, bloom_sketch, cms_estimate, cms_sketch,
+    )
+    from remote_storage_adapter_spark.streaming.sketch import (
+        stream_sketch_maintain,
+    )
+
+    landing = str(tmp_path / "landing")
+    schema = StructType([StructField("k", LongType())])
+    batches = [[(v % 7,) for v in range(0, 60)],
+               [(v % 5,) for v in range(0, 40)],
+               [(99,)] * 25]
+    paths = {kind: (str(tmp_path / f"{kind}_state"),
+                    str(tmp_path / f"{kind}_ckpt"))
+             for kind in ("cms", "bloom")}
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+        for kind, kw in (("cms", {"depth": 4, "width": 64}),
+                         ("bloom", {"m_bits": 1 << 10, "k": 4})):
+            state, ckpt = paths[kind]
+            q = stream_sketch_maintain(
+                spark, landing, state, ckpt, kind=kind, schema=schema,
+                key_col="k", available_now=True,
+                max_files_per_trigger=1, **kw)
+            q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    probe = spark.createDataFrame(
+        [(0,), (4,), (6,), (99,), (12345,)], schema)
+
+    streamed_cms = spark.read.parquet(paths["cms"][0])
+    batch_cms = cms_sketch(all_rows, "k", depth=4, width=64)
+    est_s = {r["k"]: r["cms_est"] for r in cms_estimate(
+        streamed_cms, probe, "k", depth=4, width=64).collect()}
+    est_b = {r["k"]: r["cms_est"] for r in cms_estimate(
+        batch_cms, probe, "k", depth=4, width=64).collect()}
+    assert est_s == est_b  # identical cells -> identical estimates
+    assert est_s[99] >= 25  # one-sided guarantee holds through merges
+
+    streamed_bloom = spark.read.parquet(paths["bloom"][0])
+    batch_bits = {r["bit"] for r in bloom_sketch(
+        all_rows, "k", m_bits=1 << 10, k=4).collect()}
+    streamed_bits = {r["bit"] for r in streamed_bloom.collect()}
+    assert streamed_bits == batch_bits  # bit-for-bit
+    hits = {r["k"]: r["bloom_hit"] for r in bloom_contains(
+        streamed_bloom, probe, "k", m_bits=1 << 10, k=4).collect()}
+    assert hits[0] == 1 and hits[99] == 1  # no false negatives
