@@ -203,7 +203,8 @@ def main():
     # target spread ≤10% of median
     extra_reps = {"dedup_clusters": max(reps, 5),
                   "simsearch_ivf": max(reps, 5),
-                  "dedup_cross_join": max(reps, 5)}
+                  "dedup_cross_join": max(reps, 5),
+                  "dedup_minhash_lsh": max(reps, 5)}
     timings, spread = {}, {}
     for name, fn in BENCH_QUERIES.items():
         # one untimed warm-up rep per query: the first run pays
