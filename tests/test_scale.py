@@ -407,3 +407,31 @@ def test_merged_profile_queries_keep_scale_shape(spark, sf_dir):
     sp = _spark_plan(q_sketch_profile(spark, sf_dir))
     for spec in sp.split("windowspecdefinition(")[1:]:
         assert spec.startswith("event_type"), spec[:80]
+
+
+def test_minhash_lsh_join_reuses_cached_signatures(spark):
+    """The cross-corpus join's scale contract: both signature frames
+    are materialized ONCE and every consumer — banding, both verify
+    join-backs — reads the cache (InMemoryTableScan), never re-running
+    the shingle/minhash pipeline (which would double the dominant
+    cost). The candidate join itself rides compact (band, bucket)
+    keys; document text appears in no join key."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    left = spark.createDataFrame(
+        [(i, f"common text body shared across docs v{i}")
+         for i in range(6)], "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(100 + i, f"common text body shared across docs w{i}")
+         for i in range(4)], "doc_id long, text string")
+    with D.cache_scope():
+        out = D.minhash_lsh_join(left, right, num_hashes=16, bands=4,
+                                 threshold=0.1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # ls and rs each feed banding + a signature join-back: at
+        # least 4 cache reads in the executed plan
+        assert plan.count("InMemoryTableScan") >= 4, plan[:800]
+        # no recompute: the shingle window pipeline (posexplode over
+        # the split text) must not appear outside the cached subtrees
+        assert "posexplode" not in plan.split("InMemoryTableScan")[0]
+        out.count()
