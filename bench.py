@@ -41,6 +41,29 @@ def bench_ingest_transform(spark, sf_dir):
     return to_metrics(samples)
 
 
+def bench_write_metrics(spark, sf_dir):
+    """K1 sort + date-partitioned fan-out write (VERDICT r5 next #2).
+
+    Writes the W1-W8 ingest output to a scratch table in overwrite
+    mode — the write executes eagerly inside the timed call; the
+    returned 1-row frame keeps the harness's ``count()`` trivial.
+    Measures the path the r6 fan-out fix changed: one exchange on
+    (date, hash(name) % k), per-task (date, name, ts) sort, dynamic
+    partition write."""
+    import tempfile
+
+    from remote_storage_adapter_spark.operators.ingest import (
+        write_metrics,
+    )
+
+    m = bench_ingest_transform(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_bench_write_{tag}")
+    write_metrics(m, path, mode="overwrite")
+    return spark.range(1)
+
+
 def bench_dedup_minhash_lsh(spark, sf_dir):
     """OPH fast path (one xxhash64 pass per shingle) — the throughput
     variant; the registry's dedup_minhash_lsh runs the md5-portable
@@ -143,6 +166,7 @@ BENCH_QUERIES = {
     "rollup_tier_30s": Q.q_rollup_tier_30s,
     "rollup_lww": Q.q_rollup_lww,
     "ingest_transform": bench_ingest_transform,
+    "write_metrics": bench_write_metrics,
     "tpch_q1": Q.q_tpch_q1,
     "tpch_top_nations": Q.q_tpch_top_nations,
     "tpch_order_rank": Q.q_tpch_order_rank,
@@ -204,8 +228,9 @@ def main():
     extra_reps = {"dedup_clusters": max(reps, 5),
                   "simsearch_ivf": max(reps, 5),
                   "dedup_cross_join": max(reps, 5),
-                  "dedup_minhash_lsh": max(reps, 5)}
-    timings, spread = {}, {}
+                  "dedup_minhash_lsh": max(reps, 5),
+                  "write_metrics": max(reps, 5)}
+    timings, spread, rep_counts = {}, {}, {}
     for name, fn in BENCH_QUERIES.items():
         # one untimed warm-up rep per query: the first run pays
         # one-time costs the operator doesn't own (shuffle-file
@@ -214,7 +239,7 @@ def main():
         # dedup_exact's 1.4 s on 0.2 s, almost all first-rep noise
         # (VERDICT r3 next-round #5)
         fn(spark, sf_dir).count()
-        n_reps = extra_reps.get(name, reps)
+        n_reps = rep_counts[name] = extra_reps.get(name, reps)
         runs = []
         for _ in range(n_reps):
             t0 = time.time()
@@ -247,7 +272,11 @@ def main():
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "reps": reps,
+        # per-query actual rep counts — the extra_reps rows run more
+        # than the base (ADVICE r5: a single scalar misstated exactly
+        # those rows); base_reps is the configured default
+        "reps": rep_counts,
+        "base_reps": reps,
         "sf": sf_val,
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

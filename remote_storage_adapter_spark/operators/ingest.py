@@ -22,8 +22,10 @@ table with pure Catalyst expressions:
   skipping.
 
 Everything is JVM-side; at 100 TB ingest this pipeline is a single
-narrow stage per micro-batch (no shuffle: explode+project+filter), then
-a partitioned write.
+narrow stage per micro-batch (explode+project+filter), followed by ONE
+fan-out shuffle on (date, hash(name) % k) so even a single-day
+micro-batch — the normal ingest case — writes from k parallel tasks
+instead of collapsing onto one, then the partitioned write.
 """
 
 from __future__ import annotations
@@ -120,12 +122,26 @@ def observed_ingest(samples: DataFrame):
 
 
 def write_metrics(df: DataFrame, path: str, mode: str = "append", *,
-                  format: str = "parquet") -> None:
+                  format: str = "parquet",
+                  files_per_date: int = 8) -> None:
     """K1: date-partitioned columnar append, MergeTree-like layout.
 
     ``sortWithinPartitions(name, ts)`` ≈ primary key ``(name, tags,
     ts)`` (0001-create-table.sql:12) → parquet row-group min/max
     skipping on name/ts at read time.
+
+    The pre-write exchange distributes on ``(date, xxhash64(name) %
+    files_per_date)`` — NOT date alone. A micro-batch usually covers a
+    single day, and hash-partitioning on just ``date`` would collapse
+    that day onto one task (one sorter, one file, one core at 100
+    TB/day). Salting by the series name keeps each series' rows in a
+    single file (so per-file (name, ts) sort still gives contiguous
+    row groups per series for min/max skipping) while fanning the
+    day's write across up to ``files_per_date`` tasks. The sort is
+    prefixed with ``date`` so that when salt-hash collisions co-locate
+    two dates in one task, rows are already clustered by the partition
+    column and Spark's dynamic-partition writer skips its own
+    (non-stable) re-sort — per-file (name, ts) order survives.
 
     ``format="delta"`` upgrades the sink to an ACID table — the
     production posture behind the at-least-once → effectively-once
@@ -147,9 +163,16 @@ def write_metrics(df: DataFrame, path: str, mode: str = "append", *,
                 "package and a Delta-enabled SparkSession (see "
                 "delta.configure_spark_with_delta_pip)"
             ) from e
+    salt = F.pmod(F.xxhash64(F.col("name")), F.lit(files_per_date))
+    # Explicit partition count: with a bare repartition(cols) AQE's
+    # partition coalescing would merge a small batch's salted splits
+    # back into one task, silently undoing the fan-out guarantee. The
+    # count itself stays bounded: distinct (date, salt) pairs cap live
+    # output files at n_dates × files_per_date regardless of N.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     writer = (
-        df.repartition(F.col(PARTITION_COLUMN))
-        .sortWithinPartitions(*SORT_COLUMNS)
+        df.repartition(n_parts, F.col(PARTITION_COLUMN), salt)
+        .sortWithinPartitions(PARTITION_COLUMN, *SORT_COLUMNS)
         .write.mode(mode)
         .partitionBy(PARTITION_COLUMN)
     )
