@@ -238,26 +238,32 @@ def main():
         # dedup_clusters spread was 3.4 s on a 4.6 s median and
         # dedup_exact's 1.4 s on 0.2 s, almost all first-rep noise
         # (VERDICT r3 next-round #5)
+        # per-rep pin release (inside the loop, untimed): a repeated
+        # call builds an identical plan, and Spark's cache manager maps
+        # a re-persist of an identical plan onto the still-warm
+        # InMemoryRelation from the previous rep — so with pins held
+        # across reps, reps 2+ skip the signature pipeline entirely and
+        # the median flips between warm-cache and cold-operator cost
+        # depending on session history (r4 1.86 s vs r5 2.36 s for
+        # dedup_minhash_lsh was this, not a plan change). Releasing
+        # between reps makes every rep the full cold operator: honest
+        # and iid (measured spread ≤10% vs bimodal before).
+        from remote_storage_adapter_spark.operators import dedup as _D
+
         fn(spark, sf_dir).count()
+        _D.unpersist_pinned()
         n_reps = rep_counts[name] = extra_reps.get(name, reps)
         runs = []
         for _ in range(n_reps):
             t0 = time.time()
             n = fn(spark, sf_dir).count()  # count() forces execution
             runs.append(time.time() - t0)
+            _D.unpersist_pinned()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # median
         spread[name] = round(runs[-1] - runs[0], 3)
         print(f"# {name}: {timings[name]}s median of {n_reps} "
               f"(spread {spread[name]}s, {n} rows)", file=sys.stderr)
-        # release the signature/posting caches the dedup wrappers pin
-        # so later queries aren't measured under accumulated memory
-        # pressure (standalone minhash spread 0.3 s vs 1.4 s when run
-        # after the full pinned backlog); the memoized cluster-pair
-        # frame is a plain persist and survives this
-        from remote_storage_adapter_spark.operators import dedup as _D
-
-        _D.unpersist_pinned()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

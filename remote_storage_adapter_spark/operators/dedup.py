@@ -93,7 +93,10 @@ def _cap_stats(counts: DataFrame, count_col: str, cap: int,
             F.sum(F.when(F.col(count_col) > cap, F.col(count_col))),
             F.lit(0),
         ).alias("dropped"),
-        F.max(F.col(count_col)).alias("mx"),
+        # coalesce: F.max over zero rows is NULL, and a None max_key
+        # would make callers' numeric comparisons raise on an empty
+        # corpus side (ADVICE r5)
+        F.coalesce(F.max(F.col(count_col)), F.lit(0)).alias("mx"),
     ).first()
     return {dropped_key: row["dropped"], max_key: row["mx"]}
 
@@ -745,6 +748,15 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     labels exactly once, so the logical plan grows LINEARLY in rounds
     (a formulation that reads the label frame twice per round doubles
     the plan per round — exponential analysis time on long chains).
+
+    Session note (ADVICE r5): the loop disables
+    ``spark.sql.adaptive.enabled`` for its duration and restores the
+    prior value on exit. That conf is session-global, so OTHER queries
+    running concurrently on the same SparkSession execute with AQE
+    unexpectedly off, and two interleaved dedup_clusters calls can
+    clobber each other's restore value. Call it single-threaded per
+    session (the library's operators all are), or give the loop its
+    own ``spark.newSession()`` if you must overlap queries.
     Converges in O(component diameter) rounds; near-dup graphs are
     dense clique-ish blobs with tiny diameters, so this beats the
     O(log n)-round large-star/small-star scheme (Kiveris et al.,

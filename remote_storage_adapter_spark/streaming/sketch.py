@@ -31,7 +31,6 @@ from typing import Sequence
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
-from pyspark.sql.utils import AnalysisException
 
 from remote_storage_adapter_spark.operators.sketch import (
     bloom_sketch,
@@ -41,18 +40,49 @@ from remote_storage_adapter_spark.operators.sketch import (
 
 
 def _merge_into(state_path: str, new, merge) -> None:
-    """Read current state (if any), combine via ``merge``, overwrite.
-    The lineage is cut (localCheckpoint) before overwriting the path
-    the plan reads from; the materialized sketch is bounded by the
-    sketch parameters, so the checkpoint is small regardless of batch
-    size."""
-    try:  # read.parquet resolves eagerly — missing path raises here
-        cur = new.sparkSession.read.parquet(state_path)
-        merged = merge(cur)
-    except AnalysisException:  # first batch: no state yet
+    """Read current state (if any), combine via ``merge``, swap in the
+    result. State presence is an explicit filesystem check, NOT a
+    try/except around the read+merge — an analysis error from the
+    merge itself (schema drift, corrupt state) must fail loudly, never
+    silently reset the accumulated sketch to this batch (ADVICE r5).
+
+    The swap is staged: merged state is written to a sibling ``._tmp``
+    directory (the plan still reads the live path, so no lineage cut
+    is needed), then the live path is moved aside to ``._old`` and the
+    tmp renamed in — single filesystem renames, so the live path is
+    never a partially-written directory, unlike the previous in-place
+    ``mode('overwrite')`` whose delete-then-write window could leave
+    partial state behind a crash. A crash between the two renames
+    leaves the state at ``._old`` with no live path; the next merge
+    restores it before reading (and the interrupted batch replays from
+    the stream checkpoint — the standard foreachBatch contract).
+    """
+    spark = new.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    state = hpath(state_path)
+    old = hpath(state_path + "._old")
+    tmp = hpath(state_path + "._tmp")
+    fs = state.getFileSystem(spark._jsc.hadoopConfiguration())
+    # crash recovery: a swap that died between its two renames parked
+    # the accumulated state at ._old — restore it, don't restart from
+    # zero
+    if not fs.exists(state) and fs.exists(old):
+        fs.rename(old, state)
+    if fs.exists(state):
+        cur = spark.read.parquet(state_path)
+        merged = merge(cur)  # errors here propagate — no fallback
+    else:  # first batch: no state yet
         merged = new
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        state_path)
+    if fs.exists(tmp):  # leftover from an interrupted stage write
+        fs.delete(tmp, True)
+    merged.write.parquet(state_path + "._tmp")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(state):
+        fs.rename(state, old)
+    fs.rename(tmp, state)
+    fs.delete(old, True)
 
 
 def merge_hll_state(batch_df, state_path: str, key_col: str,

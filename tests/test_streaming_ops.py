@@ -390,3 +390,48 @@ def test_streaming_cms_and_bloom_match_batch(spark, tmp_path):
     hits = {r["k"]: r["bloom_hit"] for r in bloom_contains(
         streamed_bloom, probe, "k", m_bits=1 << 10, k=4).collect()}
     assert hits[0] == 1 and hits[99] == 1  # no false negatives
+
+
+def test_sketch_state_swap_recovers_and_fails_loudly(spark, tmp_path):
+    """_merge_into's durability contract (ADVICE r5): (a) the staged
+    rename-swap leaves no partial live state — a crash parked between
+    the two renames (state at ._old, live path gone) is recovered on
+    the next merge instead of silently restarting the sketch from the
+    incoming batch; (b) a merge-time analysis error (schema drift)
+    propagates — it must NOT be swallowed into merged=new."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from remote_storage_adapter_spark.operators.sketch import (
+        hll_distinct, hll_estimate,
+    )
+    from remote_storage_adapter_spark.streaming.sketch import (
+        merge_hll_state,
+    )
+
+    schema = StructType([StructField("user_id", LongType())])
+    state = str(tmp_path / "hll_state")
+    b1 = spark.createDataFrame([(u,) for u in range(300)], schema)
+    b2 = spark.createDataFrame([(u,) for u in range(200, 500)], schema)
+    merge_hll_state(b1, state, "user_id", p=10)
+    # simulate the crash window: live path renamed aside, not yet
+    # swapped
+    os.rename(state, state + "._old")
+    merge_hll_state(b2, state, "user_id", p=10)
+    assert not os.path.exists(state + "._old")  # swap completed
+    streamed = hll_estimate(
+        spark.read.parquet(state), (), p=10).first()["hll_estimate"]
+    both = b1.unionByName(b2)
+    batch = hll_distinct(both, "user_id", (), p=10).first()[
+        "hll_estimate"]
+    assert streamed == batch  # recovered state, not a silent reset
+    # (b) schema drift fails loudly: state table lacks the new frame's
+    # merge columns -> unionByName raises, state is left untouched
+    bad = str(tmp_path / "bad_state")
+    spark.range(5).write.parquet(bad)  # wrong schema for HLL state
+    with pytest.raises(AnalysisException):
+        merge_hll_state(b1, bad, "user_id", p=10)
+    assert {f.name for f in spark.read.parquet(bad).schema} == {"id"}

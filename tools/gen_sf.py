@@ -6,12 +6,12 @@ replicated ``factor`` times with ids remapped into disjoint ranges and
 content deterministically perturbed so the REPLICAS DO NOT COLLIDE:
 
 - ``documents.text``: per-replica deterministic word substitution —
-  every word whose hash lands in a replica-keyed residue class gets a
-  replica suffix. The map depends only on (replica, word), so two
-  within-replica near-dups keep every shared shingle (both sides
-  rewrite identically) while across replicas ~1/3 of words differ,
-  killing ~70% of shingles → cross-replica Jaccard ≈ 0.17, well under
-  the 0.5 near-dup threshold. (A cyclic word ROTATION does NOT work:
+  every word in the hash-selected half of the vocabulary gets a
+  replica suffix (replica 0 stays untouched). The map depends only on
+  (replica, word), so two within-replica near-dups keep every shared
+  shingle (both sides rewrite identically) while across replicas only
+  (1/2)^3 = 12.5% of 3-shingles survive → cross-replica Jaccard
+  ≈ 0.067, safely under the 0.2 pair threshold. (A cyclic word ROTATION does NOT work:
   it preserves every n-gram except at the seam, making all replicas
   near-dups of each other and inflating pair counts quadratically —
   measured 249k pairs instead of ~2.5k at factor 10.)
