@@ -182,6 +182,88 @@ def write_metrics(df: DataFrame, path: str, mode: str = "append", *,
         writer.parquet(path)
 
 
+def _publish_file(fs, src, dst) -> None:
+    """Single-file atomic publish (rename). Module-level seam so
+    crash-consistency tests can inject a failure mid-publish."""
+    fs.rename(src, dst)
+
+
+def _mark_committed(fs, marker) -> None:
+    """Atomic ledger commit (createNewFile). Module-level seam so
+    crash-consistency tests can inject a failure before the commit."""
+    fs.createNewFile(marker)
+
+
+def write_metrics_exactly_once(df: DataFrame, path: str,
+                               batch_id: int, *,
+                               files_per_date: int = 8) -> bool:
+    """K1 with an effectively-once replay contract on plain parquet —
+    the no-Delta answer to 'a retried micro-batch must not duplicate
+    or half-write rows' (the reference simply DROPS failed batches,
+    main.go:396-406; Spark's checkpoint replays them, so the sink must
+    be idempotent).
+
+    Protocol (per table path, per micro-batch):
+
+    1. ledger check: ``<path>/_ingest_ledger/batch-<id>`` exists ⇒ a
+       previous attempt fully published this batch — skip (returns
+       False).
+    2. stage: write the batch via :func:`write_metrics` into
+       ``<path>/_staging/batch-<id>`` in overwrite mode (clobbers any
+       partial staging a crashed attempt left).
+    3. clean: delete live files matching ``date=*/b<id>-*`` — the
+       visible residue of a crashed attempt that died mid-publish.
+    4. publish: rename each staged file into its live date partition
+       as ``b<id>-<name>`` (one atomic rename per file).
+    5. commit: atomically create the ledger marker.
+
+    A crash anywhere replays into the matching recovery: before any
+    publish ⇒ restage; mid-publish ⇒ step 3 removes the partial batch
+    and step 4 republishes; after publish but before commit ⇒ same;
+    after commit ⇒ step 1 skips. The batch-id prefix on every filename
+    is what makes a failed attempt's output identifiable — without it
+    a replay cannot distinguish its own partial rows from other
+    batches' (exactly the reason vanilla parquet append is only
+    at-least-once). ``_ingest_ledger`` and ``_staging`` live inside
+    the table path but start with '_', so parquet readers ignore them.
+
+    Readers see the batch's files appear one rename at a time — the
+    same mid-append visibility plain parquet always has; Delta's
+    all-or-nothing snapshot remains the opt-in upgrade
+    (:func:`write_metrics` ``format='delta'``).
+
+    Returns True if this call published the batch, False if the
+    ledger showed it already committed.
+    """
+    spark = df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = hpath(f"{path}/_ingest_ledger/batch-{batch_id:012d}")
+    if fs.exists(marker):
+        return False
+    staging = f"{path}/_staging/batch-{batch_id:012d}"
+    write_metrics(df, staging, mode="overwrite",
+                  files_per_date=files_per_date)
+    # sweep a crashed attempt's partially-published live files
+    for st in fs.globStatus(
+            hpath(f"{path}/{PARTITION_COLUMN}=*/b{batch_id:012d}-*")):
+        fs.delete(st.getPath(), False)
+    for st in fs.globStatus(
+            hpath(f"{staging}/{PARTITION_COLUMN}=*/*.parquet")):
+        src = st.getPath()
+        part = src.getParent().getName()  # date=YYYY-MM-DD
+        live_dir = hpath(f"{path}/{part}")
+        fs.mkdirs(live_dir)
+        _publish_file(
+            fs, src,
+            hpath(f"{path}/{part}/b{batch_id:012d}-{src.getName()}"))
+    fs.delete(hpath(staging), True)
+    fs.mkdirs(marker.getParent())
+    _mark_committed(fs, marker)
+    return True
+
+
 def write_metrics_table(df: DataFrame, table_name: str, *,
                         buckets: int = 32, mode: str = "append") -> None:
     """K1 catalog variant: date-partitioned AND bucketed by metric name.

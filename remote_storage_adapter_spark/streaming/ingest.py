@@ -11,8 +11,12 @@ request into ``landing_dir``; here ``readStream`` picks files up
 (micro-batch ≙ request batch, ``maxFilesPerTrigger`` = T4
 backpressure), runs the W1-W8+F1 pipeline, and ``foreachBatch``
 appends date-partitioned parquet per sink (K2 fan-out = sequential
-sink writes inside one batch — per-sink atomicity; with Delta this
-upgrades to transactional exactly-once per sink).
+sink writes inside one batch). ``exactly_once=True`` swaps the plain
+append for the batch-ledger sink
+(operators.ingest.write_metrics_exactly_once): a checkpoint-replayed
+batch republishes idempotently — no duplicate and no partial rows,
+crash-tested at every protocol step in tests/test_ingest.py. Delta
+remains the opt-in upgrade for all-or-nothing reader snapshots.
 
 Late/out-of-order samples are accepted unconditionally (T2): raw
 ingest is append-only with event-time columns; ordering is imposed at
@@ -27,7 +31,11 @@ from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from remote_storage_adapter_spark.operators.ingest import ingest_batch, write_metrics
+from remote_storage_adapter_spark.operators.ingest import (
+    ingest_batch,
+    write_metrics,
+    write_metrics_exactly_once,
+)
 from remote_storage_adapter_spark.schema import WRITE_REQUEST_SCHEMA
 
 
@@ -87,8 +95,15 @@ def stream_ingest(
     max_files_per_trigger: int = 64,
     available_now: bool = False,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    exactly_once: bool = False,
 ):
-    """Start the ingest stream; returns the StreamingQuery."""
+    """Start the ingest stream; returns the StreamingQuery.
+
+    ``exactly_once``: publish each micro-batch through the
+    batch-ledger sink instead of plain append — a replayed batch
+    (crash before checkpoint commit) is re-published idempotently,
+    per sink path. Costs one extra rename per output file.
+    """
     raw = (
         spark.readStream.schema(WRITE_REQUEST_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -102,7 +117,10 @@ def stream_ingest(
         metrics.persist()
         try:
             for path in table_paths:  # K2 fan-out
-                write_metrics(metrics, path)
+                if exactly_once:
+                    write_metrics_exactly_once(metrics, path, batch_id)
+                else:
+                    write_metrics(metrics, path)
         finally:
             metrics.unpersist()
 

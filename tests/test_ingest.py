@@ -158,3 +158,78 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     q2 = stream_ingest(spark, landing, [out], ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 4
+
+
+def _vals(spark, path):
+    return sorted(r["val"] for r in spark.read.parquet(path).collect())
+
+
+def test_exactly_once_sink_survives_crash_at_every_step(
+        spark, tmp_path, monkeypatch):
+    """Crash-replay contract of write_metrics_exactly_once (VERDICT r5
+    next #4): whichever step a batch attempt dies at — mid-publish,
+    or after full publish but before the ledger commit — replaying the
+    batch yields the table exactly once, with no partial rows."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import ingest as I
+
+    m = ingest_batch(_requests(spark))  # 2 finite rows
+    path = str(tmp_path / "tbl")
+
+    # batch 0: clean publish, then replay → skipped, no duplicates
+    assert I.write_metrics_exactly_once(m, path, 0) is True
+    assert _vals(spark, path) == [1.23, 5.1234]
+    assert I.write_metrics_exactly_once(m, path, 0) is False
+    assert _vals(spark, path) == [1.23, 5.1234]
+
+    # batch 1, attempt dies after publishing ONE file (mid-publish)
+    calls = {"n": 0}
+    real_publish = I._publish_file
+
+    def dying_publish(fs, src, dst):
+        real_publish(fs, src, dst)
+        calls["n"] += 1
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(I, "_publish_file", dying_publish)
+    with pytest.raises(RuntimeError):
+        I.write_metrics_exactly_once(m, path, 1)
+    assert calls["n"] == 1  # died with a partial batch visible
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    # replay: partial residue swept, batch published exactly once
+    assert I.write_metrics_exactly_once(m, path, 1) is True
+    assert _vals(spark, path) == [1.23, 1.23, 5.1234, 5.1234]
+
+    # batch 2, attempt dies AFTER full publish, BEFORE ledger commit
+    def dying_commit(fs, marker):
+        raise RuntimeError("injected crash before ledger commit")
+
+    monkeypatch.setattr(I, "_mark_committed", dying_commit)
+    with pytest.raises(RuntimeError):
+        I.write_metrics_exactly_once(m, path, 2)
+    monkeypatch.undo()  # restore the real publish + commit seams
+    assert I.write_metrics_exactly_once(m, path, 2) is True
+    assert _vals(spark, path) == sorted([1.23, 5.1234] * 3)
+
+    # staging/ledger dirs are invisible to parquet readers
+    assert spark.read.parquet(path).count() == 6
+
+
+def test_exactly_once_stream_ignores_full_reprocess(spark, tmp_path):
+    """E2E: with exactly_once=True, re-running the stream over the
+    same landing files with a FRESH checkpoint (deterministic
+    re-batching: availableNow + maxFilesPerTrigger=1 feeds files in
+    order, so batch ids line up) publishes nothing new — the ledger,
+    not the checkpoint, is what makes replays idempotent. The plain
+    sink under the same restart duplicates every row."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "tbl")
+    land_write_request(landing, FIXTURE_TS, 1)
+    land_write_request(landing, FIXTURE_TS[:2], 2)
+    for ckpt in ("ck1", "ck2"):  # second run: fresh checkpoint
+        q = stream_ingest(spark, landing, [out],
+                          str(tmp_path / ckpt), available_now=True,
+                          max_files_per_trigger=1, exactly_once=True)
+        q.awaitTermination(120)
+        assert _vals(spark, out) == [1.23, 1.23, 5.1234, 5.1234]
