@@ -787,6 +787,12 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     # if their caches fill from the same first action each branch
     # recomputes the (potentially expensive) upstream pair-generation
     # plan — the cache-race that made clustering cost ~2× the pair job.
+    if local_contract:
+        # pin the INPUT so both branches below (contraction + base)
+        # read one materialization instead of re-running the upstream
+        # pair-generation plan twice
+        pairs = pairs.persist()
+        _PINNED.append(pairs)
     base = both.dropDuplicates(["src", "dst"]).persist()
     base.count()
     nodes = base.select(F.col("src").alias("id")).dropDuplicates(["id"])
@@ -799,7 +805,15 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     # appears (each edge contributes both endpoints), so the label
     # frame and the canonical min-id representative are unchanged.
     if local_contract:
-        stars = _contract_partitions(base)
+        # contract the RAW input projection, not `base`: dropDuplicates
+        # hash-scatters rows across shuffle partitions, destroying
+        # exactly the intra-partition adjacency the union-find pass
+        # exploits (measured on a 63-edge chain in 4 input partitions:
+        # contracting post-shuffle leaves 56 rounds; contracting the
+        # input leaves ~5). Union-find is insensitive to duplicate and
+        # unsymmetrized edges, so the un-deduped projection is fine.
+        stars = _contract_partitions(pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
         # re-symmetrize: label propagation is directional (src → dst),
         # and the component min must flow from the root back to every
         # member as well as member → root
