@@ -921,7 +921,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _O_minhash_lsh(k: int = 64, bands: int = 16,
-                   threshold: float = 0.2) -> str:
+                   threshold: float = 0.2,
+                   final: str = "pairs", cap: int = 1000) -> str:
+    """DuckDB twin of the banded-MinHash pipeline. ``final='pairs'``
+    emits the near-dup pair set; ``final='caps'`` emits the hot-bucket
+    accounting row — banded-posting drop count and max bucket size
+    against ``cap``, plus the UNCAPPED pair count (see
+    q_dedup_caps_accounting for why uncapped)."""
     rpb = k // bands
     sig_cols = ",\n         ".join(
         "min({}) AS h{}".format(_ph_sql("shingle || '#%d'" % i), i)
@@ -936,7 +942,7 @@ def _O_minhash_lsh(k: int = 64, bands: int = 16,
     agree = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
-    return f"""{_SHINGLE_CTE}
+    sql = f"""{_SHINGLE_CTE}
 , sigs AS (
   SELECT doc_id,
          {sig_cols}
@@ -955,12 +961,52 @@ def _O_minhash_lsh(k: int = 64, bands: int = 16,
   JOIN sigs sa ON sa.doc_id = cand.id_a
   JOIN sigs sb ON sb.doc_id = cand.id_b
 )
-SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
-FROM est WHERE est_jaccard >= {threshold}
+{{final_select}}
 """
+    finals = {
+        "pairs": f"""SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}""",
+        "caps": f"""SELECT
+  CAST(coalesce(sum(CASE WHEN n > {cap} THEN n END), 0) AS BIGINT)
+    AS dropped_banded_rows,
+  CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_seen,
+  CAST((SELECT count(*) FROM est WHERE est_jaccard >= {threshold})
+    AS BIGINT) AS n_pairs
+FROM (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2)""",
+    }
+    sql = sql.replace("{final_select}", finals[final])
+    return sql
 
 
 O_dedup_minhash_lsh = _O_minhash_lsh()
+
+
+def q_dedup_caps_accounting(spark, sf_dir):
+    """Hot-bucket cap accounting surfaced through the oracle gate
+    (VERDICT r5 next #6): runs the PRODUCTION profile — portable
+    signatures for oracle reproducibility, but with the default
+    bucket cap ON — and returns the drop accounting plus the capped
+    pair count as a single row.
+
+    The oracle computes the same dropped/max numbers from the bucket
+    counts but counts pairs UNCAPPED: the two sides agree iff zero
+    postings were dropped, so the moment the fixture corpus ever
+    grows a bucket past the cap, this row goes red instead of the cap
+    silently eating pairs inside an otherwise-green gate."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    stats: dict = {}
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                threshold=0.2, mode="portable",
+                                max_bucket_size=1000, caps_stats=stats)
+    n_pairs = pairs.count()
+    return spark.createDataFrame(
+        [(int(stats["dropped_banded_rows"]),
+          int(stats["max_bucket_seen"]), n_pairs)],
+        "dropped_banded_rows bigint, max_bucket_seen bigint, "
+        "n_pairs bigint")
+
+
+O_dedup_caps_accounting = _O_minhash_lsh(final="caps")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -3032,6 +3078,8 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_clusters": (q_dedup_clusters, O_dedup_clusters),
     "dedup_resolve_modes": (q_dedup_resolve_modes, O_dedup_resolve_modes),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
+    "dedup_caps_accounting": (q_dedup_caps_accounting,
+                              O_dedup_caps_accounting),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
