@@ -67,7 +67,8 @@ def bench_write_metrics(spark, sf_dir):
 def bench_dedup_minhash_lsh(spark, sf_dir):
     """OPH fast path (one xxhash64 pass per shingle) — the throughput
     variant; the registry's dedup_minhash_lsh runs the md5-portable
-    mode so the pair set is DuckDB-oracle-checked."""
+    mode (capped production profile + caps:* accounting legs) so the
+    pair set AND the drop accounting are DuckDB-oracle-checked."""
     from remote_storage_adapter_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")

@@ -905,29 +905,48 @@ def _ph_sql(e: str) -> str:
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH banded near-dup pairs, portable-hash mode: the
+    """MinHash+LSH banded near-dup pairs, portable-hash mode (the
     md5-derived signatures and exact band keys are bit-reproducible in
-    DuckDB, so the full pair set is oracle-checked (the xxhash64
-    OPH/kmin fast paths share the topology and are unit-tested +
-    benched)."""
+    DuckDB), MERGED with the hot-bucket cap accounting legs (VERDICT
+    r5 next #6; merged rather than a 51st row — the driver's oracle
+    window is 50).
+
+    Runs the PRODUCTION capped profile. The 'pair' legs are the
+    capped pair set; the 'caps:*' legs surface the eager drop
+    accounting. The oracle reproduces the bucket-count math but
+    emits the UNCAPPED pair set and count, so the whole row agrees
+    iff zero postings were dropped — the moment the fixture corpus
+    grows a bucket past the cap this goes red instead of the cap
+    silently eating pairs inside a green gate. (The xxhash64 OPH/kmin
+    fast paths share the topology and are unit-tested + benched.)"""
     docs = load_table(_prep(spark), sf_dir, "documents")
-    # max_bucket_size=None: exact banding — required for the DuckDB
-    # oracle; production callers keep the default bucket cap
+    stats: dict = {}
     pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
                                 threshold=0.2, mode="portable",
-                                max_bucket_size=None)
-    return pairs.select("id_a", "id_b",
-                        F.round("est_jaccard", 6).alias("est_jaccard"))
+                                max_bucket_size=1000, caps_stats=stats)
+    n_pairs = pairs.count()  # cached signatures: no pipeline rerun
+    pair_leg = pairs.select(
+        F.lit("pair").alias("leg"), "id_a", "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"))
+    caps_leg = spark.createDataFrame(
+        [("caps:dropped_banded_rows",
+          float(stats["dropped_banded_rows"])),
+         ("caps:max_bucket_seen", float(stats["max_bucket_seen"])),
+         ("caps:n_pairs", float(n_pairs))],
+        "leg string, est_jaccard double").select(
+        "leg", F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"), "est_jaccard")
+    return pair_leg.unionByName(caps_leg)
 
 
 def _O_minhash_lsh(k: int = 64, bands: int = 16,
                    threshold: float = 0.2,
                    final: str = "pairs", cap: int = 1000) -> str:
     """DuckDB twin of the banded-MinHash pipeline. ``final='pairs'``
-    emits the near-dup pair set; ``final='caps'`` emits the hot-bucket
-    accounting row — banded-posting drop count and max bucket size
-    against ``cap``, plus the UNCAPPED pair count (see
-    q_dedup_caps_accounting for why uncapped)."""
+    emits the near-dup pair set; ``final='pairs_caps'`` appends the
+    hot-bucket accounting legs — banded-posting drop count and max
+    bucket size against ``cap``, plus the UNCAPPED pair count (see
+    q_dedup_minhash_lsh for why uncapped)."""
     rpb = k // bands
     sig_cols = ",\n         ".join(
         "min({}) AS h{}".format(_ph_sql("shingle || '#%d'" % i), i)
@@ -961,52 +980,32 @@ def _O_minhash_lsh(k: int = 64, bands: int = 16,
   JOIN sigs sa ON sa.doc_id = cand.id_a
   JOIN sigs sb ON sb.doc_id = cand.id_b
 )
+, bc AS (
+  SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2
+)
 {{final_select}}
 """
+    pairs_select = f"""SELECT 'pair' AS leg, id_a, id_b,
+       round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}"""
     finals = {
         "pairs": f"""SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
 FROM est WHERE est_jaccard >= {threshold}""",
-        "caps": f"""SELECT
-  CAST(coalesce(sum(CASE WHEN n > {cap} THEN n END), 0) AS BIGINT)
-    AS dropped_banded_rows,
-  CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket_seen,
-  CAST((SELECT count(*) FROM est WHERE est_jaccard >= {threshold})
-    AS BIGINT) AS n_pairs
-FROM (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2)""",
+        "pairs_caps": f"""{pairs_select}
+UNION ALL SELECT 'caps:dropped_banded_rows', -1, -1,
+  CAST(coalesce(sum(CASE WHEN n > {cap} THEN n END), 0) AS DOUBLE)
+  FROM bc
+UNION ALL SELECT 'caps:max_bucket_seen', -1, -1,
+  CAST(coalesce(max(n), 0) AS DOUBLE) FROM bc
+UNION ALL SELECT 'caps:n_pairs', -1, -1,
+  CAST(count(*) AS DOUBLE)
+  FROM est WHERE est_jaccard >= {threshold}""",
     }
     sql = sql.replace("{final_select}", finals[final])
     return sql
 
 
-O_dedup_minhash_lsh = _O_minhash_lsh()
-
-
-def q_dedup_caps_accounting(spark, sf_dir):
-    """Hot-bucket cap accounting surfaced through the oracle gate
-    (VERDICT r5 next #6): runs the PRODUCTION profile — portable
-    signatures for oracle reproducibility, but with the default
-    bucket cap ON — and returns the drop accounting plus the capped
-    pair count as a single row.
-
-    The oracle computes the same dropped/max numbers from the bucket
-    counts but counts pairs UNCAPPED: the two sides agree iff zero
-    postings were dropped, so the moment the fixture corpus ever
-    grows a bucket past the cap, this row goes red instead of the cap
-    silently eating pairs inside an otherwise-green gate."""
-    docs = load_table(_prep(spark), sf_dir, "documents")
-    stats: dict = {}
-    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
-                                threshold=0.2, mode="portable",
-                                max_bucket_size=1000, caps_stats=stats)
-    n_pairs = pairs.count()
-    return spark.createDataFrame(
-        [(int(stats["dropped_banded_rows"]),
-          int(stats["max_bucket_seen"]), n_pairs)],
-        "dropped_banded_rows bigint, max_bucket_seen bigint, "
-        "n_pairs bigint")
-
-
-O_dedup_caps_accounting = _O_minhash_lsh(final="caps")
+O_dedup_minhash_lsh = _O_minhash_lsh(final="pairs_caps")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -3078,8 +3077,6 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_clusters": (q_dedup_clusters, O_dedup_clusters),
     "dedup_resolve_modes": (q_dedup_resolve_modes, O_dedup_resolve_modes),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, O_dedup_minhash_lsh),
-    "dedup_caps_accounting": (q_dedup_caps_accounting,
-                              O_dedup_caps_accounting),
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
