@@ -226,12 +226,12 @@ def main():
     # queries whose r3→r4 deltas sat inside their measured spread get
     # extra reps so direction is resolvable (VERDICT r4 next #4);
     # target spread ≤10% of median
-    extra_reps = {"dedup_clusters": max(reps, 5),
+    extra_reps = {"dedup_clusters": max(reps, 7),
                   "simsearch_ivf": max(reps, 5),
-                  "dedup_cross_join": max(reps, 5),
-                  "dedup_minhash_lsh": max(reps, 5),
-                  "write_metrics": max(reps, 5)}
-    timings, spread, rep_counts = {}, {}, {}
+                  "dedup_cross_join": max(reps, 7),
+                  "dedup_minhash_lsh": max(reps, 7),
+                  "write_metrics": max(reps, 7)}
+    timings, spread, rep_counts, raw_runs = {}, {}, {}, {}
     for name, fn in BENCH_QUERIES.items():
         # one untimed warm-up rep per query: the first run pays
         # one-time costs the operator doesn't own (shuffle-file
@@ -252,17 +252,23 @@ def main():
         from remote_storage_adapter_spark.operators import dedup as _D
 
         fn(spark, sf_dir).count()
-        _D.unpersist_pinned()
+        _D.unpersist_pinned(blocking=True)
+        # settle the JVM before timing: evicted cache blocks and
+        # shuffle buffers from the previous query otherwise surface as
+        # GC pauses inside this query's reps (untimed, ~100 ms)
+        spark.sparkContext._jvm.System.gc()
         n_reps = rep_counts[name] = extra_reps.get(name, reps)
         runs = []
         for _ in range(n_reps):
             t0 = time.time()
             n = fn(spark, sf_dir).count()  # count() forces execution
             runs.append(time.time() - t0)
-            _D.unpersist_pinned()
+            # blocking: eviction must not race the next rep's timing
+            _D.unpersist_pinned(blocking=True)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # median
         spread[name] = round(runs[-1] - runs[0], 3)
+        raw_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: {timings[name]}s median of {n_reps} "
               f"(spread {spread[name]}s, {n} rows)", file=sys.stderr)
 
@@ -284,6 +290,9 @@ def main():
         # those rows); base_reps is the configured default
         "reps": rep_counts,
         "base_reps": reps,
+        # sorted per-rep walls: max-min 'spread' inflates with rep
+        # count; the raw runs let a reader compute robust stats
+        "runs": raw_runs,
         "sf": sf_val,
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
