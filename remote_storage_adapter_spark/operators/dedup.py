@@ -676,6 +676,129 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
     )
 
 
+def minhash_index(docs: DataFrame, table_prefix: str, *,
+                  num_hashes: int = 64, bands: int = 16,
+                  shingle_n: int = 3, mode: str = "oph",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  buckets: int = 32) -> None:
+    """Materialize a reference corpus' MinHash-LSH index as bucketed
+    catalog tables — :func:`minhash_lsh_join`'s 'the banded frame is
+    the index' reuse story, made concrete. Sign the 100 TB reference
+    corpus ONCE; every incoming batch then joins against bucketed
+    scans, never re-signing or re-shuffling the reference side.
+
+    Tables written (``saveAsTable``, overwrite):
+
+    - ``{prefix}_banded``: (id, band, bucket), bucketed by
+      (band, bucket) — the candidate join reads it pre-distributed,
+      so only the (small) incoming side shuffles.
+    - ``{prefix}_sigs``: (id, sig), bucketed by id — the signature
+      join-back for Jaccard estimation.
+    - ``{prefix}_counts``: (band, bucket, _n) bucket populations,
+      aggregated once here — join-time capping broadcasts the tiny
+      over-cap list instead of re-counting the corpus per batch.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    sig_fn = {
+        "oph": minhash_signatures_oph,
+        "kmin": minhash_signatures,
+        "portable": minhash_signatures_portable,
+    }[mode]
+    sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
+                       shingle_n=shingle_n, id_col=id_col,
+                       text_col=text_col))
+    sigs.count()  # one materialization feeds all three writes
+    banded = _band_frame(sigs, bands=bands,
+                         rows_per_band=num_hashes // bands, mode=mode)
+    (banded.write.mode("overwrite").bucketBy(buckets, "band", "bucket")
+     .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
+    (sigs.write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+     .saveAsTable(f"{table_prefix}_sigs"))
+    (banded.groupBy("band", "bucket")
+     .agg(F.count(F.lit(1)).alias("_n"))
+     .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
+
+
+def minhash_lsh_join_indexed(spark, table_prefix: str,
+                             incoming: DataFrame, *,
+                             num_hashes: int = 64, bands: int = 16,
+                             shingle_n: int = 3,
+                             threshold: float = 0.5,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             mode: str = "oph",
+                             max_bucket_size: int | None = 1000,
+                             caps_stats: dict | None = None
+                             ) -> DataFrame:
+    """Cross-corpus fuzzy join of an incoming batch against a
+    :func:`minhash_index` — identical pair semantics to
+    :func:`minhash_lsh_join` (equality-locked in pytest), but the
+    reference corpus contributes only bucketed table scans: its
+    banded postings arrive pre-distributed on the join key and its
+    bucket populations were aggregated at build time. Per incoming
+    batch, the only full-corpus-sized work is the candidate join
+    itself. ``mode``/``bands``/``num_hashes``/``shingle_n`` must
+    match the index build."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rb = spark.table(f"{table_prefix}_banded")
+    rs = spark.table(f"{table_prefix}_sigs")
+    sig_fn = {
+        "oph": minhash_signatures_oph,
+        "kmin": minhash_signatures,
+        "portable": minhash_signatures_portable,
+    }[mode]
+    ls = _pin(sig_fn(incoming, num_hashes=num_hashes,
+                     shingle_n=shingle_n, id_col=id_col,
+                     text_col=text_col))
+    ls.count()  # banding + join-back read one materialization
+    lb = _band_frame(ls, bands=bands,
+                     rows_per_band=num_hashes // bands, mode=mode)
+    if max_bucket_size is not None:
+        counts_l = lb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n"))
+        rcounts = spark.table(f"{table_prefix}_counts")
+        if caps_stats is not None:
+            caps_stats.update(_cap_stats(
+                counts_l, "_n", max_bucket_size,
+                "dropped_banded_rows_left", "max_bucket_seen_left"))
+            caps_stats.update(_cap_stats(
+                rcounts, "_n", max_bucket_size,
+                "dropped_banded_rows_right", "max_bucket_seen_right"))
+        lb = lb.join(
+            counts_l.filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket"), ["band", "bucket"], "left_anti")
+        rb = rb.join(
+            rcounts.filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket"), ["band", "bucket"], "left_anti")
+    cand = (
+        lb.alias("a").join(
+            rb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    sig_l = ls.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"))
+    sig_r = rs.select(F.col("id").alias("id_r"), F.col("sig").alias("sig_r"))
+    paired = cand.join(sig_l, "id_l").join(sig_r, "id_r")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_l"), F.col("sig_r"),
+                       lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        paired.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_l", "id_r", "est_jaccard")
+    )
+
+
 def _contract_partitions(edges: DataFrame) -> DataFrame:
     """Partition-local union-find contraction: collapse every merge
     that is visible WITHIN a partition into (node → local root) star

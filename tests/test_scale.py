@@ -469,3 +469,52 @@ def test_minhash_lsh_join_reuses_cached_signatures(spark):
         # the split text) must not appear outside the cached subtrees
         assert "posexplode" not in plan.split("InMemoryTableScan")[0]
         out.count()
+
+
+def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
+    """The materialized MinHash index (minhash_index +
+    minhash_lsh_join_indexed): (a) pair set and caps accounting are
+    IDENTICAL to the direct minhash_lsh_join, capped and uncapped;
+    (b) the candidate join reads the banded reference table as a
+    bucketed scan — pre-distributed on (band, bucket), so the
+    reference side re-signs/re-shuffles nothing per incoming batch
+    and the indexed plan carries fewer Exchanges than the direct
+    one."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    ref = spark.createDataFrame(
+        [(100 + i, f"common text body shared across docs w{i % 3}")
+         for i in range(12)], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(i, f"common text body shared across docs v{i % 2}")
+         for i in range(8)], "doc_id long, text string")
+    prefix = "mh_idx_test"
+    for t in ("banded", "sigs", "counts"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    with D.cache_scope():
+        D.minhash_index(ref, prefix, num_hashes=16, bands=4,
+                        shingle_n=3, buckets=4)
+        for cap in (1000, None):
+            st_d, st_i = {}, {}
+            direct = D.minhash_lsh_join(
+                inc, ref, num_hashes=16, bands=4, threshold=0.1,
+                max_bucket_size=cap,
+                caps_stats=st_d if cap else None)
+            indexed = D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, max_bucket_size=cap,
+                caps_stats=st_i if cap else None)
+            a = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
+                       for r in direct.collect())
+            b = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
+                       for r in indexed.collect())
+            assert a == b and a  # identical, non-empty
+            assert st_d == st_i  # same drop accounting, both sides
+        plan = _spark_plan(D.minhash_lsh_join_indexed(
+            spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1))
+        direct_plan = _spark_plan(D.minhash_lsh_join(
+            inc, ref, num_hashes=16, bands=4, threshold=0.1))
+        assert "SelectedBucketsCount" in plan  # bucketed banded scan
+        assert plan.count("Exchange") < direct_plan.count("Exchange")
+    for t in ("banded", "sigs", "counts"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
