@@ -194,7 +194,8 @@ def _topk_terms(scored: DataFrame, k: int) -> DataFrame:
 
 def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    broadcast_df: bool = True) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf-idf
     (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-learn form —
     public formulation; never divides by zero, keeps corpus-wide
@@ -204,12 +205,22 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
     (term-keyed, tiny) broadcast back → pure-map score → window-free
     per-doc top-k (:func:`_topk_terms`). N is one driver-side count —
     a scalar literal in the plan.
+
+    ``broadcast_df``: the df-stats side is the distinct VOCABULARY,
+    which is sublinear in corpus size but not bounded — at a 100 TB
+    web corpus distinct tokens can run to billions of rows and no
+    longer fit an executor. Pass ``False`` there to drop the hint and
+    let the term join shuffle (both sides term-keyed hash aggregates,
+    so the shuffle is skew-safe); the default stays broadcast, which
+    is right for vocabularies up to a few GB (BENCH_SF1.md watch
+    item).
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
     n_docs = docs.count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
     scored = (
-        tf_dl.join(F.broadcast(df_counts), "term")
+        tf_dl.join(F.broadcast(df_counts) if broadcast_df
+                   else df_counts, "term")
         .select(
             "id", "term",
             F.round(F.col("tf") * idf, 9).alias("score"),
@@ -224,12 +235,16 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
 def bm25_top_terms(docs: DataFrame, *, k: int = 5,
                    k1: float = 1.2, b: float = 0.75,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   broadcast_df: bool = True) -> DataFrame:
     """Top-``k`` terms per document by BM25 term weight
     (Robertson–Spärck Jones idf = ln(1 + (N − df + 0.5)/(df + 0.5));
     tf saturation k1, length normalization b — the public Okapi
     formulation). Same plan shape as :func:`tfidf_top_terms`; the
     average document length folds in as a driver-computed literal.
+    ``broadcast_df=False`` switches the vocabulary join to a shuffle
+    for corpora whose distinct-token table outgrows an executor (see
+    :func:`tfidf_top_terms`).
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
     n_docs = docs.count()
@@ -243,7 +258,8 @@ def bm25_top_terms(docs: DataFrame, *, k: int = 5,
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     )
     scored = (
-        tf_dl.join(F.broadcast(df_counts), "term")
+        tf_dl.join(F.broadcast(df_counts) if broadcast_df
+                   else df_counts, "term")
         .select("id", "term", F.round(idf * tf_part, 9).alias("score"))
     )
     return _topk_terms(scored, k).select(

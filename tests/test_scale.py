@@ -326,6 +326,29 @@ def test_new_pipeline_operator_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in tfidf
     assert "SortAggregate" not in tfidf
 
+    # huge-vocabulary escape hatch (BENCH_SF1 watch item):
+    # broadcast_df=False drops the HINT, so when Catalyst judges the
+    # df table too big to broadcast (simulated here by disabling the
+    # auto threshold) the term join degrades to a shuffle instead of
+    # OOMing an executor; the default hint would force the broadcast
+    # regardless. Scores identical either way.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_bc = _spark_plan(TX.tfidf_top_terms(docs,
+                                               broadcast_df=False))
+        assert ("SortMergeJoin" in no_bc
+                or "ShuffledHashJoin" in no_bc)
+        hinted = _spark_plan(TX.tfidf_top_terms(docs))
+        assert "BroadcastHashJoin" in hinted  # hint beats threshold
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    sample = docs.limit(50)
+    a = sorted(map(tuple, TX.tfidf_top_terms(sample).collect()))
+    b = sorted(map(tuple, TX.tfidf_top_terms(
+        sample, broadcast_df=False).collect()))
+    assert a == b
+
     assert "Exchange" not in _spark_plan(TX.chunk_documents(docs))
     assert "Exchange" not in _spark_plan(
         hash_split(docs, [("a", 0.5), ("b", 0.5)], key="doc_id"))
