@@ -720,6 +720,44 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
 
 
+def minhash_index_append(docs: DataFrame, table_prefix: str, *,
+                         num_hashes: int = 64, bands: int = 16,
+                         shingle_n: int = 3, mode: str = "oph",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         buckets: int = 32) -> None:
+    """Fold a new batch of reference docs into an existing
+    :func:`minhash_index` without re-signing the corpus: sign ONLY
+    the batch, append its postings/signatures into the bucketed
+    tables (bucket spec must match the build), and refresh the
+    bucket-counts table. The counts refresh aggregates the banded
+    table — bucketed by (band, bucket), so that groupBy is
+    exchange-free regardless of corpus size. Caller owns id
+    uniqueness across appends (duplicate ids would double-count
+    themselves as candidate pairs)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    spark = docs.sparkSession
+    sig_fn = {
+        "oph": minhash_signatures_oph,
+        "kmin": minhash_signatures,
+        "portable": minhash_signatures_portable,
+    }[mode]
+    sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
+                       shingle_n=shingle_n, id_col=id_col,
+                       text_col=text_col))
+    sigs.count()
+    banded = _band_frame(sigs, bands=bands,
+                         rows_per_band=num_hashes // bands, mode=mode)
+    (banded.write.mode("append").bucketBy(buckets, "band", "bucket")
+     .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
+    (sigs.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+     .saveAsTable(f"{table_prefix}_sigs"))
+    (spark.table(f"{table_prefix}_banded")
+     .groupBy("band", "bucket")
+     .agg(F.count(F.lit(1)).alias("_n"))
+     .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
+
+
 def minhash_lsh_join_indexed(spark, table_prefix: str,
                              incoming: DataFrame, *,
                              num_hashes: int = 64, bands: int = 16,

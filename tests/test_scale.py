@@ -539,5 +539,31 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             inc, ref, num_hashes=16, bands=4, threshold=0.1))
         assert "SelectedBucketsCount" in plan  # bucketed banded scan
         assert plan.count("Exchange") < direct_plan.count("Exchange")
+
+        # incremental append: index(ref) + append(more) must equal a
+        # fresh index(ref ∪ more) — same pairs against the grown
+        # corpus, counts refreshed exchange-free from the bucketed
+        # banded table
+        more = spark.createDataFrame(
+            [(200 + i, f"common text body shared across docs v{i % 2}")
+             for i in range(4)], "doc_id long, text string")
+        D.minhash_index_append(more, prefix, num_hashes=16, bands=4,
+                               shingle_n=3, buckets=4)
+        grown = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1).collect())
+        direct_grown = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join(
+                inc, ref.unionByName(more), num_hashes=16, bands=4,
+                threshold=0.1).collect())
+        assert grown == direct_grown
+        assert len(grown) > len(a)  # the appended docs matched too
+        counts_plan = _spark_plan(
+            spark.table(f"{prefix}_banded").groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n")))
+        assert "Exchange" not in counts_plan  # bucketed agg, no shuffle
     for t in ("banded", "sigs", "counts"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
