@@ -435,3 +435,75 @@ def test_sketch_state_swap_recovers_and_fails_loudly(spark, tmp_path):
     with pytest.raises(AnalysisException):
         merge_hll_state(b1, bad, "user_id", p=10)
     assert {f.name for f in spark.read.parquet(bad).schema} == {"id"}
+
+
+def test_streaming_minhash_index_matches_batch_and_skips_replay(
+        spark, tmp_path):
+    """Streaming index maintenance: documents landed across N
+    micro-batches build the SAME index a one-shot minhash_index over
+    the union would (join outputs identical), and a fresh-checkpoint
+    reprocess of the same landing files applies nothing (the
+    {prefix}_applied ledger, not the checkpoint, is what makes
+    replays idempotent — a blind re-append would duplicate pairs)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming.dedup import (
+        stream_minhash_index_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    prefix = "mh_stream_test"
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    batches = [
+        [(100 + i, f"common text body shared across docs w{i % 3}")
+         for i in range(8)],
+        [(200 + i, f"common text body shared across docs w{i % 3}")
+         for i in range(6)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+    inc = spark.createDataFrame(
+        [(i, f"common text body shared across docs v{i % 2}")
+         for i in range(5)], schema)
+
+    def run(ckpt):
+        q = stream_minhash_index_maintain(
+            spark, landing, prefix, str(tmp_path / ckpt),
+            schema=schema, available_now=True,
+            max_files_per_trigger=1, num_hashes=16, bands=4,
+            shingle_n=3, buckets=4)
+        q.awaitTermination(120)
+
+    run("ck1")
+    streamed = sorted(
+        (r.id_l, r.id_r, round(r.est_jaccard, 9))
+        for r in D.minhash_lsh_join_indexed(
+            spark, prefix, inc, num_hashes=16, bands=4,
+            threshold=0.1).collect())
+    with D.cache_scope():
+        direct = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join(
+                inc, spark.createDataFrame(
+                    [r for b in batches for r in b], schema),
+                num_hashes=16, bands=4, threshold=0.1).collect())
+    assert streamed == direct and streamed
+    # same checkpoint restart: no-op; FRESH checkpoint: ledger skips
+    for ckpt in ("ck1", "ck2"):
+        run(ckpt)
+        again = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1).collect())
+        assert again == streamed
+    assert spark.table(f"{prefix}_applied").count() == 2
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
