@@ -233,3 +233,26 @@ def test_exactly_once_stream_ignores_full_reprocess(spark, tmp_path):
                           max_files_per_trigger=1, exactly_once=True)
         q.awaitTermination(120)
         assert _vals(spark, out) == [1.23, 1.23, 5.1234, 5.1234]
+
+
+def test_exactly_once_ledger_survives_compaction(spark, tmp_path):
+    """Compaction rewrites a partition's files (batch-id prefixes
+    disappear), which must not confuse a later replay: the ledger —
+    not the file names — is the commit record, so a replayed batch
+    whose files were compacted away is still skipped."""
+    from remote_storage_adapter_spark.operators import ingest as I
+    from remote_storage_adapter_spark.plans.compact import (
+        compact_table, partition_file_counts,
+    )
+
+    m = ingest_batch(_requests(spark))  # 2 finite rows
+    path = str(tmp_path / "tbl")
+    I.write_metrics_exactly_once(m, path, 0)
+    I.write_metrics_exactly_once(m, path, 1)
+    assert _vals(spark, path) == sorted([1.23, 5.1234] * 2)
+    compact_table(spark, path, target_files=1)
+    assert all(n == 1 for n in partition_file_counts(path).values())
+    # replay both batches post-compaction: ledger says committed
+    assert I.write_metrics_exactly_once(m, path, 0) is False
+    assert I.write_metrics_exactly_once(m, path, 1) is False
+    assert _vals(spark, path) == sorted([1.23, 5.1234] * 2)
