@@ -1314,7 +1314,89 @@ def embedding_near_dup_pairs(embs: DataFrame, *, threshold: float = 0.95,
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+            # try_divide: a zero-norm member has undefined cosine —
+            # NULL fails the threshold filter (no pair), instead of
+            # an ANSI DIVIDE_BY_ZERO aborting the whole job
+            F.try_divide(dot,
+                         F.col("a.norm") * F.col("b.norm"))
+            .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cell_size: int | None = 10_000,
+                   caps_stats: dict | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public technique: Abbas
+    et al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): k-means-cluster the
+    embedding space, then inside each cluster drop every document that
+    has a smaller-id neighbor at cosine ≥ ``threshold``.
+
+    Returns the DROP decisions — one row per removed document:
+    ``(id, cell, rep, cosine)`` where ``rep`` is the SMALLEST same-cell
+    id with cosine ≥ threshold (the deterministic representative the
+    drop is charged to) and ``cosine`` is cos(id, rep). Documents that
+    survive do not appear; retention is one anti-join against the
+    ``id`` column (same shape as :func:`resolve_duplicates`).
+
+    Drop rule vs transitive closure: the published algorithm keeps one
+    representative per ε-similar GROUP within a cluster; this
+    implementation uses the order-free "drop iff a smaller-id
+    within-cell neighbor is ≥ τ" rule. It is slightly more aggressive
+    on chains (b~a drops b, c~b drops c even when c≁a) but is
+    engine-reproducible in one aggregate — no iterative closure — and
+    every drop is still witnessed by a genuinely-similar kept-or-
+    dropped neighbor. For closure semantics feed the within-cell pairs
+    to :func:`dedup_clusters` instead.
+
+    Scale story (100 TB): Lloyd training and assignment come from
+    ``similarity.ivf_train`` — centroids are the ONLY driver state
+    (n_cells × dim doubles), assignment is the literal-folded
+    zero-shuffle map pass, and the quadratic member join is blocked by
+    ``cell``, so its cost is Σ|cell|² — bounded by choosing n_cells ∝
+    corpus size (cells of ~1-10k vectors) exactly as the paper
+    prescribes. ``max_cell_size`` is the guardrail for skewed
+    clusterings: cells larger than the cap are EXCLUDED from the pair
+    join (their members are all kept — refuse-to-guess, never
+    quadratic blowup), with eager accounting via ``caps_stats``
+    (``dropped_cell_members``: members excluded that way;
+    ``max_cell_seen``): zero dropped ⇒ the capped result IS the exact
+    result. Pass ``max_cell_size=None`` for the uncapped oracle mode.
+    """
+    from remote_storage_adapter_spark.operators.similarity import (
+        ivf_train,
+    )
+
+    assigned, _ = ivf_train(embs, n_cells=n_cells, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    if max_cell_size is not None:
+        cell_counts = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n"))
+        if caps_stats is not None:
+            caps_stats.update(_cap_stats(
+                cell_counts, "_n", max_cell_size,
+                "dropped_cell_members", "max_cell_seen",
+            ))
+        # anti-join against the over-cap cells — tiny by construction
+        # (it is what the cap bounds), so AQE broadcasts it
+        assigned = assigned.join(
+            cell_counts.filter(F.col("_n") > max_cell_size)
+            .select("cell"),
+            "cell", "left_anti",
+        )
+    pairs = embedding_near_dup_pairs(
+        assigned, threshold=threshold, block_col="cell",
+        id_col=id_col, vec_col=vec_col,
+    )
+    # rep = smallest qualifying neighbor; min_by is deterministic here
+    # because id_a is unique within an id_b group
+    drops = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("rep"),
+        F.min_by("cosine", "id_a").alias("cosine"),
+    )
+    cells = assigned.select(F.col(id_col).alias("id"), "cell")
+    return drops.join(cells, "id").select("id", "cell", "rep", "cosine")

@@ -48,7 +48,10 @@ def cosine_to(vec: Column, query: Sequence[float]) -> Column:
     import math
 
     qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
-    return _dot_lit(vec, query) / (_norm(vec) * F.lit(qn))
+    # try_divide: a zero-norm vector (failed encoder output) has
+    # undefined cosine — NULL, which every >= / top-k ordering
+    # consumer excludes, instead of an ANSI DIVIDE_BY_ZERO job abort
+    return F.try_divide(_dot_lit(vec, query), _norm(vec) * F.lit(qn))
 
 
 def brute_force_topk(embs: DataFrame, query: Sequence[float], k: int = 10,
@@ -265,13 +268,22 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
         # vector norm hoisted into a column (computed once, not per
         # seed); seed norms are Python constants folded into the plan.
         with_n = embs.withColumn("_vn", _norm(F.col(vec_col)))
+        # try_divide + coalesce(-2): a zero-norm vector has no
+        # meaningful nearest cell; sim = -2 (below any real cosine)
+        # for EVERY seed makes the lexicographic max fall through to
+        # the lowest cell id — deterministic, and such a vector can
+        # never win a similarity comparison downstream
         cands = F.array(*[
             F.struct(
-                (
-                    _dot_lit(F.col(vec_col), [float(x) for x in vec])
-                    / (F.col("_vn")
-                       * F.lit(math.sqrt(sum(float(x) * float(x)
-                                             for x in vec)) or 1.0))
+                F.coalesce(
+                    F.try_divide(
+                        _dot_lit(F.col(vec_col),
+                                 [float(x) for x in vec]),
+                        F.col("_vn")
+                        * F.lit(math.sqrt(sum(float(x) * float(x)
+                                              for x in vec)) or 1.0),
+                    ),
+                    F.lit(-2.0),
                 ).alias("sim"),
                 F.lit(-int(sid)).cast("long").alias("neg_id"),
             )
@@ -291,7 +303,11 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col(vec_col)) * _norm(F.col("seed_vec")))
+    cos = F.coalesce(
+        F.try_divide(dot,
+                     _norm(F.col(vec_col)) * _norm(F.col("seed_vec"))),
+        F.lit(-2.0),  # zero-norm vector: below any real cosine
+    )
     other = [c for c in embs.columns if c != id_col]
     return (
         embs.crossJoin(broadcast(seeds))
@@ -341,6 +357,11 @@ def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
     ).collect()
     centroids = [(i, [float(x) for x in r[vec_col]])
                  for i, r in enumerate(seeds)]
+    if not centroids:
+        # empty corpus (e.g. an empty micro-batch): no seeds to fold
+        # into the assignment plan — return an empty assignment with
+        # the output schema instead of building array_max(array())
+        return embs.withColumn("cell", F.lit(0).cast("long")), []
     assigned = None
     for _ in range(max(iters, 0)):
         assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,

@@ -1177,35 +1177,159 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 O_dedup_simhash = _O_simhash()
 
 
+_IVF_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+def _lloyd_assign(src_cells: str, out: str) -> str:
+    """CTE: assign each vector in ``v`` to its argmax-cosine cell of
+    ``src_cells`` (ties → lowest cell id) — DuckDB twin of
+    similarity.ivf_index's literal-folded assignment."""
+    return f"""{out} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a='e', b='cv')} DESC, c.cell
+           ) AS rn
+    FROM v CROSS JOIN {src_cells} c
+  ) WHERE rn = 1
+)"""
+
+
+def _lloyd_means(asn: str, prev: str, out: str, dim: int = 64) -> str:
+    """CTE: per-cell element-wise centroid means over assignment
+    ``asn`` (empty cells keep ``prev``'s centroid). round(…, 9)
+    mirrors ivf_train's centroid quantization so assignment/probe
+    ties are engine-independent."""
+    return f"""{out}_m AS (
+  SELECT {asn}.cell, d.dim, round(avg(v.e[d.dim]), 9) AS m
+  FROM {asn} JOIN v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS dim) d
+  GROUP BY {asn}.cell, d.dim
+), {out} AS (
+  SELECT {prev}.cell, coalesce(mv.cv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN (
+    SELECT cell, list(m ORDER BY dim) AS cv FROM {out}_m GROUP BY cell
+  ) mv USING (cell)
+)"""
+
+
+def _lloyd_a2_ctes(n_cells: int = 16, dim: int = 64) -> str:
+    """The shared two-round Lloyd chain, mirroring ivf_train(iters=2):
+    v = all vectors, c0 = the ``n_cells`` smallest-id seeds, a1 =
+    assign(c0), c1 = means(a1), a2 = assign(c1) — a2 is the
+    assignment ivf_train returns. Callers append their own consumers
+    (c2 means + probe for the trained-IVF oracle; the within-cell
+    pair join for the semantic-dedup oracle)."""
+    return f"""v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+), {_lloyd_assign('c0', 'a1')}, {_lloyd_means('a1', 'c0', 'c1', dim)},
+{_lloyd_assign('c1', 'a2')}"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs MERGED with SemDeDup drop decisions
+    (leg-merge, not a 51st row — the driver's oracle window is 50):
+
+    - ``pair`` legs: label-blocked cosine pairs at τ=0.3 (the original
+      row, unchanged semantics).
+    - ``sem`` legs: semantic_dedup drops — k-means(16 cells, 2 Lloyd
+      rounds, the exact training the simsearch_ivf_trained oracle
+      already reproduces) then "drop iff a smaller-id same-cell
+      neighbor has cosine ≥ 0.3"; id_a = dropped id, id_b = its
+      representative, plus the oracle-verified cell assignment.
+    - ``caps:sem_*`` legs: the production cell-size cap's eager drop
+      accounting. The oracle recomputes the cell-size math but emits
+      the UNCAPPED drop set, so the whole row agrees iff zero members
+      were excluded — a cap firing on the fixture corpus turns the
+      gate red instead of silently shrinking the drop set.
+    """
     embs = load_table(_prep(spark), sf_dir, "embeddings")
     pairs = D.embedding_near_dup_pairs(embs, threshold=0.3)
-    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    pair_leg = pairs.select(
+        F.lit("pair").alias("leg"), "id_a", "id_b",
+        F.lit(-1).cast("long").alias("cell"),
+        F.round("cosine", 6).alias("cosine"))
+    stats: dict = {}
+    drops = D.semantic_dedup(embs, n_cells=16, iters=2, threshold=0.3,
+                             caps_stats=stats)
+    sem_leg = drops.select(
+        F.lit("sem").alias("leg"),
+        F.col("id").alias("id_a"), F.col("rep").alias("id_b"),
+        F.col("cell").cast("long").alias("cell"),
+        F.round("cosine", 6).alias("cosine"))
+    caps_leg = spark.createDataFrame(
+        [("caps:sem_dropped_cell_members",
+          float(stats["dropped_cell_members"])),
+         ("caps:sem_max_cell_seen", float(stats["max_cell_seen"]))],
+        "leg string, cosine double").select(
+        "leg", F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(-1).cast("long").alias("cell"), "cosine")
+    return pair_leg.unionByName(sem_leg).unionByName(caps_leg)
 
 
 def q_dedup_embedding_cosine_pandas(spark, sf_dir):
-    """Vectorized (numpy-matmul-per-block) variant sharing the plain
-    path's oracle — the gate proves cross-path equivalence."""
+    """Vectorized (numpy-matmul-per-block) variant of the ``pair``
+    legs — equality-locked against the plain path's pair legs in
+    tests/test_registry_locks.py."""
     embs = load_table(_prep(spark), sf_dir, "embeddings")
     pairs = D.embedding_near_dup_pairs_pandas(embs, threshold=0.3)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-O_dedup_embedding_cosine = """
-WITH v AS (
+_SEM_CELL_CAP = 10_000
+
+O_dedup_embedding_cosine = f"""
+WITH {_lloyd_a2_ctes()},
+vl AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
 ), n AS (
   SELECT vec_id, label, e,
          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-  FROM v
+  FROM vl
 ), p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(range(1, len(a.e) + 1),
                                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)
            AS cosine
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+), sp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ca.cell AS cell,
+         list_sum(list_transform(range(1, len(a.e) + 1),
+                                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)
+           AS cosine
+  FROM n a JOIN a2 ca ON ca.vec_id = a.vec_id
+  JOIN a2 cb ON cb.cell = ca.cell
+  JOIN n b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+), drops AS (
+  SELECT id_b AS id, cell, min(id_a) AS rep,
+         arg_min(cosine, id_a) AS cosine
+  FROM sp WHERE cosine >= 0.3 GROUP BY id_b, cell
+), cellsize AS (
+  SELECT cell, count(*) AS cn FROM a2 GROUP BY cell
 )
-SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
+SELECT 'pair' AS leg, id_a, id_b, CAST(-1 AS BIGINT) AS cell,
+       round(cosine, 6) AS cosine
+FROM p WHERE cosine >= 0.3
+UNION ALL
+SELECT 'sem', id, rep, cell, round(cosine, 6) FROM drops
+UNION ALL
+SELECT 'caps:sem_dropped_cell_members', -1, -1, -1,
+  CAST(coalesce(sum(CASE WHEN cn > {_SEM_CELL_CAP} THEN cn END), 0)
+       AS DOUBLE)
+FROM cellsize
+UNION ALL
+SELECT 'caps:sem_max_cell_seen', -1, -1, -1,
+  CAST(coalesce(max(cn), 0) AS DOUBLE) FROM cellsize
 """
 
 
@@ -1709,11 +1833,6 @@ def q_simsearch_ivf(spark, sf_dir):
     return top.select("id", F.round("cosine", 6).alias("cosine"))
 
 
-_IVF_COS = (
-    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
-    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
-)
 
 O_simsearch_ivf = f"""
 WITH q AS (
@@ -1807,44 +1926,10 @@ def _O_ivf_trained(n_cells: int = 16, dim: int = 64, n_probe: int = 4,
     cells keep c0) → assign a2 → means c2; probe = top-4 cells of c2 by
     query cosine; result = exact top-k within a2's probed cells."""
 
-    def assign(src_cells: str, out: str) -> str:
-        return f"""{out} AS (
-  SELECT vec_id, cell FROM (
-    SELECT v.vec_id, c.cell,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY {_IVF_COS.format(a='e', b='cv')} DESC, c.cell
-           ) AS rn
-    FROM v CROSS JOIN {src_cells} c
-  ) WHERE rn = 1
-)"""
-
-    def means(asn: str, prev: str, out: str) -> str:
-        # round(…, 9) mirrors ivf_train's centroid quantization so
-        # assignment/probe ties are engine-independent
-        return f"""{out}_m AS (
-  SELECT {asn}.cell, d.dim, round(avg(v.e[d.dim]), 9) AS m
-  FROM {asn} JOIN v USING (vec_id)
-  CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS dim) d
-  GROUP BY {asn}.cell, d.dim
-), {out} AS (
-  SELECT {prev}.cell, coalesce(mv.cv, {prev}.cv) AS cv
-  FROM {prev} LEFT JOIN (
-    SELECT cell, list(m ORDER BY dim) AS cv FROM {out}_m GROUP BY cell
-  ) mv USING (cell)
-)"""
-
     return f"""
 WITH q AS (
   SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
-), v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), c0 AS (
-  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
-         embedding::DOUBLE[] AS cv
-  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
-), {assign('c0', 'a1')}, {means('a1', 'c0', 'c1')},
-{assign('c1', 'a2')}, {means('a2', 'c1', 'c2')},
+), {_lloyd_a2_ctes(n_cells, dim)}, {_lloyd_means('a2', 'c1', 'c2', dim)},
 probe AS (
   SELECT cell FROM c2, q
   ORDER BY {_IVF_COS.format(a='cv', b='qe')} DESC, cell LIMIT {n_probe}

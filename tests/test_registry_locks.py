@@ -118,8 +118,17 @@ def test_salted_assembly_twin_equality(spark, sf_dir):
 
 
 def test_pandas_cosine_twin_equality(spark, sf_dir):
+    # the registry row carries pair + sem + caps legs (r6 leg-merge);
+    # the pandas twin recomputes the pair legs only
+    from pyspark.sql import functions as F
+
+    pair_legs = (
+        Q.q_dedup_embedding_cosine(spark, sf_dir)
+        .filter(F.col("leg") == "pair")
+        .select("id_a", "id_b", "cosine")
+    )
     assert _rows(Q.q_dedup_embedding_cosine_pandas(spark, sf_dir)) == \
-        _rows(Q.q_dedup_embedding_cosine(spark, sf_dir))
+        _rows(pair_legs)
 
 
 def test_lsh_indexed_twin_equality(spark, sf_dir):
