@@ -159,6 +159,29 @@ def bench_dedup_cross_join(spark, sf_dir):
                               bands=16, threshold=0.2)
 
 
+def bench_dedup_embedding_cosine(spark, sf_dir):
+    """Label-blocked cosine pair operator alone — the registry row
+    grew sem/caps legs in r6 (Lloyd training + within-cell drops);
+    this row keeps measuring what it measured through r5 so the
+    round-over-round series stays comparable. The semantic decision
+    pipeline has its own row below."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(embs, threshold=0.3).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def bench_dedup_semantic(spark, sf_dir):
+    """SemDeDup production profile: 2-round Lloyd training +
+    zero-shuffle cell assignment + within-cell drop decisions with
+    the cell-size cap ON."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(embs, n_cells=16, iters=2, threshold=0.3)
+
+
 BENCH_QUERIES = {
     "read_downsample_q75": Q.q_read_downsample_q75,
     "read_downsample_auto_step": Q.q_read_downsample_auto_step,
@@ -175,7 +198,8 @@ BENCH_QUERIES = {
     "events_range_join": Q.q_events_range_join,
     "dedup_exact": Q.q_dedup_exact,
     "dedup_minhash_lsh": bench_dedup_minhash_lsh,
-    "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+    "dedup_embedding_cosine": bench_dedup_embedding_cosine,
+    "dedup_semantic": bench_dedup_semantic,
     "dedup_clusters": bench_dedup_clusters,
     "dedup_cross_join": bench_dedup_cross_join,
     "mix_temperature": Q.q_mix_temperature,

@@ -1373,6 +1373,13 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
 
     assigned, _ = ivf_train(embs, n_cells=n_cells, iters=iters,
                             id_col=id_col, vec_col=vec_col)
+    # the assignment feeds the cap counts, BOTH sides of the pair
+    # self-join, and the cell join-back — pin + materialize once so
+    # the corpus is assigned in one pass, not re-scanned per consumer
+    # (same release contract as the other operator pins: cache_scope
+    # or clearCache per registry query)
+    assigned = _pin(assigned.select(id_col, vec_col, "cell"))
+    assigned.count()
     if max_cell_size is not None:
         cell_counts = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("_n"))

@@ -28,11 +28,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_doubles(values: Sequence[float]) -> Column:
+    """array<double> literal built with ONE py4j call.
+
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element —
+    ~1 s of pure driver time for a 16×64 centroid set, paid per plan
+    build (the Lloyd loop builds one per iteration). A single
+    ``F.expr`` ships one string and parses JVM-side; ``repr(float)``
+    round-trips doubles exactly and the ``D`` suffix keeps the
+    literals DOUBLE, so the expression tree is identical."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in values) + ")"
+    )
+
+
 def _dot_lit(vec: Column, query: Sequence[float]) -> Column:
     """<vec, query> with the query folded in as literals (JVM-side)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
     return F.aggregate(
-        F.zip_with(vec, q, lambda x, y: x.cast("double") * y),
+        F.zip_with(vec, _lit_doubles(query),
+                   lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
 
@@ -324,72 +338,98 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
     )
 
 
+#: ivf_train collects at most this many vectors to the driver for the
+#: Lloyd loop (65536 × 1k dims × 8 B ≈ 0.5 GB worst case; the default
+#: 64-dim fixture is ~34 MB). Corpora above the limit train on the
+#: smallest-id sample — the standard IVF practice (a coarse quantizer
+#: needs a representative sample, not the corpus; cf. faiss
+#: train-on-sample guidance) — and ONLY the final assignment scans
+#: the full table.
+TRAIN_SAMPLE_LIMIT = 65536
+
+
 def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
               id_col: str = "vec_id",
               vec_col: str = "embedding",
-              round_dp: int = 9):
+              round_dp: int = 9,
+              train_limit: int = TRAIN_SAMPLE_LIMIT):
     """Lloyd (k-means) refinement of the IVF coarse quantizer — the
-    iterative index-build path (not SQL-expressible; driver-side loop
-    over fully distributed steps).
+    iterative index-build path (not SQL-expressible).
 
-    Deterministic end to end: init = the ``n_cells`` smallest-id
-    vectors; assignment = argmax cosine with ties to the smallest cell
-    id (via :func:`ivf_index`'s literal-folded zero-shuffle path);
-    update = element-wise mean per cell (posexplode → per-(cell, dim)
-    avg — one shuffle of (cell, dim, component) rows). Centroids live
-    on the driver between iterations (k × dim doubles — always tiny);
-    the big table never leaves executors.
+    The loop runs on a driver-side numpy sample, not as distributed
+    jobs: ONE bounded collect of the ``train_limit`` smallest-id
+    vectors (a top-k-by-id scan, never a full sort), then pure-numpy
+    assignment/means per iteration. Iterating distributedly was
+    strictly worse on both ends of the scale axis — at 100 TB it
+    re-scanned the full corpus once per iteration for a model that
+    only needs a sample; at bench scale each iteration paid ~2 s of
+    plan-build + job overhead for milliseconds of arithmetic. The
+    returned full-corpus assignment still runs distributed via
+    :func:`ivf_index`'s literal-folded zero-shuffle map pass.
 
-    Updated centroid coordinates are rounded to ``round_dp`` decimals:
-    distributed ``avg`` is not bit-identical across engines or
-    partitionings (float summation order), so an unrounded near-tie
-    in the argmax assignment or probe ranking could flip between
-    engines. Quantizing at ~1e-9 — far above double summation error,
-    far below any real similarity gap — makes tie behavior
-    engine-independent (an oracle reproduces identical centroids by
-    rounding its own means the same way).
+    Deterministic end to end, mirroring the DuckDB oracle
+    (queries._lloyd_a2_ctes) exactly: init = the ``n_cells``
+    smallest-id vectors; assignment = argmax cosine, ties → lowest
+    cell id (numpy ``argmax`` takes the first maximum), zero-norm
+    vectors → sim −2 for every cell (matching ivf_index's try_divide
+    fallback); update = element-wise member mean, empty cells keep
+    their previous centroid. Centroid coordinates are rounded to
+    ``round_dp`` decimals: float summation ORDER differs between
+    numpy (pairwise), Spark (partition fold), and any SQL oracle
+    (sequential fold), so an unrounded near-tie in the argmax or
+    probe ranking could flip between engines. Quantizing at ~1e-9 —
+    far above double summation error, far below any real similarity
+    gap — makes tie behavior engine-independent.
+
+    Corpora larger than ``train_limit`` train on the sample while the
+    oracle trains on everything — the same capped-production-profile
+    pattern as the dedup hot-key caps (fixture corpora sit far under
+    the limit, so the oracle gate compares identical computations).
 
     Returns ``(assigned_df, centroids)`` where centroids is
     ``[(cell_id, [float, ...]), ...]``.
     """
-    seeds = embs.orderBy(F.col(id_col)).limit(n_cells).select(
-        id_col, vec_col
-    ).collect()
-    centroids = [(i, [float(x) for x in r[vec_col]])
-                 for i, r in enumerate(seeds)]
-    if not centroids:
+    import numpy as np
+
+    rows = (
+        embs.orderBy(F.col(id_col))
+        .limit(max(int(train_limit), n_cells))
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
         # empty corpus (e.g. an empty micro-batch): no seeds to fold
         # into the assignment plan — return an empty assignment with
         # the output schema instead of building array_max(array())
         return embs.withColumn("cell", F.lit(0).cast("long")), []
-    assigned = None
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows],
+                 dtype=np.float64)
+    xn = np.linalg.norm(X, axis=1)
+    cent = X[:n_cells].copy()
+    last_cent = cent
     for _ in range(max(iters, 0)):
-        assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
-                             seed_rows=centroids)
-        means = (
-            assigned.select(
-                "cell",
-                F.posexplode(F.col(vec_col).cast("array<double>"))
-                .alias("dim", "x"),
-            )
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("ms")
-            )
-            .collect()
-        )
-        new = {int(r["cell"]): [round(float(s["m"]), round_dp)
-                                for s in r["ms"]] for r in means}
-        # empty cells keep their previous centroid
-        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
-    if assigned is None:
-        assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
-                             seed_rows=centroids)
-    return assigned, centroids
+        last_cent = cent
+        cn = np.linalg.norm(cent, axis=1)
+        cn[cn == 0] = 1.0  # same guard as ivf_index's `or 1.0`
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (X @ cent.T) / np.outer(xn, cn)
+        sims[xn == 0, :] = -2.0  # zero-norm row: below any cosine
+        a = np.argmax(sims, axis=1)  # first max ⇒ ties → lowest cell
+        new = cent.copy()
+        for c in range(len(cent)):
+            members = X[a == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), round_dp)
+        cent = new
+    # assignment the caller sees = full-corpus argmax against the
+    # LAST seed set the loop assigned with (iters=0: the raw seeds) —
+    # the distributed zero-shuffle codegen pass
+    seed_rows = [(i, [float(x) for x in last_cent[i]])
+                 for i in range(len(last_cent))]
+    assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
+                         seed_rows=seed_rows)
+    return assigned, [(i, [float(x) for x in cent[i]])
+                      for i in range(len(cent))]
 
 
 def ivf_write_index(embs: DataFrame, path: str, centroids, *,

@@ -567,3 +567,20 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
         assert "Exchange" not in counts_plan  # bucketed agg, no shuffle
     for t in ("banded", "sigs", "counts"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """SemDeDup scale shape: with driver-side centroids the cell
+    assignment is a literal-folded map pass — ZERO Exchange — so the
+    100 TB corpus is never shuffled to be assigned; the only
+    exchanges in the full decision pipeline are the cell-blocked pair
+    join's own repartition + aggregates."""
+    from remote_storage_adapter_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(4)], 0)
+            for i in range(64)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    centroids = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    assigned = S.ivf_index(embs, seed_rows=centroids)
+    assert "Exchange" not in _spark_plan(assigned)
