@@ -1329,7 +1329,8 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_cell_size: int | None = 10_000,
-                   caps_stats: dict | None = None) -> DataFrame:
+                   caps_stats: dict | None = None,
+                   pair_backend: str = "pandas") -> DataFrame:
     """SemDeDup-style semantic deduplication (public technique: Abbas
     et al., "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication", arXiv:2303.09540): k-means-cluster the
@@ -1366,6 +1367,16 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
     (``dropped_cell_members``: members excluded that way;
     ``max_cell_seen``): zero dropped ⇒ the capped result IS the exact
     result. Pass ``max_cell_size=None`` for the uncapped oracle mode.
+
+    ``pair_backend``: ``"pandas"`` (default) computes each cell's
+    cosine matrix with one BLAS matmul via
+    :func:`embedding_near_dup_pairs_pandas` — the throughput path
+    (the expression twin evaluates ~|cell|² interpreted 64-term array
+    folds; measured ~10× slower at 20k vectors / 160 cells).
+    ``"expr"`` keeps the pure-Catalyst pair join whose float fold
+    order the DuckDB oracle reproduces bit-exactly — the registry row
+    runs it; the two backends are equality-locked post-rounding in
+    pytest.
     """
     from remote_storage_adapter_spark.operators.similarity import (
         ivf_train,
@@ -1395,7 +1406,9 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
             .select("cell"),
             "cell", "left_anti",
         )
-    pairs = embedding_near_dup_pairs(
+    pair_fn = (embedding_near_dup_pairs_pandas
+               if pair_backend == "pandas" else embedding_near_dup_pairs)
+    pairs = pair_fn(
         assigned, threshold=threshold, block_col="cell",
         id_col=id_col, vec_col=vec_col,
     )

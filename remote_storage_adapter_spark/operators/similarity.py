@@ -257,6 +257,55 @@ def quantize_int8(embs: DataFrame, *, vec_col: str = "embedding",
     )
 
 
+#: seed_rows assignments with more than this many total centroid
+#: components (k × dim) switch from the unrolled literal expression to
+#: the vectorized Arrow/numpy pass: the unrolled plan's build+compile
+#: cost grows linearly in k·dim (measured ~15 s at 160 cells × 64
+#: dims) while its per-row win over BLAS vanishes as k grows.
+ASSIGN_UNROLL_LIMIT = 4096
+
+
+def _assign_cells_pandas(embs: DataFrame, seed_rows, *,
+                         vec_col: str = "embedding") -> DataFrame:
+    """mapInPandas twin of :func:`ivf_index`'s literal path for LARGE
+    centroid sets (n_cells ∝ corpus size can reach 10⁴-10⁶ cells at
+    100 TB — far past what an unrolled expression tree can carry).
+    One BLAS matmul per Arrow batch against the closure-captured
+    centroid matrix (k × dim float64 — broadcast-by-closure, same
+    bound as knn_join's query matrix). Same decision semantics:
+    argmax cosine, ties → lowest cell id (numpy argmax takes the
+    first maximum), zero-norm vectors → every sim −2 → cell of the
+    lowest seed id. Still ZERO shuffle — a pure map pass.
+    """
+    import numpy as np
+
+    cent = np.array([[float(x) for x in vec] for _, vec in seed_rows],
+                    dtype=np.float64)
+    cids = np.array([int(sid) for sid, _ in seed_rows], dtype=np.int64)
+    order = np.argsort(cids, kind="stable")  # lowest id first ⇒
+    cent, cids = cent[order], cids[order]    # first-max tie = lowest
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    out_cols = embs.columns + ["cell"]
+    fields = ", ".join(f"`{c}` {t}" for c, t in embs.dtypes) + ", cell long"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            zero = n == 0
+            n[zero] = 1.0
+            sims = (m @ cent.T) / np.outer(n, cn)
+            sims[zero, :] = -2.0
+            pdf = pdf.copy()
+            pdf["cell"] = cids[np.argmax(sims, axis=1)]
+            yield pdf[out_cols]
+
+    return embs.mapInPandas(assign, schema=fields)
+
+
 def ivf_index(embs: DataFrame, n_cells: int = 16,
               id_col: str = "vec_id",
               vec_col: str = "embedding",
@@ -265,18 +314,26 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
     ties → smallest seed id). Returns embs + ``cell`` column.
 
     Seeds = the n_cells vectors with the smallest ids (deterministic).
-    Two physical strategies:
+    Physical strategies:
 
     - ``seed_rows`` given (list of ``(seed_id, vector)``, i.e. the
       centroids already sit on the driver — they always fit: even 4096
-      cells × 1k dims is ~32 MB): the argmax is folded into the plan
-      as an ``array_max`` over literal dot products — pure map-side
-      whole-stage codegen, ZERO shuffle of the big side. This is the
+      cells × 1k dims is ~32 MB): a zero-shuffle map pass. Small seed
+      sets (k·dim ≤ ASSIGN_UNROLL_LIMIT) fold the argmax into the
+      plan as an ``array_max`` over literal dot products — pure
+      whole-stage codegen; larger sets switch to
+      :func:`_assign_cells_pandas` (vectorized Arrow/numpy), because
+      the unrolled expression's build+compile cost grows with k·dim.
+      Both are map-only — the corpus never shuffles. This is the
       100 TB path.
     - otherwise: broadcast cross join against the seed frame + one
       ``max_by`` hash aggregate (map-side partial agg; no window sort).
     """
     if seed_rows is not None:
+        if seed_rows and sum(
+                len(vec) for _, vec in seed_rows) > ASSIGN_UNROLL_LIMIT:
+            return _assign_cells_pandas(embs, seed_rows,
+                                        vec_col=vec_col)
         import math
 
         # vector norm hoisted into a column (computed once, not per

@@ -1259,8 +1259,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         F.lit(-1).cast("long").alias("cell"),
         F.round("cosine", 6).alias("cosine"))
     stats: dict = {}
+    # pair_backend="expr": the Catalyst fold order is what the oracle
+    # reproduces bit-exactly; the default BLAS backend is
+    # equality-locked against it post-rounding in pytest
     drops = D.semantic_dedup(embs, n_cells=16, iters=2, threshold=0.3,
-                             caps_stats=stats)
+                             caps_stats=stats, pair_backend="expr")
     sem_leg = drops.select(
         F.lit("sem").alias("leg"),
         F.col("id").alias("id_a"), F.col("rep").alias("id_b"),
