@@ -1330,7 +1330,8 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_cell_size: int | None = 10_000,
                    caps_stats: dict | None = None,
-                   pair_backend: str = "pandas") -> DataFrame:
+                   pair_backend: str = "pandas",
+                   centroids=None) -> DataFrame:
     """SemDeDup-style semantic deduplication (public technique: Abbas
     et al., "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication", arXiv:2303.09540): k-means-cluster the
@@ -1377,13 +1378,39 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
     order the DuckDB oracle reproduces bit-exactly — the registry row
     runs it; the two backends are equality-locked post-rounding in
     pytest.
+
+    ``centroids``: pass a pre-trained ``[(cell_id, vector), ...]`` to
+    skip training and assign against a FROZEN quantizer (the
+    incremental-index workflow — see :func:`semantic_dedup_append`);
+    ``n_cells``/``iters`` are ignored then.
     """
     from remote_storage_adapter_spark.operators.similarity import (
+        ivf_index,
         ivf_train,
     )
 
-    assigned, _ = ivf_train(embs, n_cells=n_cells, iters=iters,
-                            id_col=id_col, vec_col=vec_col)
+    if centroids is not None:
+        assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
+                             seed_rows=centroids)
+    else:
+        assigned, _ = ivf_train(embs, n_cells=n_cells, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    return _semantic_drops(
+        assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        max_cell_size=max_cell_size, caps_stats=caps_stats,
+        pair_backend=pair_backend,
+    )
+
+
+def _semantic_drops(assigned: DataFrame, *, threshold: float,
+                    id_col: str, vec_col: str,
+                    max_cell_size: int | None,
+                    caps_stats: dict | None,
+                    pair_backend: str) -> DataFrame:
+    """Shared decision stage of :func:`semantic_dedup` /
+    :func:`semantic_dedup_append`: cap accounting → within-cell pair
+    generation → smallest-id drop aggregate, over a frame that already
+    carries ``cell``."""
     # the assignment feeds the cap counts, BOTH sides of the pair
     # self-join, and the cell join-back — pin + materialize once so
     # the corpus is assigned in one pass, not re-scanned per consumer
@@ -1420,3 +1447,59 @@ def semantic_dedup(embs: DataFrame, *, n_cells: int = 16, iters: int = 2,
     )
     cells = assigned.select(F.col(id_col).alias("id"), "cell")
     return drops.join(cells, "id").select("id", "cell", "rep", "cosine")
+
+
+def semantic_dedup_append(spark, new_embs: DataFrame, index_path: str,
+                          centroids, *, threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_cell_size: int | None = 10_000,
+                          caps_stats: dict | None = None,
+                          pair_backend: str = "pandas") -> DataFrame:
+    """Incremental SemDeDup: drop decisions for a NEW batch against a
+    materialized reference index (``similarity.ivf_write_index`` /
+    ``ivf_append`` layout: parquet partitioned by ``cell``) plus
+    within the batch itself — the corpus-growth companion of
+    :func:`semantic_dedup`, mirroring ``minhash_lsh_join_indexed``'s
+    sign-once/join-every-batch contract.
+
+    Centroids are FROZEN (the quantizer that built the index), so the
+    batch's assignment is the same zero-shuffle map pass and the
+    reference read prunes to the batch's touched cells only
+    (PartitionFilters — asserted in tests/test_scale.py): a batch
+    touching p of k cells reads p/k of a 100 TB index. Returned drops
+    are restricted to batch ids; reference members are never dropped
+    (they are the already-accepted corpus). With monotonically
+    increasing ids (reference < batch — the normal ingest case) the
+    result equals the full rebuild restricted to batch ids:
+    ``semantic_dedup(ref ∪ batch, centroids=C)`` filtered to the
+    batch — equality-locked in pytest. The per-cell pair matmul
+    still computes reference×reference similarities it discards
+    (bounded by ``max_cell_size``²); a dedicated L×R kernel is the
+    optimization if profiles ever show it mattering.
+
+    After accepting the kept batch rows, fold them into the index
+    with ``similarity.ivf_append`` (same frozen centroids).
+    """
+    from remote_storage_adapter_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    assigned_new = ivf_index(new_embs, id_col=id_col, vec_col=vec_col,
+                             seed_rows=centroids)
+    assigned_new = _pin(assigned_new.select(id_col, vec_col, "cell"))
+    touched = [int(r["cell"]) for r in
+               assigned_new.select("cell").distinct().collect()]
+    ref = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(touched))
+        .select(id_col, vec_col, "cell")
+    )
+    combined = ref.unionByName(assigned_new)
+    drops = _semantic_drops(
+        combined, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        max_cell_size=max_cell_size, caps_stats=caps_stats,
+        pair_backend=pair_backend,
+    )
+    new_ids = assigned_new.select(F.col(id_col).alias("id"))
+    return drops.join(new_ids, "id", "left_semi")
