@@ -89,3 +89,112 @@ def stream_minhash_index_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_semantic_batch(batch_df: DataFrame, batch_id: int,
+                         index_path: str, centroids, *,
+                         threshold: float | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         **dedup_kwargs) -> bool:
+    """Apply one embedding batch to a cell-partitioned semantic index
+    (similarity.ivf_write_index layout) exactly once.
+
+    With ``threshold`` set this is dedup-on-ingest: the batch's
+    semantic drops against the accumulated index (+ within the batch)
+    are computed first — operators.dedup.semantic_dedup_append, with
+    ``dedup_kwargs`` forwarded (max_cell_size, pair_backend, ...) —
+    and only KEPT rows are appended, so the index stays duplicate-
+    free by construction. ``threshold=None`` appends everything (a
+    plain streaming ivf_append).
+
+    Replay semantics: parquet appends are not idempotent, so each
+    applied batch id is recorded as a marker file under
+    ``<index_path>/_semantic_ledger/`` AFTER the append lands
+    (underscore-prefixed — parquet readers ignore it), and replayed
+    batches skip. Same residual window as the MinHash maintainer: a
+    crash between the append and the marker double-applies that batch
+    on replay; Delta is the upgrade when available. Returns True if
+    this call applied the batch.
+    """
+    from remote_storage_adapter_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_append,
+    )
+    from remote_storage_adapter_spark.operators.similarity import (
+        ivf_append,
+    )
+
+    spark = batch_df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = hpath(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = hpath(f"{index_path}/_semantic_ledger/batch-{batch_id:012d}")
+    if fs.exists(marker):
+        return False
+    kept = batch_df
+    if threshold is not None:
+        with cache_scope():
+            if fs.exists(root):
+                drops = semantic_dedup_append(
+                    spark, batch_df, index_path, centroids,
+                    threshold=threshold, id_col=id_col,
+                    vec_col=vec_col, **dedup_kwargs)
+            else:  # bootstrap: no reference yet — within-batch only
+                drops = semantic_dedup(
+                    batch_df, centroids=centroids,
+                    threshold=threshold, id_col=id_col,
+                    vec_col=vec_col, **dedup_kwargs)
+            # materialize the DROP IDS (small: bounded by batch size)
+            # before cache_scope releases the pinned assignment the
+            # drops plan reads — otherwise the append action below
+            # would recompute the whole dedup pipeline uncached. The
+            # batch rows themselves never route through the driver.
+            drop_ids = spark.createDataFrame(
+                [(int(r["id"]),) for r in drops.select("id").collect()],
+                f"{id_col} long")
+        kept = batch_df.join(drop_ids, id_col, "left_anti")
+    ivf_append(kept, index_path, centroids,
+               id_col=id_col, vec_col=vec_col)
+    fs.mkdirs(marker.getParent())
+    fs.createNewFile(marker)
+    return True
+
+
+def stream_semantic_index_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids,
+    *,
+    schema: StructType,
+    threshold: float | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 64,
+    **dedup_kwargs,
+):
+    """Maintain a cell-partitioned semantic-embedding index over a
+    parquet landing directory; returns the StreamingQuery. Centroids
+    are the FROZEN build-time quantizer (train once on a bootstrap
+    corpus with similarity.ivf_train; mixing centroid sets corrupts
+    the cell layout). With ``threshold`` set, each batch is
+    semantically deduplicated against the accumulated index before it
+    is appended — streaming SemDeDup-on-ingest. Query the maintained
+    index any time with similarity.ivf_topk_indexed or feed it to
+    operators.dedup.semantic_dedup_append."""
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    writer = (
+        raw.writeStream
+        .foreachBatch(lambda df, bid: apply_semantic_batch(
+            df, bid, index_path, centroids, threshold=threshold,
+            **dedup_kwargs))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -507,3 +507,74 @@ def test_streaming_minhash_index_matches_batch_and_skips_replay(
     assert spark.table(f"{prefix}_applied").count() == 2
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_streaming_semantic_index_dedups_and_skips_replay(spark, tmp_path):
+    """Streaming SemDeDup-on-ingest: embedding batches landed across
+    micro-batches build a duplicate-free cell-partitioned index
+    (every appended row survives a semantic_dedup of the final index
+    — no cross-batch near-dup sneaks in), and a fresh-checkpoint
+    reprocess of the same landing files applies nothing (the
+    _semantic_ledger markers, not the checkpoint, make replays
+    idempotent — a blind re-append would duplicate index rows)."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import (
+        dedup as D,
+        similarity as S,
+    )
+    from remote_storage_adapter_spark.streaming.dedup import (
+        stream_semantic_index_maintain,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    # bootstrap corpus: 3 axis clusters -> frozen centroids
+    boot = spark.createDataFrame(
+        [(i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1),
+              1.0 * (i % 3 == 2), 0.0], 0) for i in range(9)],
+        schema)
+    _, cents = S.ivf_train(boot, n_cells=3, iters=1)
+    index = str(tmp_path / "sem_index")
+    landing = str(tmp_path / "landing")
+    # batch 1 seeds the index; batch 2 repeats two of its directions
+    # (cross-batch near-dups) and adds one genuinely new direction
+    b1 = [(100, [1.0, 0.01, 0.0, 0.0], 0),
+          (101, [0.0, 1.0, 0.01, 0.0], 0)]
+    b2 = [(200, [1.0, 0.02, 0.0, 0.0], 0),     # dup of 100
+          (201, [0.01, 1.0, 0.0, 0.0], 0),     # dup of 101
+          (202, [0.0, 0.01, 1.0, 0.0], 0)]     # new direction
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_semantic_index_maintain(
+            spark, landing, index, str(tmp_path / ckpt), cents,
+            schema=schema, threshold=0.9, available_now=True,
+            max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    run("ck1")
+    kept = sorted(r["vec_id"]
+                  for r in spark.read.parquet(index).collect())
+    assert kept == [100, 101, 202]  # cross-batch dups dropped
+    # the maintained index is duplicate-free under its own contract
+    idx = spark.read.parquet(index).select(
+        "vec_id", "embedding", "label")
+    resid = D.semantic_dedup(idx, centroids=cents, threshold=0.9)
+    n_resid = resid.count()
+    D.unpersist_pinned()
+    assert n_resid == 0
+    # same checkpoint restart AND fresh-checkpoint reprocess: no-op
+    for ckpt in ("ck1", "ck2"):
+        run(ckpt)
+        again = sorted(r["vec_id"]
+                       for r in spark.read.parquet(index).collect())
+        assert again == kept
