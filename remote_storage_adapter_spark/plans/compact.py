@@ -27,12 +27,18 @@ from pyspark.sql import functions as F
 from remote_storage_adapter_spark.schema import PARTITION_COLUMN, SORT_COLUMNS
 
 
-def partition_file_counts(table_path: str) -> dict:
-    """{partition_dirname: parquet file count} for a local table path."""
+def partition_file_counts(table_path: str, *,
+                          partition_col: str = PARTITION_COLUMN) -> dict:
+    """{partition_dirname: parquet file count} for a local table path.
+
+    ``partition_col`` defaults to the metrics table's date column;
+    pass ``"cell"`` / ``"bucket"`` to audit the ANN index layouts
+    (similarity.ivf_write_index / lsh_index), whose append paths
+    create one file per touched partition per batch."""
     out = {}
     for d in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, d)
-        if d.startswith(f"{PARTITION_COLUMN}=") and os.path.isdir(full):
+        if d.startswith(f"{partition_col}=") and os.path.isdir(full):
             out[d] = sum(1 for f in os.listdir(full)
                          if f.endswith(".parquet"))
     return out
@@ -41,13 +47,22 @@ def partition_file_counts(table_path: str) -> dict:
 def compact_partition(spark: SparkSession, table_path: str,
                       partition_value: str, *,
                       target_files: int = 1,
-                      min_files: int = 2) -> Optional[int]:
-    """Rewrite one date partition into ``target_files`` sorted files.
+                      min_files: int = 2,
+                      partition_col: str = PARTITION_COLUMN,
+                      sort_cols: tuple = SORT_COLUMNS) -> Optional[int]:
+    """Rewrite one partition into ``target_files`` sorted files.
+
+    Defaults compact the metrics table (date partitions, (name, ts)
+    file sort); pass ``partition_col="cell", sort_cols=("vec_id",)``
+    to compact an appended ANN index's cell directories (the
+    ivf_append/lsh_append docstrings' maintenance step — appends add
+    one file per touched partition per batch, and probe latency
+    degrades with file count until compaction merges them).
 
     Returns the new file count, or None if below ``min_files`` (no-op).
     """
     part_dir = os.path.join(table_path,
-                            f"{PARTITION_COLUMN}={partition_value}")
+                            f"{partition_col}={partition_value}")
     n_files = sum(1 for f in os.listdir(part_dir)
                   if f.endswith(".parquet"))
     if n_files < min_files:
@@ -55,8 +70,9 @@ def compact_partition(spark: SparkSession, table_path: str,
     df = (
         spark.read.parquet(part_dir)
         .repartition(target_files)
-        .sortWithinPartitions(*SORT_COLUMNS)
     )
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     tmp_dir = part_dir + "._compact_tmp"
     df.write.mode("overwrite").parquet(tmp_dir)
     # atomic-ish local swap (object stores: write-new + repoint manifest;
@@ -69,14 +85,18 @@ def compact_partition(spark: SparkSession, table_path: str,
 
 
 def compact_table(spark: SparkSession, table_path: str, *,
-                  target_files: int = 1, min_files: int = 2) -> dict:
+                  target_files: int = 1, min_files: int = 2,
+                  partition_col: str = PARTITION_COLUMN,
+                  sort_cols: tuple = SORT_COLUMNS) -> dict:
     """Compact every eligible partition; returns {partition: new_count}."""
     results = {}
-    for part, n in partition_file_counts(table_path).items():
+    for part, n in partition_file_counts(
+            table_path, partition_col=partition_col).items():
         if n >= min_files:
             value = part.split("=", 1)[1]
             results[part] = compact_partition(
                 spark, table_path, value,
                 target_files=target_files, min_files=min_files,
+                partition_col=partition_col, sort_cols=sort_cols,
             )
     return results

@@ -624,3 +624,42 @@ def test_semantic_append_prunes_index_partitions(spark, tmp_path):
     got = drops.collect()
     D.unpersist_pinned()
     assert len(got) == 1 and got[0]["id"] == 100
+
+
+def test_index_compaction_merges_cells_preserves_probe(spark, tmp_path):
+    """ivf_append adds one file per touched cell per batch; the
+    generalized compactor (partition_col='cell') merges them back to
+    one sorted file per cell and the probe result is unchanged —
+    closing the maintenance loop the ivf_append docstring names
+    (the date-only compactor silently no-opped on index layouts)."""
+    from remote_storage_adapter_spark.operators import similarity as S
+    from remote_storage_adapter_spark.plans.compact import (
+        compact_table,
+        partition_file_counts,
+    )
+
+    rows = [(i, [1.0 * (i % 2 == 0), 1.0 * (i % 2 == 1), 0.0, 0.0], 0)
+            for i in range(16)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    _, cents = S.ivf_train(embs, n_cells=2, iters=1)
+    path = str(tmp_path / "ivf_idx")
+    S.ivf_write_index(embs, path, cents)
+    for start in (100, 200, 300):
+        batch = spark.createDataFrame(
+            [(start + i, [1.0 * (i % 2 == 0), 1.0 * (i % 2 == 1),
+                          0.0, 0.0], 0) for i in range(4)],
+            "vec_id long, embedding array<float>, label int")
+        S.ivf_append(batch, path, cents)
+    before = partition_file_counts(path, partition_col="cell")
+    assert all(n >= 4 for n in before.values())  # build + 3 appends
+    q = [1.0, 0.0, 0.0, 0.0]
+    pre = [(r["id"], round(r["cosine"], 9)) for r in
+           S.ivf_topk_indexed(spark, path, [0, 1], q, k=5).collect()]
+    out = compact_table(spark, path, partition_col="cell",
+                        sort_cols=("vec_id",))
+    after = partition_file_counts(path, partition_col="cell")
+    assert out and all(n == 1 for n in after.values())
+    post = [(r["id"], round(r["cosine"], 9)) for r in
+            S.ivf_topk_indexed(spark, path, [0, 1], q, k=5).collect()]
+    assert post == pre
