@@ -159,6 +159,42 @@ def bench_dedup_cross_join(spark, sf_dir):
                               bands=16, threshold=0.2)
 
 
+def bench_dedup_cross_join_indexed(spark, sf_dir):
+    """Incoming batch joined against the MATERIALIZED MinHash index —
+    the recurring at-scale operation (the reference corpus is signed
+    once into bucketed catalog tables; every batch joins against
+    pre-distributed scans). Shaped like real usage: the incoming side
+    is a SMALL batch (10% of docs) against the other 90% as the
+    reference — per-batch cost must scale with the batch, not the
+    corpus (dedup_cross_join's 50/50 split measures the one-shot
+    two-corpus join instead). The index build runs on the first
+    (untimed warm-up) call per sf; timed reps measure the per-batch
+    join: sign the incoming side + bucketed candidate join +
+    signature join-back."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 1)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    prefix = f"bench_mh_idx_{tag}"
+    if not spark.catalog.tableExists(f"{prefix}_banded"):
+        # clear stale managed-table locations: a previous session's
+        # warehouse dirs outlive the in-memory catalog, and
+        # saveAsTable refuses to create over them
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        for t in ("banded", "sigs", "counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+            p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{prefix}_{t}")
+            p.getFileSystem(hconf).delete(p, True)
+        reference = docs.filter(F.col("doc_id") % 10 != 1)
+        D.minhash_index(reference, prefix, num_hashes=64, bands=16)
+    return D.minhash_lsh_join_indexed(
+        spark, prefix, incoming, num_hashes=64, bands=16,
+        threshold=0.2)
+
+
 def bench_dedup_embedding_cosine(spark, sf_dir):
     """Label-blocked cosine pair operator alone — the registry row
     grew sem/caps legs in r6 (Lloyd training + within-cell drops);
@@ -202,6 +238,7 @@ BENCH_QUERIES = {
     "dedup_semantic": bench_dedup_semantic,
     "dedup_clusters": bench_dedup_clusters,
     "dedup_cross_join": bench_dedup_cross_join,
+    "dedup_cross_join_indexed": bench_dedup_cross_join_indexed,
     "mix_temperature": Q.q_mix_temperature,
     "simsearch_topk": Q.q_simsearch_topk,
     "simsearch_ivf": Q.q_simsearch_ivf,
@@ -253,6 +290,7 @@ def main():
     extra_reps = {"dedup_clusters": max(reps, 7),
                   "simsearch_ivf": max(reps, 5),
                   "dedup_cross_join": max(reps, 7),
+                  "dedup_cross_join_indexed": max(reps, 7),
                   "dedup_minhash_lsh": max(reps, 7),
                   "write_metrics": max(reps, 7)}
     timings, spread, rep_counts, raw_runs = {}, {}, {}, {}
