@@ -682,3 +682,125 @@ def ivf_topk(indexed: DataFrame, seeds_query_cells: Sequence[int],
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def knn_join_ivf_indexed(spark, path: str, centroids,
+                         queries: DataFrame, *, k: int = 10,
+                         n_probe: int = 4,
+                         q_id_col: str = "q_id",
+                         q_vec_col: str = "q_vec",
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_batch: int = KNN_JOIN_MAX_BATCH) -> DataFrame:
+    """Batched ANN retrieval: Q queries against a materialized
+    :func:`ivf_write_index` in ONE partition-pruned scan — the
+    at-scale form of :func:`knn_join` (which scans the whole corpus)
+    for retrieval-heavy pipelines.
+
+    Per query, the ``n_probe`` nearest cells are chosen driver-side
+    against the (tiny, driver-held) centroid matrix with the same
+    deterministic ranking as the single-query probes (cosine desc,
+    ties → lowest cell id); the scan then reads ONLY the union of all
+    probed cells (partition pruning — a query batch probing p of k
+    cells reads p/k of the index), and each Arrow batch scores
+    against the queries that actually probe its rows' cells (masked
+    BLAS matmul). Local top-k under the rounded total order, then the
+    same O(Q·k)-row global window as knn_join. The index never
+    shuffles.
+
+    Same hard query-batch bound and sharding guidance as
+    :func:`knn_join`. Per query the result equals
+    ``ivf_topk_indexed(path, its probe cells, its vector, k)``
+    (equality-locked in pytest at 9-dp rounding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id_col, q_vec_col).limit(max_batch + 1) \
+        .collect()
+    if len(q_rows) > max_batch:
+        raise ValueError(
+            f"knn_join_ivf_indexed query side exceeds "
+            f"max_batch={max_batch}: shard the query side and loop")
+    if not q_rows:
+        raise ValueError("queries batch is empty")
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows],
+                  dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    qm_n = qm / qn[:, None]
+    # driver-side probe selection against the centroid matrix —
+    # identical ranking to the single-query ivf probes: cosine desc,
+    # ties -> lowest cell id
+    cent_ids = [int(cid) for cid, _ in centroids]
+    cm = np.array([[float(x) for x in vec] for _, vec in centroids],
+                  dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    csims = qm_n @ (cm / cn[:, None]).T  # Q × K
+    n_probe = min(n_probe, len(cent_ids))
+    probe_sets = []
+    for j in range(len(qids)):
+        ranked = sorted(range(len(cent_ids)),
+                        key=lambda c: (-csims[j, c], cent_ids[c]))
+        probe_sets.append({cent_ids[c] for c in ranked[:n_probe]})
+    cells_needed = sorted(set().union(*probe_sets))
+    cell_idx = {c: i for i, c in enumerate(cells_needed)}
+    # probe mask: cells_needed × Q — row batch masks via its cells
+    mask = np.zeros((len(cells_needed), len(qids)), dtype=bool)
+    for j, cells in enumerate(probe_sets):
+        for c in cells:
+            mask[cell_idx[c], j] = True
+    bq = spark.sparkContext.broadcast((qids, qm_n.T, mask, cell_idx))
+
+    def local_topk(batches):
+        qi, qmat, pmask, cidx = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((m / norms[:, None]) @ qmat, 9)  # B × Q
+            rows_cells = pdf["cell"].to_numpy()
+            row_mask = pmask[[cidx[int(c)] for c in rows_cells], :]
+            sims = np.where(row_mask, sims, -np.inf)
+            ids = pdf["id"].to_numpy()
+            out_q, out_i, out_c = [], [], []
+            for j in range(len(qi)):
+                keep = sims[:, j] > -np.inf
+                if not keep.any():
+                    continue
+                sj, ij = sims[keep, j], ids[keep]
+                order = np.lexsort((ij, -sj))[:min(k, len(ij))]
+                out_q.append(np.full(len(order), qi[j]))
+                out_i.append(ij[order])
+                out_c.append(sj[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "q_id": np.concatenate(out_q),
+                "id": np.concatenate(out_i),
+                "cosine": np.concatenate(out_c),
+            })
+
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells_needed))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+        .mapInPandas(local_topk,
+                     schema="q_id long, id long, cosine double")
+    )
+    from pyspark.sql.window import Window as _W
+    w = _W.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "id", "cosine")
+    )

@@ -663,3 +663,51 @@ def test_index_compaction_merges_cells_preserves_probe(spark, tmp_path):
     post = [(r["id"], round(r["cosine"], 9)) for r in
             S.ivf_topk_indexed(spark, path, [0, 1], q, k=5).collect()]
     assert post == pre
+
+
+def test_knn_join_ivf_indexed_matches_probes_and_prunes(spark, sf_dir,
+                                                        tmp_path):
+    """Batched ANN retrieval against the IVF index: per query the
+    result equals the single-query ivf_topk_indexed over the same
+    probe cells (9-dp rounding), and the one scan the batch runs is
+    partition-pruned to the union of probed cells."""
+    import numpy as np
+
+    from remote_storage_adapter_spark.operators import similarity as S
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    _, cents = S.ivf_train(embs, n_cells=16, iters=2)
+    path = str(tmp_path / "ivf_knn")
+    S.ivf_write_index(embs, path, cents)
+    queries = embs.filter(F.col("vec_id") % 150 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"))
+    out = S.knn_join_ivf_indexed(spark, path, cents, queries, k=5,
+                                 n_probe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append(
+            (r["id"], round(r["cosine"], 9)))
+    assert len(got) == queries.count()
+    # per-query reference with the same deterministic probe selection
+    cm = np.array([v for _, v in cents], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0] = 1.0
+    for r in queries.collect():
+        qv = [float(x) for x in r["q_vec"]]
+        q = np.array(qv)
+        qn = np.linalg.norm(q) or 1.0
+        sims = (q / qn) @ (cm / cn[:, None]).T
+        ranked = sorted(range(len(cents)),
+                        key=lambda c: (-sims[c], cents[c][0]))
+        probe = [cents[c][0] for c in ranked[:4]]
+        ref = [(x["id"], round(x["cosine"], 9)) for x in
+               S.ivf_topk_indexed(spark, path, probe, qv, k=5)
+               .collect()]
+        assert ref == got[r["q_id"]], r["q_id"]
+    # the batch scan prunes partitions
+    cand = spark.read.parquet(path).filter(
+        F.col("cell").isin([0, 1, 2, 3]))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
