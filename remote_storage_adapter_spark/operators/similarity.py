@@ -804,3 +804,86 @@ def knn_join_ivf_indexed(spark, path: str, centroids,
         .filter(F.col("_rk") <= k)
         .select("q_id", "id", "cosine")
     )
+
+
+def ivf_write_index_int8(embs: DataFrame, path: str, centroids, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Materialize a QUANTIZED IVF index: cell assignment as in
+    :func:`ivf_write_index`, vectors stored as symmetric-int8 bytes
+    (one byte per component in a ``binary`` column + a per-vector
+    ``scale`` double) — a true ~4-8× at-rest/IO reduction vs float
+    arrays for the index a 100 TB embedding corpus probes constantly.
+    Same quantization contract as :func:`quantize_int8`
+    (``scale = max|x|/127``, round-half-up, zero vector → zeros with
+    scale 0); dequantized error is bounded by scale/2 per component,
+    so probe rankings are near-exact (recall locked in pytest, not
+    bit-equality — quantization is lossy by design; keep the float
+    index when exact ranking matters).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
+                         seed_rows=centroids)
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            scale = np.abs(m).max(axis=1) / 127.0
+            safe = np.where(scale == 0, 1.0, scale)
+            q = np.floor(m / safe[:, None] + 0.5).astype(np.int8)
+            q[scale == 0] = 0
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(),
+                "scale": scale,
+                "qv": [row.tobytes() for row in q],
+                "cell": pdf["cell"].to_numpy(),
+            })
+
+    packed = assigned.mapInPandas(
+        pack, schema="vec_id long, scale double, qv binary, cell long")
+    packed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed_int8(spark, path: str, cells: Sequence[int],
+                          query: Sequence[float], k: int = 10) -> DataFrame:
+    """Top-k over an :func:`ivf_write_index_int8`: partition-pruned
+    scan of the probed cells, per-Arrow-batch dequantize
+    (``int8 × scale``) + BLAS cosine against the query, local top-k,
+    then the global TakeOrdered merge. Output matches the float
+    probes' shape ``(id, cosine)``; cosines differ from exact by the
+    quantization error (bounded, recall-locked in pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    qv = np.array([float(x) for x in query], dtype=np.float64)
+    qn = np.linalg.norm(qv) or 1.0
+    bq = spark.sparkContext.broadcast(qv / qn)
+
+    def score(batches):
+        q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.frombuffer(b, dtype=np.int8)
+                          for b in pdf["qv"]]).astype(np.float64)
+            m *= pdf["scale"].to_numpy()[:, None]
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((m / norms[:, None]) @ q, 9)
+            ids = pdf["vec_id"].to_numpy()
+            order = np.lexsort((ids, -sims))[:min(k, len(ids))]
+            yield pd.DataFrame({"id": ids[order],
+                                "cosine": sims[order]})
+
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(list(cells)))
+        .select("vec_id", "scale", "qv")
+        .mapInPandas(score, schema="id long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
