@@ -1258,8 +1258,13 @@ def embedding_near_dup_pairs_pandas(embs: DataFrame, *,
         norms[norms == 0.0] = 1.0
         sims = (m @ m.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = sims[ia, ib] >= threshold
         ids = pdf["id"].to_numpy()
+        # strict id inequality, not just position inequality: with
+        # duplicate ids in a block (e.g. a crashed append attempt's
+        # partial files replayed alongside the batch) the positional
+        # triangle would emit id==id self-pairs that the expression
+        # backend's a.id < b.id join correctly excludes
+        keep = (sims[ia, ib] >= threshold) & (ids[ia] < ids[ib])
         return pd.DataFrame(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
              "cosine": sims[ia, ib][keep]}
@@ -1446,7 +1451,14 @@ def _semantic_drops(assigned: DataFrame, *, threshold: float,
         F.min_by("cosine", "id_a").alias("cosine"),
     )
     cells = assigned.select(F.col(id_col).alias("id"), "cell")
-    return drops.join(cells, "id").select("id", "cell", "rep", "cosine")
+    # dropDuplicates on the drop-sized result (not distinct on the
+    # corpus-sized cells side): duplicate ids in `assigned` — possible
+    # only when a crashed append attempt's partial files replay
+    # alongside their batch — would otherwise fan the join out into
+    # identical duplicate rows
+    return (drops.join(cells, "id")
+            .select("id", "cell", "rep", "cosine")
+            .dropDuplicates(["id"]))
 
 
 def semantic_dedup_append(spark, new_embs: DataFrame, index_path: str,

@@ -194,6 +194,50 @@ def _mark_committed(fs, marker) -> None:
     fs.createNewFile(marker)
 
 
+def batch_committed(spark, path: str, batch_id: int, *,
+                    ledger_dir: str = "_ingest_ledger") -> bool:
+    """True iff the ledger shows ``batch_id`` fully published into the
+    table at ``path`` (step 1 of the exactly-once protocol)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    marker = hpath(f"{path}/{ledger_dir}/batch-{batch_id:012d}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(marker))
+
+
+def publish_staged_batch(spark, path: str, staging: str,
+                         batch_id: int, partition_col: str, *,
+                         ledger_dir: str = "_ingest_ledger") -> None:
+    """Steps 3-5 of the exactly-once replay protocol, shared by every
+    path-based partitioned sink (the metrics table on ``date``, the
+    semantic embedding index on ``cell``): sweep a crashed attempt's
+    partially-published ``b<id>-*`` files, rename each staged file
+    into its live partition under the batch-id prefix, delete the
+    staging directory, atomically create the ledger marker. See
+    :func:`write_metrics_exactly_once` for the full protocol and the
+    crash→recovery case analysis — this helper keeps the
+    ``_publish_file`` / ``_mark_committed`` seams so crash-injection
+    tests cover any caller."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = hpath(f"{path}/{ledger_dir}/batch-{batch_id:012d}")
+    for st in fs.globStatus(
+            hpath(f"{path}/{partition_col}=*/b{batch_id:012d}-*")):
+        fs.delete(st.getPath(), False)
+    for st in fs.globStatus(
+            hpath(f"{staging}/{partition_col}=*/*.parquet")):
+        src = st.getPath()
+        part = src.getParent().getName()  # <partition_col>=<value>
+        live_dir = hpath(f"{path}/{part}")
+        fs.mkdirs(live_dir)
+        _publish_file(
+            fs, src,
+            hpath(f"{path}/{part}/b{batch_id:012d}-{src.getName()}"))
+    fs.delete(hpath(staging), True)
+    fs.mkdirs(marker.getParent())
+    _mark_committed(fs, marker)
+
+
 def write_metrics_exactly_once(df: DataFrame, path: str,
                                batch_id: int, *,
                                files_per_date: int = 8) -> bool:
@@ -236,31 +280,13 @@ def write_metrics_exactly_once(df: DataFrame, path: str,
     ledger showed it already committed.
     """
     spark = df.sparkSession
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    root = hpath(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    marker = hpath(f"{path}/_ingest_ledger/batch-{batch_id:012d}")
-    if fs.exists(marker):
+    if batch_committed(spark, path, batch_id):
         return False
     staging = f"{path}/_staging/batch-{batch_id:012d}"
     write_metrics(df, staging, mode="overwrite",
                   files_per_date=files_per_date)
-    # sweep a crashed attempt's partially-published live files
-    for st in fs.globStatus(
-            hpath(f"{path}/{PARTITION_COLUMN}=*/b{batch_id:012d}-*")):
-        fs.delete(st.getPath(), False)
-    for st in fs.globStatus(
-            hpath(f"{staging}/{PARTITION_COLUMN}=*/*.parquet")):
-        src = st.getPath()
-        part = src.getParent().getName()  # date=YYYY-MM-DD
-        live_dir = hpath(f"{path}/{part}")
-        fs.mkdirs(live_dir)
-        _publish_file(
-            fs, src,
-            hpath(f"{path}/{part}/b{batch_id:012d}-{src.getName()}"))
-    fs.delete(hpath(staging), True)
-    fs.mkdirs(marker.getParent())
-    _mark_committed(fs, marker)
+    publish_staged_batch(spark, path, staging, batch_id,
+                         PARTITION_COLUMN)
     return True
 
 

@@ -887,3 +887,39 @@ def ivf_topk_indexed_int8(spark, path: str, cells: Sequence[int],
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def ivf_append_exactly_once(new_embs: DataFrame, path: str,
+                            batch_id: int, centroids, *,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> bool:
+    """:func:`ivf_append` with the staged-rename exactly-once replay
+    protocol of ``operators.ingest.write_metrics_exactly_once``
+    (shared machinery: ``ingest.publish_staged_batch``): a replayed
+    micro-batch can neither duplicate index rows nor leave a partial
+    append visible — a crash at ANY protocol step replays into the
+    matching recovery (restage / sweep-and-republish / ledger skip),
+    which closes the crash window a bare append + after-the-fact
+    marker leaves open. Ledger: ``<path>/_semantic_ledger``. Returns
+    True if this call published the batch.
+    """
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+        publish_staged_batch,
+    )
+
+    spark = new_embs.sparkSession
+    if batch_committed(spark, path, batch_id,
+                       ledger_dir="_semantic_ledger"):
+        return False
+    staging = f"{path}/_staging/batch-{batch_id:012d}"
+    assigned = ivf_index(new_embs, id_col=id_col, vec_col=vec_col,
+                         seed_rows=centroids)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    publish_staged_batch(spark, path, staging, batch_id, "cell",
+                         ledger_dir="_semantic_ledger")
+    return True

@@ -108,30 +108,37 @@ def apply_semantic_batch(batch_df: DataFrame, batch_id: int,
     free by construction. ``threshold=None`` appends everything (a
     plain streaming ivf_append).
 
-    Replay semantics: parquet appends are not idempotent, so each
-    applied batch id is recorded as a marker file under
-    ``<index_path>/_semantic_ledger/`` AFTER the append lands
-    (underscore-prefixed — parquet readers ignore it), and replayed
-    batches skip. Same residual window as the MinHash maintainer: a
-    crash between the append and the marker double-applies that batch
-    on replay; Delta is the upgrade when available. Returns True if
-    this call applied the batch.
+    Replay semantics: the append runs through
+    ``similarity.ivf_append_exactly_once`` — the staged-rename
+    protocol shared with the ingest sink (batch-id-prefixed
+    filenames, pre-publish sweep, ledger marker last), so a crash at
+    ANY step replays into the matching recovery and a replayed batch
+    can neither duplicate index rows nor leave a partial append
+    visible (crash-injected in tests). A replay that finds a crashed
+    attempt's partial files recomputes the SAME drop decisions: the
+    partials carry batch ids, the drop rule is strict-smaller-id, and
+    duplicate (id, vector) rows add no new pairs — then the sweep
+    removes them before republish. Returns True if this call applied
+    the batch.
     """
     from remote_storage_adapter_spark.operators.dedup import (
         semantic_dedup,
         semantic_dedup_append,
     )
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+    )
     from remote_storage_adapter_spark.operators.similarity import (
-        ivf_append,
+        ivf_append_exactly_once,
     )
 
     spark = batch_df.sparkSession
+    if batch_committed(spark, index_path, batch_id,
+                       ledger_dir="_semantic_ledger"):
+        return False
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     root = hpath(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    marker = hpath(f"{index_path}/_semantic_ledger/batch-{batch_id:012d}")
-    if fs.exists(marker):
-        return False
     kept = batch_df
     if threshold is not None:
         with cache_scope():
@@ -154,11 +161,9 @@ def apply_semantic_batch(batch_df: DataFrame, batch_id: int,
                 [(int(r["id"]),) for r in drops.select("id").collect()],
                 f"{id_col} long")
         kept = batch_df.join(drop_ids, id_col, "left_anti")
-    ivf_append(kept, index_path, centroids,
-               id_col=id_col, vec_col=vec_col)
-    fs.mkdirs(marker.getParent())
-    fs.createNewFile(marker)
-    return True
+    return ivf_append_exactly_once(kept, index_path, batch_id,
+                                   centroids, id_col=id_col,
+                                   vec_col=vec_col)
 
 
 def stream_semantic_index_maintain(

@@ -578,3 +578,76 @@ def test_streaming_semantic_index_dedups_and_skips_replay(spark, tmp_path):
         again = sorted(r["vec_id"]
                        for r in spark.read.parquet(index).collect())
         assert again == kept
+
+
+def test_semantic_index_append_survives_crash_at_every_step(
+        spark, tmp_path, monkeypatch):
+    """Crash-replay contract of the semantic index maintainer: the
+    append runs the shared staged-rename protocol, so an attempt that
+    dies mid-publish or after publish-before-ledger replays into the
+    index exactly once — including when the dedup pass of the replay
+    sees the crashed attempt's partial files (same-batch ids never
+    drop each other under the strict-smaller-id rule)."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import (
+        ingest as I,
+        similarity as S,
+    )
+    from remote_storage_adapter_spark.streaming.dedup import (
+        apply_semantic_batch,
+    )
+
+    schema = "vec_id long, embedding array<float>, label int"
+    boot = spark.createDataFrame(
+        [(i, [1.0 * (i % 2 == 0), 1.0 * (i % 2 == 1), 0.0, 0.0], 0)
+         for i in range(6)], schema)
+    _, cents = S.ivf_train(boot, n_cells=2, iters=1)
+    index = str(tmp_path / "sem_idx")
+
+    def ids():
+        return sorted(r["vec_id"]
+                      for r in spark.read.parquet(index).collect())
+
+    b0 = spark.createDataFrame(
+        [(100, [1.0, 0.01, 0.0, 0.0], 0),
+         (101, [0.0, 1.0, 0.0, 0.0], 0)], schema)
+    assert apply_semantic_batch(b0, 0, index, cents, threshold=0.9)
+    assert apply_semantic_batch(b0, 0, index, cents,
+                                threshold=0.9) is False
+    assert ids() == [100, 101]
+
+    # batch 1 (one dup of 100, one new): die mid-publish, then replay
+    b1 = spark.createDataFrame(
+        [(200, [1.0, 0.02, 0.0, 0.0], 0),      # dup of 100 -> dropped
+         (201, [0.0, 1.0, 0.02, 0.0], 0)], schema)  # dup of 101
+    real_publish = I._publish_file
+
+    def dying_publish(fs, src, dst):
+        real_publish(fs, src, dst)
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(I, "_publish_file", dying_publish)
+    with pytest.raises(RuntimeError):
+        apply_semantic_batch(b1, 1, index, cents, threshold=2.0)
+        # threshold 2.0: nothing can be dropped, both rows append —
+        # makes the partial-file sweep observable
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    assert apply_semantic_batch(b1, 1, index, cents, threshold=2.0)
+    assert ids() == [100, 101, 200, 201]  # exactly once, no partials
+
+    # batch 2: die after publish, before ledger commit; replay with
+    # dedup ON — partial files present, decisions must be identical
+    b2 = spark.createDataFrame(
+        [(300, [1.0, 0.03, 0.0, 0.0], 0),      # dup of 100 -> dropped
+         (301, [0.5, 0.5, 0.7, 0.0], 0)], schema)  # novel direction
+
+    def dying_commit(fs, marker):
+        raise RuntimeError("injected crash before ledger commit")
+
+    monkeypatch.setattr(I, "_mark_committed", dying_commit)
+    with pytest.raises(RuntimeError):
+        apply_semantic_batch(b2, 2, index, cents, threshold=0.9)
+    monkeypatch.undo()
+    assert apply_semantic_batch(b2, 2, index, cents, threshold=0.9)
+    assert ids() == [100, 101, 200, 201, 301]  # 300 dropped once
