@@ -724,7 +724,9 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                          num_hashes: int = 64, bands: int = 16,
                          shingle_n: int = 3, mode: str = "oph",
                          id_col: str = "doc_id", text_col: str = "text",
-                         buckets: int = 32) -> None:
+                         buckets: int = 32,
+                         skip_tables: frozenset = frozenset(),
+                         on_step=None) -> None:
     """Fold a new batch of reference docs into an existing
     :func:`minhash_index` without re-signing the corpus: sign ONLY
     the batch, append its postings/signatures into the bucketed
@@ -733,7 +735,17 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
     table — bucketed by (band, bucket), so that groupBy is
     exchange-free regardless of corpus size. Caller owns id
     uniqueness across appends (duplicate ids would double-count
-    themselves as candidate pairs)."""
+    themselves as candidate pairs).
+
+    ``skip_tables`` / ``on_step`` are the crash-replay hooks for the
+    streaming maintainer: each ``saveAsTable`` append is job-atomic
+    (the Hadoop commit protocol publishes nothing on a mid-job
+    crash), so the only residual window is BETWEEN the two appends.
+    The maintainer records each completed append in its per-table
+    ledger via ``on_step(table)`` and replays with the completed set
+    as ``skip_tables`` — only the missing table is appended, never a
+    duplicate. The counts table is a pure overwrite-derivation of
+    banded and is refreshed unconditionally."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
@@ -746,12 +758,20 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                        shingle_n=shingle_n, id_col=id_col,
                        text_col=text_col))
     sigs.count()
-    banded = _band_frame(sigs, bands=bands,
-                         rows_per_band=num_hashes // bands, mode=mode)
-    (banded.write.mode("append").bucketBy(buckets, "band", "bucket")
-     .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
-    (sigs.write.mode("append").bucketBy(buckets, "id").sortBy("id")
-     .saveAsTable(f"{table_prefix}_sigs"))
+    if "banded" not in skip_tables:
+        banded = _band_frame(sigs, bands=bands,
+                             rows_per_band=num_hashes // bands,
+                             mode=mode)
+        (banded.write.mode("append")
+         .bucketBy(buckets, "band", "bucket")
+         .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
+        if on_step is not None:
+            on_step("banded")
+    if "sigs" not in skip_tables:
+        (sigs.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+         .saveAsTable(f"{table_prefix}_sigs"))
+        if on_step is not None:
+            on_step("sigs")
     (spark.table(f"{table_prefix}_banded")
      .groupBy("band", "bucket")
      .agg(F.count(F.lit(1)).alias("_n"))

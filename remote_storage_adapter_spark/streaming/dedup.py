@@ -7,18 +7,20 @@ re-signed.
 
 Replay semantics: index appends are NOT idempotent (a re-appended
 batch duplicates its postings, which fans out the signature join-back
-into duplicate pairs), so each applied batch id is recorded in a
-``{prefix}_applied`` ledger table AFTER its appends land, and
-replayed batches are skipped — the same ledger pattern as the
+into duplicate pairs), so each completed table append is recorded in
+a ``{prefix}_applied`` ledger table, and replayed batches skip the
+appends the ledger already shows — the same ledger pattern as the
 exactly-once ingest sink (operators.ingest.write_metrics_exactly_once).
 The ledger rides the index (a catalog table), not the stream
 checkpoint, so even a fresh-checkpoint reprocess of the same landing
 files skips already-applied batches (deterministic re-batching:
 ``availableNow`` + ``maxFilesPerTrigger=1`` feeds files in order).
-Residual window: a crash BETWEEN the two table appends leaves a
-half-applied batch that a replay would double — ``saveAsTable``
-appends span two tables and are not atomic together; Delta's
-multi-table transactions are the upgrade when available.
+The ledger is per (batch, table): each ``saveAsTable`` append is
+job-atomic (the commit protocol publishes nothing on a mid-job
+crash), so a crash BETWEEN the two table appends replays by
+appending only the missing table — no double-apply, no Delta
+dependency. A crash during bootstrap leaves the ledger empty and
+replays the overwrite-mode bootstrap cleanly.
 """
 
 from __future__ import annotations
@@ -37,25 +39,48 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
                       table_prefix: str, **index_kwargs) -> bool:
     """Apply one document batch to the index exactly once: bootstrap
     the index on first use, append otherwise, skip if the ledger
-    shows this batch already applied. Returns True if applied."""
+    shows this batch already applied. Returns True if applied.
+
+    The ledger is PER TABLE — ``(batch_id, tbl)`` rows, one appended
+    after each completed table append. Each ``saveAsTable`` append is
+    job-atomic (the commit protocol publishes nothing on a mid-job
+    crash), so the only crash residue is a batch with SOME tables
+    appended; the replay reads which and re-appends only the missing
+    ones (``minhash_index_append(skip_tables=...)``). A crash during
+    bootstrap leaves the ledger empty, and an empty ledger replays
+    the bootstrap in overwrite mode — also clean. This closes the
+    two-table crash window the r6 first-half version documented as
+    residual."""
+    from pyspark.sql import functions as F
+
     spark = batch_df.sparkSession
     ledger = f"{table_prefix}_applied"
-    bootstrapped = spark.catalog.tableExists(f"{table_prefix}_banded")
-    if bootstrapped and spark.catalog.tableExists(ledger):
-        from pyspark.sql import functions as F
 
-        seen = (spark.table(ledger)
-                .filter(F.col("batch_id") == batch_id).count())
-        if seen:
-            return False
-    with cache_scope():
-        if bootstrapped:
-            minhash_index_append(batch_df, table_prefix,
-                                 **index_kwargs)
-        else:
+    def mark(tbl: str) -> None:
+        spark.createDataFrame([(int(batch_id), tbl)],
+                              "batch_id long, tbl string") \
+            .write.mode("append").saveAsTable(ledger)
+
+    ledger_live = (
+        spark.catalog.tableExists(ledger)
+        and spark.table(ledger).limit(1).count() > 0
+    )
+    if not ledger_live:
+        # first batch, or a bootstrap attempt crashed before any
+        # ledger row landed: (re)build in overwrite mode — idempotent
+        with cache_scope():
             minhash_index(batch_df, table_prefix, **index_kwargs)
-    spark.createDataFrame([(int(batch_id),)], "batch_id long") \
-        .write.mode("append").saveAsTable(ledger)
+        mark("banded")
+        mark("sigs")
+        return True
+    done = {r["tbl"] for r in spark.table(ledger)
+            .filter(F.col("batch_id") == batch_id).collect()}
+    if {"banded", "sigs"} <= done:
+        return False
+    with cache_scope():
+        minhash_index_append(batch_df, table_prefix,
+                             skip_tables=frozenset(done),
+                             on_step=mark, **index_kwargs)
     return True
 
 

@@ -504,7 +504,10 @@ def test_streaming_minhash_index_matches_batch_and_skips_replay(
                 spark, prefix, inc, num_hashes=16, bands=4,
                 threshold=0.1).collect())
         assert again == streamed
-    assert spark.table(f"{prefix}_applied").count() == 2
+    applied = spark.table(f"{prefix}_applied")
+    assert applied.select("batch_id").distinct().count() == 2
+    # per-table ledger: both appends recorded for both batches
+    assert applied.count() == 4
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
 
@@ -651,3 +654,74 @@ def test_semantic_index_append_survives_crash_at_every_step(
     monkeypatch.undo()
     assert apply_semantic_batch(b2, 2, index, cents, threshold=0.9)
     assert ids() == [100, 101, 200, 201, 301]  # 300 dropped once
+
+
+def test_minhash_maintainer_recovers_between_table_appends(
+        spark, tmp_path, monkeypatch):
+    """The r6 per-table ledger closes the MinHash maintainer's
+    documented crash window: an attempt that dies BETWEEN the banded
+    and sigs appends replays by appending ONLY the missing table —
+    the banded postings are not duplicated, and the joined results
+    equal a clean one-shot build."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming import dedup as SD
+
+    schema = "doc_id long, text string"
+    prefix = "mh_crash_test"
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    b0 = spark.createDataFrame(
+        [(i, f"common text body shared across docs w{i % 2}")
+         for i in range(6)], schema)
+    assert SD.apply_index_batch(b0, 0, prefix, num_hashes=16, bands=4,
+                                shingle_n=3, buckets=4)
+    # batch 1 dies after the banded append, before the sigs append
+    b1 = spark.createDataFrame(
+        [(100 + i, f"common text body shared across docs w{i % 2}")
+         for i in range(4)], schema)
+    real_append = D.minhash_index_append
+
+    def dying_append(docs, table_prefix, **kw):
+        def dying_step(tbl):
+            kw_on = kw.get("on_step")
+            if kw_on is not None:
+                kw_on(tbl)
+            if tbl == "banded":
+                raise RuntimeError("injected crash between appends")
+        kw2 = dict(kw)
+        kw2["on_step"] = dying_step
+        return real_append(docs, table_prefix, **kw2)
+
+    monkeypatch.setattr(SD, "minhash_index_append", dying_append)
+    with pytest.raises(RuntimeError):
+        SD.apply_index_batch(b1, 1, prefix, num_hashes=16, bands=4,
+                             shingle_n=3, buckets=4)
+    monkeypatch.undo()
+    banded_after_crash = spark.table(f"{prefix}_banded").count()
+    assert SD.apply_index_batch(b1, 1, prefix, num_hashes=16, bands=4,
+                                shingle_n=3, buckets=4)
+    # replay appended ONLY sigs: banded row count unchanged
+    assert spark.table(f"{prefix}_banded").count() == banded_after_crash
+    # and a third apply is a clean skip
+    assert SD.apply_index_batch(b1, 1, prefix, num_hashes=16, bands=4,
+                                shingle_n=3, buckets=4) is False
+    # end state equals a clean one-shot index over both batches
+    inc = spark.createDataFrame(
+        [(i, f"common text body shared across docs v{i % 2}")
+         for i in range(3)], schema)
+    streamed = sorted(
+        (r.id_l, r.id_r, round(r.est_jaccard, 9))
+        for r in D.minhash_lsh_join_indexed(
+            spark, prefix, inc, num_hashes=16, bands=4,
+            threshold=0.1).collect())
+    with D.cache_scope():
+        direct = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join(
+                inc, b0.unionByName(b1), num_hashes=16, bands=4,
+                threshold=0.1).collect())
+    assert streamed == direct and streamed
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
