@@ -923,3 +923,35 @@ def ivf_append_exactly_once(new_embs: DataFrame, path: str,
     publish_staged_batch(spark, path, staging, batch_id, "cell",
                          ledger_dir="_semantic_ledger")
     return True
+
+
+def lsh_append_exactly_once(new_embs: DataFrame, path: str,
+                            batch_id: int, *, n_planes: int = 8,
+                            dim: int,
+                            vec_col: str = "embedding") -> bool:
+    """:func:`lsh_append` with the staged-rename exactly-once replay
+    protocol (shared ``ingest.publish_staged_batch`` machinery, same
+    contract as :func:`ivf_append_exactly_once` — a replayed
+    micro-batch can neither duplicate bucket rows nor leave a partial
+    append visible). Ledger: ``<path>/_lsh_ledger``. Returns True if
+    this call published the batch."""
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+        publish_staged_batch,
+    )
+
+    spark = new_embs.sparkSession
+    if batch_committed(spark, path, batch_id,
+                       ledger_dir="_lsh_ledger"):
+        return False
+    staging = f"{path}/_staging/batch-{batch_id:012d}"
+    bucket = bucket_of(F.col(vec_col), n_planes, dim)
+    (
+        new_embs.withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    publish_staged_batch(spark, path, staging, batch_id, "bucket",
+                         ledger_dir="_lsh_ledger")
+    return True

@@ -752,3 +752,46 @@ def test_int8_index_recall_size_and_pruning(spark, sf_dir, tmp_path):
             .filter(F.col("cell").isin([0, 1]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_lsh_append_exactly_once_replay(spark, tmp_path, monkeypatch):
+    """The LSH index's exactly-once append: a mid-publish crash
+    replays into the bucket-partitioned layout exactly once (same
+    shared protocol as the ingest sink and the IVF index)."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import (
+        ingest as I,
+        similarity as S,
+    )
+
+    schema = "vec_id long, embedding array<float>, label int"
+    base = spark.createDataFrame(
+        [(i, [float(i % 3 == d) for d in range(4)], 0)
+         for i in range(12)], schema)
+    path = str(tmp_path / "lsh_idx")
+    S.lsh_index(base, path, n_planes=4, dim=4)
+    batch = spark.createDataFrame(
+        [(100 + i, [float((i + 1) % 3 == d) for d in range(4)], 0)
+         for i in range(6)], schema)
+
+    def ids():
+        return sorted(r["vec_id"]
+                      for r in spark.read.parquet(path).collect())
+
+    real_publish = I._publish_file
+
+    def dying_publish(fs, src, dst):
+        real_publish(fs, src, dst)
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(I, "_publish_file", dying_publish)
+    with pytest.raises(RuntimeError):
+        S.lsh_append_exactly_once(batch, path, 0, n_planes=4, dim=4)
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    assert S.lsh_append_exactly_once(batch, path, 0, n_planes=4, dim=4)
+    assert ids() == sorted(list(range(12)) + list(range(100, 106)))
+    # replay after commit: clean skip
+    assert S.lsh_append_exactly_once(
+        batch, path, 0, n_planes=4, dim=4) is False
+    assert ids() == sorted(list(range(12)) + list(range(100, 106)))
