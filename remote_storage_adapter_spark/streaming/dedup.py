@@ -36,10 +36,26 @@ from remote_storage_adapter_spark.operators.dedup import (
 
 
 def apply_index_batch(batch_df: DataFrame, batch_id: int,
-                      table_prefix: str, **index_kwargs) -> bool:
+                      table_prefix: str, *,
+                      dedup_threshold: float | None = None,
+                      **index_kwargs) -> bool:
     """Apply one document batch to the index exactly once: bootstrap
     the index on first use, append otherwise, skip if the ledger
     shows this batch already applied. Returns True if applied.
+
+    ``dedup_threshold`` turns this into streaming FUZZY
+    DEDUP-ON-INGEST (the text-side twin of the semantic maintainer):
+    before appending, the batch is MinHash-joined against the
+    accumulated index (cross-corpus) and against itself (within-batch
+    smallest-id rule), and only documents with no ≥-threshold match
+    are appended — the maintained corpus stays fuzzy-duplicate-free
+    by construction. Requires the documented id-uniqueness contract
+    (ids never repeat across batches); the cross join discards
+    ``id_l == id_r`` matches, which under that contract can only be a
+    crashed attempt's own partially-applied copy — this is what makes
+    replay decisions identical even when the replay's join sees
+    partial state (kept docs compare equal, dropped docs were never
+    appended).
 
     The ledger is PER TABLE — ``(batch_id, tbl)`` rows, one appended
     after each completed table append. Each ``saveAsTable`` append is
@@ -65,11 +81,18 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
         spark.catalog.tableExists(ledger)
         and spark.table(ledger).limit(1).count() > 0
     )
+    id_col = index_kwargs.get("id_col", "doc_id")
+    join_kwargs = {k: v for k, v in index_kwargs.items()
+                   if k != "buckets"}
     if not ledger_live:
         # first batch, or a bootstrap attempt crashed before any
         # ledger row landed: (re)build in overwrite mode — idempotent
+        kept = batch_df
+        if dedup_threshold is not None:
+            kept = _drop_within_batch(batch_df, dedup_threshold,
+                                      id_col, join_kwargs)
         with cache_scope():
-            minhash_index(batch_df, table_prefix, **index_kwargs)
+            minhash_index(kept, table_prefix, **index_kwargs)
         mark("banded")
         mark("sigs")
         return True
@@ -77,11 +100,52 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
             .filter(F.col("batch_id") == batch_id).collect()}
     if {"banded", "sigs"} <= done:
         return False
+    kept = batch_df
+    if dedup_threshold is not None:
+        from remote_storage_adapter_spark.operators.dedup import (
+            minhash_lsh_join_indexed,
+        )
+
+        with cache_scope():
+            kept = _drop_within_batch(batch_df, dedup_threshold,
+                                      id_col, join_kwargs)
+            cross = minhash_lsh_join_indexed(
+                spark, table_prefix, kept,
+                threshold=dedup_threshold, **join_kwargs)
+            cross_ids = spark.createDataFrame(
+                [(int(r["id_l"]),) for r in
+                 cross.filter(F.col("id_l") != F.col("id_r"))
+                 .select("id_l").distinct().collect()],
+                f"{id_col} long")
+        kept = kept.join(cross_ids, id_col, "left_anti")
     with cache_scope():
-        minhash_index_append(batch_df, table_prefix,
+        minhash_index_append(kept, table_prefix,
                              skip_tables=frozenset(done),
                              on_step=mark, **index_kwargs)
     return True
+
+
+def _drop_within_batch(batch_df: DataFrame, threshold: float,
+                       id_col: str, join_kwargs: dict) -> DataFrame:
+    """Within-batch fuzzy dedup (smallest-id-wins): MinHash pairs over
+    the batch alone, drop every ``id_b`` (the larger id of a pair).
+    Drop ids are materialized eagerly (bounded by batch size) so the
+    surviving frame doesn't lazily re-run the pair pipeline once the
+    operator caches are released."""
+    from remote_storage_adapter_spark.operators.dedup import (
+        cache_scope as _cs,
+        minhash_lsh_pairs,
+    )
+
+    spark = batch_df.sparkSession
+    with _cs():
+        pairs = minhash_lsh_pairs(batch_df, threshold=threshold,
+                                  **join_kwargs)
+        drop_ids = spark.createDataFrame(
+            [(int(r["id_b"]),) for r in
+             pairs.select("id_b").distinct().collect()],
+            f"{id_col} long")
+    return batch_df.join(drop_ids, id_col, "left_anti")
 
 
 def stream_minhash_index_maintain(
@@ -91,6 +155,7 @@ def stream_minhash_index_maintain(
     checkpoint_dir: str,
     *,
     schema: StructType,
+    dedup_threshold: float | None = None,
     available_now: bool = False,
     max_files_per_trigger: int = 64,
     **index_kwargs,
@@ -98,8 +163,12 @@ def stream_minhash_index_maintain(
     """Maintain a MinHash index over a parquet landing directory of
     documents; returns the StreamingQuery. ``index_kwargs`` =
     num_hashes/bands/shingle_n/mode/id_col/text_col/buckets, and must
-    stay constant across the index's lifetime. Query the maintained
-    index any time with minhash_lsh_join_indexed."""
+    stay constant across the index's lifetime. With
+    ``dedup_threshold`` set, each batch is fuzzy-deduplicated against
+    the accumulated corpus (and within itself) BEFORE only the kept
+    docs are indexed — streaming text dedup-on-ingest (see
+    apply_index_batch). Query the maintained index any time with
+    minhash_lsh_join_indexed."""
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -108,7 +177,8 @@ def stream_minhash_index_maintain(
     writer = (
         raw.writeStream
         .foreachBatch(lambda df, bid: apply_index_batch(
-            df, bid, table_prefix, **index_kwargs))
+            df, bid, table_prefix, dedup_threshold=dedup_threshold,
+            **index_kwargs))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -725,3 +725,58 @@ def test_minhash_maintainer_recovers_between_table_appends(
     assert streamed == direct and streamed
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_streaming_text_dedup_on_ingest(spark, tmp_path):
+    """Streaming fuzzy text dedup-on-ingest: batches landed over time
+    keep only the first copy of each near-dup family — within a batch
+    (smallest id wins) and across batches (the indexed corpus wins) —
+    and the maintained index stays duplicate-free under its own join.
+    Fresh-checkpoint reprocess changes nothing."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming.dedup import (
+        stream_minhash_index_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    prefix = "mh_ingest_dedup_test"
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    other = "completely different content about spark engines parquet "
+    b1 = [(10, (base * 3).strip()),
+          (11, (base * 3).strip()),          # within-batch dup of 10
+          (12, (other * 3).strip())]
+    b2 = [(20, (base * 3 + "tail words").strip()),  # near-dup of 10
+          (21, ("novel text body nothing like the others at all " * 3)
+           .strip())]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_minhash_index_maintain(
+            spark, landing, prefix, str(tmp_path / ckpt),
+            schema=schema, dedup_threshold=0.5, available_now=True,
+            max_files_per_trigger=1, num_hashes=16, bands=8,
+            shingle_n=3, buckets=4)
+        q.awaitTermination(120)
+
+    run("ck1")
+    kept = sorted(r["id"] for r in
+                  spark.table(f"{prefix}_sigs").select("id").collect())
+    assert kept == [10, 12, 21]  # 11 dropped in-batch, 20 cross-batch
+    # replays: same-checkpoint and fresh-checkpoint both no-op
+    for ckpt in ("ck1", "ck2"):
+        run(ckpt)
+        again = sorted(r["id"] for r in spark.table(f"{prefix}_sigs")
+                       .select("id").collect())
+        assert again == kept
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
