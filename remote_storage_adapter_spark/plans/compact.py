@@ -44,6 +44,35 @@ def partition_file_counts(table_path: str, *,
     return out
 
 
+def _uncommitted_batch_ids(table_path: str, part_dir: str) -> set:
+    """Batch ids with ``b<id>-`` prefixed files in ``part_dir`` but no
+    commit marker in any ``_*ledger*`` directory at the table root —
+    the residue of an exactly-once publish attempt that crashed
+    mid-protocol and has not replayed yet. Empty when the table has no
+    ledger directory (plain append tables: nothing to protect)."""
+    import re
+
+    ledgers = [
+        os.path.join(table_path, d) for d in os.listdir(table_path)
+        if d.startswith("_") and "ledger" in d
+        and os.path.isdir(os.path.join(table_path, d))
+    ]
+    if not ledgers:
+        return set()
+    staged = set()
+    for f in os.listdir(part_dir):
+        m = re.match(r"b(\d{12})-", f)
+        if m:
+            staged.add(int(m.group(1)))
+    committed = set()
+    for ledger in ledgers:
+        for f in os.listdir(ledger):
+            m = re.match(r"batch-(\d{12})$", f)
+            if m:
+                committed.add(int(m.group(1)))
+    return staged - committed
+
+
 def compact_partition(spark: SparkSession, table_path: str,
                       partition_value: str, *,
                       target_files: int = 1,
@@ -59,6 +88,15 @@ def compact_partition(spark: SparkSession, table_path: str,
     one file per touched partition per batch, and probe latency
     degrades with file count until compaction merges them).
 
+    Refuses to compact a partition holding an UNCOMMITTED
+    exactly-once batch (``b<id>-*`` files with no ledger marker): the
+    rewrite would fold the crashed attempt's partial rows into
+    anonymous part files, and the batch's eventual replay — whose
+    recovery sweep finds partials by that filename prefix — would
+    then double-publish them. Replay (or abandon) the batch first;
+    committed batches compact freely (the ledger, not the file name,
+    is the commit record — locked in test_ingest).
+
     Returns the new file count, or None if below ``min_files`` (no-op).
     """
     part_dir = os.path.join(table_path,
@@ -67,6 +105,14 @@ def compact_partition(spark: SparkSession, table_path: str,
                   if f.endswith(".parquet"))
     if n_files < min_files:
         return None
+    pending = _uncommitted_batch_ids(table_path, part_dir)
+    if pending:
+        raise RuntimeError(
+            f"compact_partition: partition {partition_col}="
+            f"{partition_value} holds uncommitted exactly-once "
+            f"batch(es) {sorted(pending)} — replay them to completion "
+            f"before compacting (merging their partial files would "
+            f"break the replay's recovery sweep)")
     df = (
         spark.read.parquet(part_dir)
         .repartition(target_files)

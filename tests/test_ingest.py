@@ -256,3 +256,40 @@ def test_exactly_once_ledger_survives_compaction(spark, tmp_path):
     assert I.write_metrics_exactly_once(m, path, 0) is False
     assert I.write_metrics_exactly_once(m, path, 1) is False
     assert _vals(spark, path) == sorted([1.23, 5.1234] * 2)
+
+
+def test_compaction_refuses_uncommitted_batch(spark, tmp_path,
+                                              monkeypatch):
+    """The inverse lock of test_exactly_once_ledger_survives_compaction:
+    compacting a partition that holds a crashed, NOT-yet-replayed
+    batch's partial files must refuse — merging them into anonymous
+    part files would defeat the replay's recovery sweep and
+    double-publish the rows. After the replay completes, compaction
+    proceeds."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import ingest as I
+    from remote_storage_adapter_spark.plans.compact import compact_table
+
+    m = ingest_batch(_requests(spark))  # 2 finite rows
+    path = str(tmp_path / "tbl")
+    I.write_metrics_exactly_once(m, path, 0)
+
+    real_publish = I._publish_file
+
+    def dying_publish(fs, src, dst):
+        real_publish(fs, src, dst)
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(I, "_publish_file", dying_publish)
+    with pytest.raises(RuntimeError, match="injected"):
+        I.write_metrics_exactly_once(m, path, 1)
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    # batch 1 is partially published and uncommitted: refuse
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        compact_table(spark, path, target_files=1)
+    # replay to completion, then compaction proceeds and rows are exact
+    assert I.write_metrics_exactly_once(m, path, 1) is True
+    out = compact_table(spark, path, target_files=1)
+    assert out
+    assert _vals(spark, path) == sorted([1.23, 5.1234] * 2)
