@@ -1535,3 +1535,62 @@ def semantic_dedup_append(spark, new_embs: DataFrame, index_path: str,
     )
     new_ids = assigned_new.select(F.col(id_col).alias("id"))
     return drops.join(new_ids, "id", "left_semi")
+
+
+def semantic_clusters(embs: DataFrame, *, n_cells: int = 16,
+                      iters: int = 2, threshold: float = 0.95,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      max_cell_size: int | None = 10_000,
+                      caps_stats: dict | None = None,
+                      pair_backend: str = "pandas",
+                      centroids=None,
+                      stats: dict | None = None) -> DataFrame:
+    """Closure-semantics twin of :func:`semantic_dedup`: the
+    published SemDeDup keeps one representative per ε-similar GROUP,
+    so chains matter — here the within-cell ≥-threshold pairs feed
+    :func:`dedup_clusters` (iterative connected components) and every
+    member maps to its component's minimum id. Returns ``(id,
+    cluster)`` for every document that belongs to a multi-member
+    group; feed it to :func:`resolve_duplicates` /
+    :func:`resolve_duplicates_best` for retention, exactly like the
+    text-side cluster flow. The greedy order-free drop rule of
+    :func:`semantic_dedup` is the cheaper one-aggregate variant; this
+    one adds the CC loop's O(log diameter) rounds — similarity chains
+    are short in practice, so the loop converges in a handful.
+    ``stats`` forwards to dedup_clusters' convergence accounting;
+    the other knobs match semantic_dedup.
+    """
+    from remote_storage_adapter_spark.operators.similarity import (
+        ivf_index,
+        ivf_train,
+    )
+
+    if centroids is not None:
+        assigned = ivf_index(embs, id_col=id_col, vec_col=vec_col,
+                             seed_rows=centroids)
+    else:
+        assigned, _ = ivf_train(embs, n_cells=n_cells, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    assigned = _pin(assigned.select(id_col, vec_col, "cell"))
+    assigned.count()
+    if max_cell_size is not None:
+        cell_counts = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_n"))
+        if caps_stats is not None:
+            caps_stats.update(_cap_stats(
+                cell_counts, "_n", max_cell_size,
+                "dropped_cell_members", "max_cell_seen",
+            ))
+        assigned = assigned.join(
+            cell_counts.filter(F.col("_n") > max_cell_size)
+            .select("cell"),
+            "cell", "left_anti",
+        )
+    pair_fn = (embedding_near_dup_pairs_pandas
+               if pair_backend == "pandas" else embedding_near_dup_pairs)
+    pairs = pair_fn(
+        assigned, threshold=threshold, block_col="cell",
+        id_col=id_col, vec_col=vec_col,
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs, stats=stats)
