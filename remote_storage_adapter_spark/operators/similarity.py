@@ -691,11 +691,15 @@ def knn_join_ivf_indexed(spark, path: str, centroids,
                          q_vec_col: str = "q_vec",
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         max_batch: int = KNN_JOIN_MAX_BATCH) -> DataFrame:
+                         max_batch: int = KNN_JOIN_MAX_BATCH,
+                         quantized: bool = False) -> DataFrame:
     """Batched ANN retrieval: Q queries against a materialized
     :func:`ivf_write_index` in ONE partition-pruned scan — the
     at-scale form of :func:`knn_join` (which scans the whole corpus)
-    for retrieval-heavy pipelines.
+    for retrieval-heavy pipelines. ``quantized=True`` targets an
+    :func:`ivf_write_index_int8` layout instead: same probe plan,
+    per-Arrow-batch int8 dequantization before the masked matmul
+    (lossy — same recall posture as :func:`ivf_topk_indexed_int8`).
 
     Per query, the ``n_probe`` nearest cells are chosen driver-side
     against the (tiny, driver-held) centroid matrix with the same
@@ -759,7 +763,12 @@ def knn_join_ivf_indexed(spark, path: str, centroids,
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            if quantized:
+                m = np.stack([np.frombuffer(b, dtype=np.int8)
+                              for b in pdf["vec"]]).astype(np.float64)
+                m *= pdf["scale"].to_numpy()[:, None]
+            else:
+                m = np.array(pdf["vec"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0.0] = 1.0
             sims = np.round((m / norms[:, None]) @ qmat, 9)  # B × Q
@@ -785,17 +794,25 @@ def knn_join_ivf_indexed(spark, path: str, centroids,
                 "cosine": np.concatenate(out_c),
             })
 
-    cand = (
+    scan = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(cells_needed))
-        .select(
+    )
+    if quantized:
+        scan = scan.select(
+            F.col("vec_id").alias("id"),
+            F.col("qv").alias("vec"),
+            F.col("scale"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+    else:
+        scan = scan.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("vec"),
             F.col("cell").cast("long").alias("cell"),
         )
-        .mapInPandas(local_topk,
-                     schema="q_id long, id long, cosine double")
-    )
+    cand = scan.mapInPandas(
+        local_topk, schema="q_id long, id long, cosine double")
     from pyspark.sql.window import Window as _W
     w = _W.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc())

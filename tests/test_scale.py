@@ -795,3 +795,45 @@ def test_lsh_append_exactly_once_replay(spark, tmp_path, monkeypatch):
     assert S.lsh_append_exactly_once(
         batch, path, 0, n_planes=4, dim=4) is False
     assert ids() == sorted(list(range(12)) + list(range(100, 106)))
+
+
+def test_knn_join_int8_matches_single_query_probes(spark, sf_dir,
+                                                   tmp_path):
+    """Batched retrieval over the QUANTIZED index: per query the
+    result equals the single-query ivf_topk_indexed_int8 over the
+    same probe cells — the probe plan and the dequantize+rank math
+    are shared, so this is an exact (not recall) lock."""
+    import numpy as np
+
+    from remote_storage_adapter_spark.operators import similarity as S
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    _, cents = S.ivf_train(embs, n_cells=16, iters=2)
+    path = str(tmp_path / "ivf_q8")
+    S.ivf_write_index_int8(embs, path, cents)
+    queries = embs.filter(F.col("vec_id") % 150 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"))
+    out = S.knn_join_ivf_indexed(spark, path, cents, queries, k=5,
+                                 n_probe=4, quantized=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], []).append(
+            (r["id"], round(r["cosine"], 9)))
+    assert len(got) == queries.count()
+    cm = np.array([v for _, v in cents], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0] = 1.0
+    for r in queries.collect():
+        qv = [float(x) for x in r["q_vec"]]
+        q = np.array(qv)
+        qn = np.linalg.norm(q) or 1.0
+        sims = (q / qn) @ (cm / cn[:, None]).T
+        ranked = sorted(range(len(cents)),
+                        key=lambda c: (-sims[c], cents[c][0]))
+        probe = [cents[c][0] for c in ranked[:4]]
+        ref = [(x["id"], round(x["cosine"], 9)) for x in
+               S.ivf_topk_indexed_int8(spark, path, probe, qv, k=5)
+               .collect()]
+        assert ref == got[r["q_id"]], r["q_id"]
