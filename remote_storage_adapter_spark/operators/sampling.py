@@ -266,3 +266,77 @@ def temperature_mix(df: DataFrame, *, group_col: str,
         df.join(F.broadcast(rates), group_col)
         .filter(uniform_unit(kc, salt) < F.col(rate_col))
     )
+
+
+def sample_exact_n(df: DataFrame, n: int, *,
+                   key: Union[str, Column], salt: str = "exactn") -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows, deterministically: the ``n``
+    smallest hash draws win. The fixed-size complement of the
+    Bernoulli samplers — "give me exactly 100k eval docs", not "give
+    me ~1%% of them" — with the same replay stability: membership
+    depends only on (salt, key) and the OTHER keys present, never on
+    partitioning or visit order.
+
+    100 TB shape: ``orderBy(u).limit(n)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps a local size-``n``
+    heap over its partition and the driver merges ``P x n`` candidate
+    rows; no global sort, no shuffle of the losers. Driver memory is
+    O(n x row-width), so keep ``n`` in the "fits on the driver" range
+    (the same contract as any collect-the-sample API); for
+    billion-row samples use :func:`stratified_sample` with a computed
+    rate instead.
+
+    Ties: distinct keys collide on the 60-bit draw with probability
+    ~|df|^2 / 2^61, and ``key`` breaks even those — the selected set
+    is a pure function of the corpus, bit-identical in any engine
+    with md5 and IEEE doubles (DuckDB oracle: ``ORDER BY u, key
+    LIMIT n``).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    u = uniform_unit(key_col, salt)
+    return (
+        df.withColumn("_u", u)
+        .orderBy(F.col("_u").asc(), key_col.asc())
+        .limit(n)
+        .drop("_u")
+    )
+
+
+def weighted_sample_n(df: DataFrame, n: int, *,
+                      key: Union[str, Column], weight_col: str,
+                      salt: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(n, |df|)``
+    rows: Efraimidis-Spirakis A-ES (Inf. Process. Lett. 97(5), 2006 —
+    public formulation). Each row draws ``k = u ** (1/w)`` and the
+    ``n`` LARGEST keys win; inclusion probability is proportional to
+    ``w`` without replacement, in ONE pass, with no RNG state to
+    coordinate — the draw is the same deterministic (salt, key) hash
+    as every sampler here, so retries and re-runs select the same
+    set. Canonical uses: length-weighted eval subsets
+    (``weight_col="n_chars"``), quality-weighted curation.
+
+    Rows with ``w <= 0`` (or NULL) are excluded — zero weight means
+    zero inclusion probability, and A-ES keys are undefined there.
+
+    The A-ES key is rounded to 12 dp before ranking: ``pow`` may
+    differ in the last ulp across engines (JVM Math.pow vs libm), and
+    rounding + the ``key`` tie-break makes the selected set
+    engine-independent while perturbing true inclusion odds by
+    ~1e-12. Same ``TakeOrderedAndProject`` shape and driver-size
+    contract as :func:`sample_exact_n`.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    u = uniform_unit(key_col, salt)
+    w = F.col(weight_col).cast("double")
+    aes = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    return (
+        df.filter(w > 0)
+        .withColumn("_k", aes)
+        .orderBy(F.col("_k").desc(), key_col.asc())
+        .limit(n)
+        .drop("_k")
+    )

@@ -504,3 +504,99 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
         .alias("min_shingle_hash"),
     )
+
+
+def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level exact duplicate-LINE removal, first-occurrence-
+    wins — the sub-document dedup step of C4 (Raffel et al. 2020,
+    three-sentence span dedup) and Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"): a span repeated
+    ANYWHERE in the corpus (boilerplate headers, license blocks,
+    navigation chrome) is kept only at its globally first occurrence
+    and removed from every other document. Document-level dedup
+    (exact/MinHash) cannot catch these — two documents 5%% identical
+    are no doc-level pair, but the shared 5%% may appear a million
+    times corpus-wide.
+
+    A "line" is a non-overlapping window of ``line_tokens`` whitespace
+    tokens of the normalized text (real corpora would split on
+    newlines; the windowed form is the identical algorithm with a
+    deterministic line boundary, chosen because the synthetic corpus
+    is single-line). First occurrence = lexicographically smallest
+    ``(doc_id, line_idx)`` over the whole corpus — an order-free rule
+    (min over a set), so the result is independent of partitioning
+    and visit order.
+
+    Returns one row per input document:
+
+    - ``n_lines`` / ``n_dup_lines``: total windows and removed ones;
+    - ``kept_line_frac``: 1 - dup fraction, rounded 6 dp;
+    - ``dedup_text``: the document with duplicated windows removed
+      (kept windows re-joined in order; '' when everything was seen
+      before).
+
+    100 TB shape: grouping runs on the 60-bit ``portable_hash64`` of
+    the line, not the line text, so the first-occurrence aggregate
+    shuffles ~24-byte (hash, doc, idx) triples with map-side partial
+    min/count. The join back and the per-doc reassembly each shuffle
+    the line text once — unavoidable for span REMOVAL (the published
+    distributed implementations pay the same two passes); callers who
+    only need the dup-fraction signal can drop ``dedup_text`` and the
+    optimizer prunes the reassembly column. No window functions: the
+    first-occurrence rule is ``min(struct(doc_id, line_idx))`` per
+    hash, and reassembly is ``array_sort(collect_list(...))`` per doc
+    — both parallel hash aggregates. (The 60-bit hash merges distinct
+    lines with probability ~L^2/2^61 for L distinct lines corpus-wide;
+    at trillion-line scale switch the group key to the full md5.)
+    """
+    if line_tokens <= 0:
+        raise ValueError(f"line_tokens must be positive, got {line_tokens}")
+    words = tokens(F.col(text_col))
+    n_lines = F.ceil(F.size(words) / F.lit(float(line_tokens))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * line_tokens + 1, line_tokens), " "),
+    )
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(line_arr).alias("line_idx", "line"),
+    ).withColumn("lh", portable_hash64(F.col("line")))
+    firsts = lines.groupBy("lh").agg(
+        F.min(F.struct(F.col("id"), F.col("line_idx"))).alias("first"),
+    )
+    tagged = lines.join(firsts, "lh").withColumn(
+        "keep",
+        (F.col("first.id") == F.col("id"))
+        & (F.col("first.line_idx") == F.col("line_idx")),
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct("line_idx", "line")))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            "n_dup_lines",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_dup_lines")
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("kept_line_frac"),
+            "dedup_text",
+        )
+    )

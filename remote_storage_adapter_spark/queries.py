@@ -2792,23 +2792,74 @@ SELECT doc_id, term, score, 'bm25' AS scorer FROM b
 """
 
 
+def q_text_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal (C4 / Lee et al. 2021
+    style): windows of 10 whitespace tokens, first occurrence wins
+    corpus-wide. ``dedup_fp`` fingerprints the reassembled text so the
+    oracle verifies the kept spans exactly without shipping them."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    out = TX.line_dedup(docs, line_tokens=10)
+    return out.select(
+        "doc_id", "n_lines", "n_dup_lines", "kept_line_frac",
+        F.md5(F.col("dedup_text")).alias("dedup_fp"),
+    )
+
+
+O_text_line_dedup = f"""
+WITH t AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws
+           FROM documents),
+i AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT)))
+           AS line_idx
+  FROM t
+),
+l AS (
+  SELECT doc_id, line_idx,
+         array_to_string(ws[line_idx*10+1 : line_idx*10+10], ' ')
+           AS line
+  FROM i
+),
+k AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (
+           PARTITION BY {_ph_sql('line')}
+           ORDER BY doc_id, line_idx) AS rn
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dup_lines,
+       round(1.0 - sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS kept_line_frac,
+       md5(coalesce(string_agg(line, ' ' ORDER BY line_idx)
+                    FILTER (WHERE rn = 1), '')) AS dedup_fp
+FROM k GROUP BY doc_id
+"""
+
+
 def q_text_hygiene(spark, sf_dir):
     """Corpus-hygiene profile per doc: Gopher repetition signals +
-    planted-PII detection/redaction + benchmark decontamination, one
-    registry row (all three are full-coverage per-doc frames)."""
+    planted-PII detection/redaction + benchmark decontamination +
+    corpus-level duplicate-line removal, one registry row (all four
+    are full-coverage per-doc frames)."""
     r = q_text_repetition(spark, sf_dir)
     p = q_text_pii_redact(spark, sf_dir)
     c = q_text_contamination(spark, sf_dir)
-    return r.join(p, "doc_id").join(c, "doc_id")
+    ld = q_text_line_dedup(spark, sf_dir)
+    return r.join(p, "doc_id").join(c, "doc_id").join(ld, "doc_id")
 
 
 O_text_hygiene = f"""
 WITH r AS ({O_text_repetition}), p AS ({O_text_pii_redact}),
-c AS ({O_text_contamination})
+c AS ({O_text_contamination}), ld AS ({O_text_line_dedup})
 SELECT r.doc_id, r.top2gram_frac, r.dup5gram_frac, r.rep_flag,
        p.n_emails, p.n_phones, p.n_ips, p.redacted,
-       c.n_grams, c.n_contaminated, c.contaminated_frac
+       c.n_grams, c.n_contaminated, c.contaminated_frac,
+       ld.n_lines, ld.n_dup_lines, ld.kept_line_frac, ld.dedup_fp
 FROM r JOIN p USING (doc_id) JOIN c USING (doc_id)
+       JOIN ld USING (doc_id)
 """
 
 
@@ -2986,21 +3037,71 @@ FROM events GROUP BY 1
 """
 
 
+def q_sample_exact_n(spark, sf_dir):
+    """Deterministic EXACT-size global sample (100 rows): the 100
+    smallest hash draws win via TakeOrderedAndProject — the
+    fixed-size complement of the Bernoulli samplers."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        sample_exact_n,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return sample_exact_n(docs, 100, key="doc_id").select("doc_id", "lang")
+
+
+O_sample_exact_n = f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {_u_sql('doc_id', 'exactn')}, doc_id LIMIT 100
+"""
+
+
+def q_sample_weighted_n(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES), 100 rows with inclusion odds proportional to document
+    length — the length-weighted eval-subset draw."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        weighted_sample_n,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    out = weighted_sample_n(docs, 100, key="doc_id",
+                            weight_col="n_chars")
+    return out.select("doc_id", "lang")
+
+
+O_sample_weighted_n = f"""
+SELECT doc_id, lang FROM documents WHERE n_chars > 0
+ORDER BY round(power({_u_sql('doc_id', 'wsample')},
+               1.0 / CAST(n_chars AS DOUBLE)), 12) DESC, doc_id
+LIMIT 100
+"""
+
+
 def q_sample_policies(spark, sf_dir):
-    """Both retention-sampling policies in one row: per-language
-    Bernoulli downsampling and per-language top-k quotas."""
+    """All four retention-sampling policies in one row: per-language
+    Bernoulli downsampling, per-language top-k quotas, exact-N
+    uniform, and A-ES length-weighted exact-N."""
     a = q_sample_stratified(spark, sf_dir) \
         .withColumn("policy", F.lit("stratified"))
     b = q_sample_quota_topk(spark, sf_dir) \
         .withColumn("policy", F.lit("quota_topk"))
-    return a.unionByName(b)
+    c = q_sample_exact_n(spark, sf_dir) \
+        .withColumn("policy", F.lit("exact_n"))
+    d = q_sample_weighted_n(spark, sf_dir) \
+        .withColumn("policy", F.lit("weighted_n"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 O_sample_policies = f"""
-WITH a AS ({O_sample_stratified}), b AS ({O_sample_quota_topk})
+WITH a AS ({O_sample_stratified}), b AS ({O_sample_quota_topk}),
+c AS ({O_sample_exact_n}), d AS ({O_sample_weighted_n})
 SELECT doc_id, lang, 'stratified' AS policy FROM a
 UNION ALL
 SELECT doc_id, lang, 'quota_topk' AS policy FROM b
+UNION ALL
+SELECT doc_id, lang, 'exact_n' AS policy FROM c
+UNION ALL
+SELECT doc_id, lang, 'weighted_n' AS policy FROM d
 """
 
 
