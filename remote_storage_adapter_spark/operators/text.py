@@ -553,7 +553,10 @@ def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
     """
     if line_tokens <= 0:
         raise ValueError(f"line_tokens must be positive, got {line_tokens}")
-    words = tokens(F.col(text_col))
+    # NULL text = empty doc (one empty window), not a silently dropped
+    # row: the per-doc profile must stay full-coverage or the hygiene
+    # row's inner join would shrink on dirty corpora
+    words = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_lines = F.ceil(F.size(words) / F.lit(float(line_tokens))).cast("int")
     line_arr = F.transform(
         F.sequence(F.lit(0), n_lines - 1),

@@ -2806,7 +2806,8 @@ def q_text_line_dedup(spark, sf_dir):
 
 
 O_text_line_dedup = f"""
-WITH t AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws
+WITH t AS (SELECT doc_id,
+                  string_split(coalesce({NORM_SQL}, ''), ' ') AS ws
            FROM documents),
 i AS (
   SELECT doc_id, ws,
