@@ -254,6 +254,7 @@ BENCH_QUERIES = {
     "text_pii_redact": Q.q_text_pii_redact,
     "text_contamination": Q.q_text_contamination,
     "text_shard_pack": Q.q_text_shard_pack,
+    "text_line_dedup": Q.q_text_line_dedup,
     "sketch_hll_distinct": Q.q_sketch_hll_distinct,
     "sketch_cms_topk": Q.q_sketch_cms_topk,
     "sketch_hist_quantiles": Q.q_sketch_hist_quantiles,

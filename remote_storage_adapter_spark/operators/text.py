@@ -506,6 +506,33 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def doc_lines(docs: DataFrame, *, line_tokens: int = 10,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Explode documents into hash-keyed line occurrences —
+    ``(id, line_idx, line, lh)`` where a line is a non-overlapping
+    window of ``line_tokens`` whitespace tokens of the normalized
+    text and ``lh`` its 60-bit portable hash. The shared base of
+    :func:`line_dedup` and the streaming line-dedup maintainer
+    (``streaming/dedup.apply_line_batch``). NULL text normalizes to
+    one empty window, never a silently dropped row: per-doc profiles
+    must stay full-coverage or downstream inner joins shrink on dirty
+    corpora."""
+    if line_tokens <= 0:
+        raise ValueError(f"line_tokens must be positive, got {line_tokens}")
+    words = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_lines = F.ceil(F.size(words) / F.lit(float(line_tokens))).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * line_tokens + 1, line_tokens), " "),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(line_arr).alias("line_idx", "line"),
+    ).withColumn("lh", portable_hash64(F.col("line")))
+
+
 def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
                id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
@@ -551,22 +578,8 @@ def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
     lines with probability ~L^2/2^61 for L distinct lines corpus-wide;
     at trillion-line scale switch the group key to the full md5.)
     """
-    if line_tokens <= 0:
-        raise ValueError(f"line_tokens must be positive, got {line_tokens}")
-    # NULL text = empty doc (one empty window), not a silently dropped
-    # row: the per-doc profile must stay full-coverage or the hygiene
-    # row's inner join would shrink on dirty corpora
-    words = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    n_lines = F.ceil(F.size(words) / F.lit(float(line_tokens))).cast("int")
-    line_arr = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * line_tokens + 1, line_tokens), " "),
-    )
-    lines = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(line_arr).alias("line_idx", "line"),
-    ).withColumn("lh", portable_hash64(F.col("line")))
+    lines = doc_lines(docs, line_tokens=line_tokens, id_col=id_col,
+                      text_col=text_col)
     firsts = lines.groupBy("lh").agg(
         F.min(F.struct(F.col("id"), F.col("line_idx"))).alias("first"),
     )
@@ -575,6 +588,17 @@ def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
         (F.col("first.id") == F.col("id"))
         & (F.col("first.line_idx") == F.col("line_idx")),
     )
+    return assemble_line_dedup(tagged, id_col)
+
+
+def assemble_line_dedup(tagged: DataFrame, id_col: str) -> DataFrame:
+    """Collapse keep-tagged line occurrences ``(id, line_idx, line,
+    keep)`` into the per-doc profile ``(id, n_lines, n_dup_lines,
+    kept_line_frac, dedup_text)`` — shared tail of :func:`line_dedup`
+    and the streaming maintainer. One hash aggregate per doc;
+    ``array_sort(collect_list(struct(line_idx, line)))`` restores
+    document order without a window (collect_list drops the NULLs the
+    ``keep`` filter leaves)."""
     return (
         tagged.groupBy("id")
         .agg(

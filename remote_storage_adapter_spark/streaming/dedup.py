@@ -298,3 +298,145 @@ def stream_semantic_index_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_line_batch(batch_df: DataFrame, batch_id: int,
+                     state_path: str, out_dir: str, *,
+                     line_tokens: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     buckets: int = 16) -> bool:
+    """Streaming LINE dedup-on-ingest (the sub-document twin of the
+    fuzzy maintainers): apply one document batch exactly once, keeping
+    each distinct line only at its globally FIRST arrival — C4 / Lee
+    et al. duplicate-span removal as a continuous process. Two sinks
+    per batch:
+
+    - ``out_dir``: the per-doc dedup profile (operators.text
+      ``assemble_line_dedup`` columns), docs bucketed on a hash of
+      the id;
+    - ``state_path``: the accumulated seen-line-hash set, one ``lh``
+      row per distinct line ever kept, bucketed on ``lh`` — the only
+      state, so it stays ~16 bytes per distinct line corpus-wide.
+
+    A batch line occurrence survives iff it is the batch's first
+    occurrence of its hash (min (id, line_idx) — order-free) AND the
+    hash is absent from the committed state.
+
+    Replay protocol (shared ``ingest.publish_staged_batch``
+    machinery, ledger ``_line_ledger``; the STATE marker commits the
+    whole batch and is written last):
+
+    1. state marker present → the batch fully applied; skip.
+    2. pre-sweep THIS batch's ``b<id>-*`` partials from the state
+       partitions before anything reads them: a crashed attempt's
+       partially-published state files hold exactly this batch's
+       fresh hashes, and letting the anti-join see them would flip
+       this replay's keep decisions (the one crash window where
+       partial state is decision-VISIBLE, unlike the semantic
+       maintainer whose strict-smaller-id rule absorbs partials).
+    3. compute keep decisions against committed state only — they
+       depend on nothing else, so every replay decides identically.
+    4. publish the doc profiles into ``out_dir`` (staged rename,
+       idempotent under re-publish: the sweep step removes a prior
+       attempt's files first).
+    5. publish the fresh hashes into ``state_path``; its marker,
+       created last, commits the batch.
+
+    A crash at any step replays into the matching recovery; committed
+    state and committed outputs are only ever extended, never
+    mutated. Returns True if this call applied the batch.
+    """
+    from pyspark.sql import functions as F
+
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+        publish_staged_batch,
+    )
+    from remote_storage_adapter_spark.operators.text import (
+        assemble_line_dedup,
+        doc_lines,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_committed(spark, state_path, batch_id,
+                       ledger_dir="_line_ledger"):
+        return False
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.globStatus(
+            hpath(f"{state_path}/b=*/b{batch_id:012d}-*")):
+        fs.delete(st.getPath(), False)
+
+    lines = doc_lines(batch_df, line_tokens=line_tokens,
+                      id_col=id_col, text_col=text_col)
+    firsts = lines.groupBy("lh").agg(
+        F.min(F.struct(F.col("id"), F.col("line_idx"))).alias("first"))
+    have_state = bool(fs.globStatus(hpath(f"{state_path}/b=*")))
+    if have_state:
+        seen = spark.read.parquet(state_path).select("lh")
+        fresh = firsts.join(seen, "lh", "left_anti")
+    else:
+        fresh = firsts
+    with cache_scope():
+        fresh = fresh.persist()
+        tagged = lines.join(fresh, "lh", "left").withColumn(
+            "keep",
+            F.col("first").isNotNull()
+            & (F.col("first.id") == F.col("id"))
+            & (F.col("first.line_idx") == F.col("line_idx")),
+        )
+        out = assemble_line_dedup(tagged, id_col).withColumn(
+            "b", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                        F.lit(buckets)))
+        staging_docs = f"{out_dir}/_staging/batch-{batch_id:012d}"
+        out.write.mode("overwrite").partitionBy("b").parquet(staging_docs)
+        publish_staged_batch(spark, out_dir, staging_docs, batch_id,
+                             "b", ledger_dir="_line_ledger")
+        staging_state = f"{state_path}/_staging/batch-{batch_id:012d}"
+        (
+            fresh.select("lh")
+            .withColumn("b", F.pmod(F.col("lh"), F.lit(buckets)))
+            .write.mode("overwrite").partitionBy("b")
+            .parquet(staging_state)
+        )
+        publish_staged_batch(spark, state_path, staging_state, batch_id,
+                             "b", ledger_dir="_line_ledger")
+    return True
+
+
+def stream_line_dedup_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    state_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: StructType,
+    line_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 16,
+    available_now: bool = False,
+    max_files_per_trigger: int = 64,
+):
+    """Continuous corpus-level line dedup over a parquet landing
+    directory of documents; returns the StreamingQuery. Every landed
+    document is emitted into ``out_dir`` with corpus-duplicated lines
+    removed (first arrival wins, across and within batches), and the
+    seen-line-hash state accumulates under ``state_path``. See
+    :func:`apply_line_batch` for the exactly-once replay protocol."""
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    writer = (
+        raw.writeStream
+        .foreachBatch(lambda df, bid: apply_line_batch(
+            df, bid, state_path, out_dir, line_tokens=line_tokens,
+            id_col=id_col, text_col=text_col, buckets=buckets))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

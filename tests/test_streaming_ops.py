@@ -780,3 +780,115 @@ def test_streaming_text_dedup_on_ingest(spark, tmp_path):
         assert again == kept
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_streaming_line_dedup_matches_batch_and_survives_crashes(
+        spark, tmp_path, monkeypatch):
+    """Streaming line dedup-on-ingest: docs landed across ordered
+    micro-batches produce EXACTLY the per-doc profiles a one-shot
+    line_dedup over the union would (ids ascend with batch order, so
+    global first-occurrence coincides with arrival order); a
+    fresh-checkpoint reprocess changes nothing; and a crash at the
+    decision-visible window (state files renamed, marker missing —
+    the window the pre-sweep exists for) or mid docs-publish replays
+    to the identical result."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import (
+        ingest as I,
+        text as TX,
+    )
+    from remote_storage_adapter_spark.streaming.dedup import (
+        apply_line_batch,
+        stream_line_dedup_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "line_state")
+    out = str(tmp_path / "line_out")
+    batches = [
+        [(1, "a b c d e f g h"),        # two 4-token lines, both fresh
+         (2, "a b c d x y z w")],       # first window dup of doc 1
+        [(11, "e f g h p q r s"),       # "e f g h" already in state
+         (12, "p q r s p q r s")],      # both windows lose to (11, 1)
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_line_dedup_maintain(
+            spark, landing, state, out, str(tmp_path / ckpt),
+            schema=schema, line_tokens=4, buckets=4,
+            available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def streamed():
+        return sorted(
+            (r["doc_id"], r["n_lines"], r["n_dup_lines"],
+             r["dedup_text"])
+            for r in spark.read.parquet(out).collect())
+
+    def direct(all_rows):
+        df = spark.createDataFrame(all_rows, schema)
+        return sorted(
+            (r["doc_id"], r["n_lines"], r["n_dup_lines"],
+             r["dedup_text"])
+            for r in TX.line_dedup(df, line_tokens=4).collect())
+
+    run("ck1")
+    flat = [r for b in batches for r in b]
+    assert streamed() == direct(flat) and len(streamed()) == 4
+    # state holds exactly the distinct kept lines
+    n_state = spark.read.parquet(state).count()
+    assert n_state == sum(nl - nd for _, nl, nd, _ in streamed())
+    # same checkpoint: no-op; fresh checkpoint: ledger skips both
+    for ckpt in ("ck1", "ck2"):
+        run(ckpt)
+        assert streamed() == direct(flat)
+        assert spark.read.parquet(state).count() == n_state
+
+    # batch 2 direct-apply: crash AFTER state files renamed, BEFORE
+    # the state marker — the replay must pre-sweep the partial state
+    # or its anti-join would drop these lines as "seen"
+    b2 = [(21, "p q r s t u v w"),      # window 0 seen, window 1 fresh
+          (22, "fresh words only here")]
+    b2df = spark.createDataFrame(b2, schema)
+    real_commit = I._mark_committed
+
+    def dying_state_commit(fs, marker):
+        if "line_state" in str(marker):
+            raise RuntimeError("injected crash before state marker")
+        return real_commit(fs, marker)
+
+    monkeypatch.setattr(I, "_mark_committed", dying_state_commit)
+    with pytest.raises(RuntimeError):
+        apply_line_batch(b2df, 2, state, out, line_tokens=4, buckets=4)
+    monkeypatch.setattr(I, "_mark_committed", real_commit)
+    assert apply_line_batch(b2df, 2, state, out, line_tokens=4,
+                            buckets=4)
+    assert apply_line_batch(b2df, 2, state, out, line_tokens=4,
+                            buckets=4) is False      # ledger skip
+    assert streamed() == direct(flat + b2)
+
+    # batch 3 direct-apply: die mid docs-publish, replay clean
+    b3 = [(31, "a b c d fresh tail words here")]
+    b3df = spark.createDataFrame(b3, schema)
+    real_publish = I._publish_file
+
+    def dying_publish(fs, src, dst):
+        real_publish(fs, src, dst)
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(I, "_publish_file", dying_publish)
+    with pytest.raises(RuntimeError):
+        apply_line_batch(b3df, 3, state, out, line_tokens=4, buckets=4)
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    assert apply_line_batch(b3df, 3, state, out, line_tokens=4,
+                            buckets=4)
+    assert streamed() == direct(flat + b2 + b3)
