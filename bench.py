@@ -101,6 +101,22 @@ def bench_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(pairs)
 
 
+def bench_text_search_indexed(spark, sf_dir):
+    """Probe of the materialized bucket-partitioned inverted index
+    (BM25 retrieval without touching the corpus — partition-pruned to
+    the query terms' buckets). The index build is warmed untimed in
+    main(); this measures the probe path only."""
+    from remote_storage_adapter_spark.operators import text as TX
+    from remote_storage_adapter_spark.queries import (
+        SEARCH_QUERY,
+        _scratch_index_path,
+    )
+
+    path = _scratch_index_path("text", sf_dir)
+    return TX.bm25_search_indexed(spark, path, SEARCH_QUERY, k=10,
+                                  buckets=16)
+
+
 def bench_simsearch_lsh_indexed(spark, sf_dir):
     """Probe of the materialized bucket-partitioned LSH index — the
     plan actually run at 100× (partition pruning before the scan).
@@ -255,6 +271,9 @@ BENCH_QUERIES = {
     "text_contamination": Q.q_text_contamination,
     "text_shard_pack": Q.q_text_shard_pack,
     "text_line_dedup": Q.q_text_line_dedup,
+    "text_search": Q.q_text_search,
+    "text_search_indexed": bench_text_search_indexed,
+    "text_lm": Q.q_text_lm,
     "sketch_hll_distinct": Q.q_sketch_hll_distinct,
     "sketch_cms_topk": Q.q_sketch_cms_topk,
     "sketch_hist_quantiles": Q.q_sketch_hist_quantiles,
@@ -283,6 +302,7 @@ def main():
     # the one-time build
     Q.q_simsearch_lsh_indexed(spark, sf_dir).count()
     Q.q_simsearch_ivf_indexed(spark, sf_dir).count()
+    Q.q_text_search_indexed(spark, sf_dir).count()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # queries whose r3→r4 deltas sat inside their measured spread get

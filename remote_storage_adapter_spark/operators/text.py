@@ -627,3 +627,282 @@ def assemble_line_dedup(tagged: DataFrame, id_col: str) -> DataFrame:
             "dedup_text",
         )
     )
+
+# --------------------------------------------------------------------------
+# retrieval: query string → top-k documents (Okapi BM25), scan-mode
+# baseline + bucket-partitioned inverted index, mirroring the ANN
+# scan/indexed twin pattern (similarity.ivf_topk vs ivf_topk_indexed).
+# --------------------------------------------------------------------------
+
+
+def query_terms(query: str) -> list[str]:
+    """Distinct whitespace tokens of the normalized query — the
+    driver-side twin of :func:`tokens` (lowercase + whitespace
+    collapse), deduped and sorted so probe plans are deterministic."""
+    return sorted(set(query.lower().split()))
+
+
+def _bm25_score_hits(tf: DataFrame, *, n_docs: int, avgdl: float,
+                     k: int, k1: float, b: float) -> DataFrame:
+    """Shared scoring tail of the scan-mode and indexed searchers:
+    ``tf`` is one row per (id, dl, term) hit with its term frequency,
+    already pruned to the query terms. df comes from the hits
+    themselves (count of docs per term — no full-vocabulary table is
+    ever built), so the join is a broadcast of ≤ |query| rows. Top-k
+    is ``orderBy().limit(k)`` — TakeOrderedAndProject, never a global
+    sort. Per-term contributions round at 9 dp and the summed score at
+    6 dp BEFORE ranking, with id as tiebreak, so both engines and both
+    paths rank identically."""
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = tf.join(F.broadcast(dfq), "term").select(
+        "id", F.round(idf * tf_part, 9).alias("contrib"))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def bm25_search(docs: DataFrame, query: str, *, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents for a query string under Okapi BM25 — the
+    retrieval shape (contamination triage, eval-set mining, RAG
+    grounding), not the per-doc characteristic-term shape of
+    :func:`bm25_top_terms`.
+
+    Scan-mode plan: one pass computes the corpus scalars (N, avgdl =
+    Σdl/N in exact integer arithmetic); a second pass explodes tokens
+    and FILTERS TO THE QUERY TERMS BEFORE ANY SHUFFLE, so the
+    aggregated/joined rows are only the (doc, query-term) hits — at
+    100 TB the shuffle volume is proportional to the posting lists of
+    the query's terms, not the corpus. df is derived from the hits
+    (a ≤ |query|-row broadcast); no full-vocabulary table exists in
+    this plan. The at-rest form that also skips the corpus scan is
+    :func:`build_text_index` + :func:`bm25_search_indexed`.
+
+    Returns (id_col, score, n_terms_matched), ranked (score desc, id).
+    """
+    qterms = query_terms(query)
+    if not qterms:
+        raise ValueError("query has no terms after normalization")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        # NULL text = empty doc (one "" token), same full-coverage
+        # decision as line_dedup — and F.size(NULL) is -1, which would
+        # corrupt the total_dl corpus scalar
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("toks")).alias("tot")).first()
+    n_docs = stats["n"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = stats["tot"] / n_docs
+    tf = (
+        base.select(
+            "id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_score_hits(tf, n_docs=n_docs, avgdl=avgdl,
+                            k=k, k1=k1, b=b) \
+        .withColumnRenamed("id", id_col)
+
+
+def term_bucket_of(term: str, buckets: int) -> int:
+    """Driver-side twin of the index's ``pmod(portable_hash64(term),
+    buckets)`` partition key — md5-derived, so any engine (and the
+    probe planner) computes the same bucket for a term."""
+    import hashlib
+    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+    return h % buckets
+
+
+def build_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """Materialize the inverted index for :func:`bm25_search_indexed`:
+    posting rows (term, id, tf, dl) written with ``tb =
+    pmod(portable_hash64(term), buckets)`` as a PARTITION column, so a
+    probe reads only the bucket directories holding its query terms
+    (partition pruning at plan time — the storage twin of
+    ``similarity.ivf_write_index``). Corpus scalars land as a 1-row
+    ``<path>/_stats`` parquet (n_docs, total_dl); appended batches add
+    rows, and probes SUM them — the stats are mergeable by design.
+
+    Doc ids must be unique across builds+appends (same contract as
+    ``ivf_append``): a re-ingested id would double its postings and
+    inflate tf/df. Compact small files periodically with
+    ``plans.compact.compact_table(path, partition_col="tb",
+    sort_cols=("term", "id"))``.
+    """
+    postings, stats = _postings(docs, buckets, id_col, text_col)
+    postings.write.mode("overwrite").partitionBy("tb").parquet(path)
+    (
+        stats.withColumn("part", F.lit(0)).coalesce(1)
+        .write.mode("overwrite").partitionBy("part")
+        .parquet(f"{path}/_stats")
+    )
+
+
+def bm25_search_indexed(spark, path: str, query: str, *, k: int = 10,
+                        k1: float = 1.2, b: float = 0.75,
+                        buckets: int = 64,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents from a materialized :func:`build_text_index`
+    WITHOUT touching the corpus: the ``tb`` filter prunes to the
+    ≤ |query| bucket directories holding the query's terms (assert
+    ``PartitionFilters`` in the scan), the term filter cuts to the
+    exact posting lists, and scoring reuses the scan-mode tail — the
+    two paths are equality-locked in pytest. ``buckets`` must match
+    the build (same probe-time parameter contract as the ANN indexes).
+    """
+    qterms = query_terms(query)
+    if not qterms:
+        raise ValueError("query has no terms after normalization")
+    tbs = sorted({term_bucket_of(t, buckets) for t in qterms})
+    st = (
+        spark.read.parquet(f"{path}/_stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("tot"))
+        .first()
+    )
+    n_docs = st["n"]
+    if not n_docs:
+        raise ValueError(f"empty index stats at {path}/_stats")
+    avgdl = st["tot"] / n_docs
+    tf = (
+        spark.read.parquet(path)
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(qterms))
+        .select("id", "dl", "term", "tf")
+    )
+    return _bm25_score_hits(tf, n_docs=n_docs, avgdl=avgdl,
+                            k=k, k1=k1, b=b) \
+        .withColumnRenamed("id", id_col)
+
+
+# --------------------------------------------------------------------------
+# unigram language-model scoring: corpus-trained perplexity signal
+# (the CCNet-style quality axis the rule-based q_score can't see —
+# a doc of rare gibberish tokens passes length/punct/stopword gates
+# but scores high NLL under the corpus LM).
+# --------------------------------------------------------------------------
+
+
+def lm_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_lm: bool = True) -> DataFrame:
+    """Per-document mean negative log-likelihood (and perplexity)
+    under an add-``alpha`` smoothed unigram LM trained on the corpus
+    itself — rank by ``mean_nll`` descending to surface outlier /
+    low-quality docs (CCNet uses a KenLM for this axis; the unigram
+    form keeps the whole computation two hash aggregates + one join,
+    SQL-expressible for the oracle).
+
+    logp(t) = ln((c_t + alpha) / (T + alpha·V)) with corpus term
+    counts c, total tokens T, vocabulary size V (T and V fold in as
+    literals — one tiny driver agg). Per-term logp rounds at 9 dp so
+    both engines weight identically; ``ppl`` = exp(mean_nll) computed
+    from the 6-dp-rounded mean so the rounding happens BEFORE the
+    exponential amplifies it.
+
+    ``broadcast_lm``: the LM table is the distinct vocabulary —
+    sublinear but unbounded; pass ``False`` at web-corpus scale to
+    let the term join shuffle (both sides term-keyed hash aggregates;
+    same escape hatch as ``tfidf_top_terms(broadcast_df=False)``).
+
+    Returns (id_col, n_tokens, mean_nll, ppl).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+        .select(
+            "id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    termc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = termc.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")).first()
+    denom = float(tot["T"]) + alpha * float(tot["V"])
+    lm = termc.select(
+        "term",
+        F.round(F.log((F.col("c") + alpha) / F.lit(denom)), 9)
+        .alias("logp"),
+    )
+    scored = tf.join(F.broadcast(lm) if broadcast_lm else lm, "term")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.first("dl").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.col("logp"))
+                / F.first("dl").cast("double"),
+                6,
+            ).alias("mean_nll"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_tokens", "mean_nll",
+            F.round(F.exp(F.col("mean_nll")), 2).alias("ppl"),
+        )
+    )
+
+
+def _postings(docs: DataFrame, buckets: int, id_col: str,
+              text_col: str):
+    """(postings frame with tb bucket col, 1-row stats frame) — the
+    shared build/append body of the inverted index."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    postings = (
+        base.select(
+            "id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "tb", F.pmod(portable_hash64(F.col("term")), F.lit(buckets)))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_dl"))
+    return postings, stats
+
+
+def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """Incrementally absorb new documents into a materialized
+    :func:`build_text_index` WITHOUT rebuilding: the term→bucket map
+    is a pure hash (no trained state — the LSH-append situation, not
+    the IVF one), so new postings append straight into the bucket
+    partitions and a fresh (n_docs, total_dl) row appends to
+    ``_stats`` (probes SUM stats rows, so df/N/avgdl stay exact).
+    ``buckets`` must match the build. New doc ids must be unseen."""
+    postings, stats = _postings(docs, buckets, id_col, text_col)
+    postings.write.mode("append").partitionBy("tb").parquet(path)
+    (
+        stats.withColumn("part", F.lit(0)).coalesce(1)
+        .write.mode("append").partitionBy("part")
+        .parquet(f"{path}/_stats")
+    )

@@ -1666,6 +1666,93 @@ SELECT doc_id, term, round(score, 6) AS score FROM ranked WHERE rn <= 5
 """
 
 
+#: fixed probe query for the retrieval legs/benches — terms present at
+#: every sf of the synthetic corpus, mixed document frequencies.
+SEARCH_QUERY = "hash join spark"
+
+
+def q_text_search(spark, sf_dir):
+    """Top-10 documents for a fixed query under Okapi BM25 — the
+    retrieval direction (query→docs) of the corpus-relevance surface,
+    scan-mode baseline. Shuffled rows are only the query terms'
+    posting hits (filter-before-shuffle), never the corpus."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.bm25_search(docs, SEARCH_QUERY, k=10)
+
+
+def _search_terms_sql() -> str:
+    return ", ".join(
+        f"'{t}'" for t in TX.query_terms(SEARCH_QUERY))
+
+
+O_text_search = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+), dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(dl) AS tot FROM dls),
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({{TERMS}}) GROUP BY 1, 2
+), qdf AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+contrib AS (
+  SELECT qtf.doc_id,
+         round(ln(1 + (n - df + 0.5) / (df + 0.5))
+               * (qtf.tf * 2.2)
+               / (qtf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * dls.dl / (tot / CAST(n AS DOUBLE)))),
+               9) AS c
+  FROM qtf JOIN qdf USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+)
+SELECT doc_id, round(sum(c), 6) AS score,
+       count(*) AS n_terms_matched
+FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10
+""".replace("{TERMS}", _search_terms_sql())
+
+
+def q_text_search_indexed(spark, sf_dir):
+    """The at-rest retrieval path: build the bucket-partitioned
+    inverted index once, probe it with partition pruning — returns
+    exactly :func:`q_text_search`'s rows (equality-locked in pytest;
+    the probe never touches the corpus)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    path = _scratch_index_path("text", sf_dir)
+    TX.build_text_index(docs, path, buckets=16)
+    return TX.bm25_search_indexed(spark, path, SEARCH_QUERY, k=10,
+                                  buckets=16)
+
+
+def q_text_lm(spark, sf_dir):
+    """Per-doc mean NLL + perplexity under the corpus-trained
+    add-0.5-smoothed unigram LM (the CCNet-style quality axis)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.lm_doc_scores(docs, alpha=0.5)
+
+
+O_text_lm = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+termc AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c) AS T, count(*) AS V FROM termc),
+lm AS (
+  SELECT term, round(ln((c + 0.5) / (T + 0.5 * V)), 9) AS logp
+  FROM termc CROSS JOIN tot
+), sc AS (
+  SELECT tf.doc_id, CAST(dls.dl AS BIGINT) AS n_tokens,
+         round(-sum(tf.tf * logp) / CAST(dls.dl AS DOUBLE), 6)
+           AS mean_nll
+  FROM tf JOIN lm USING (term) JOIN dls USING (doc_id)
+  GROUP BY 1, dls.dl
+)
+SELECT doc_id, n_tokens, mean_nll, round(exp(mean_nll), 2) AS ppl
+FROM sc
+"""
+
+
 def q_text_chunks(spark, sf_dir):
     """Overlapping 128-token context windows (stride 96) per document
     — integer-exact chunk boundaries, zero-shuffle map plan."""
@@ -2800,18 +2887,40 @@ FROM a JOIN b ON a.doc_id = b.id
 
 
 def q_text_term_scores(spark, sf_dir):
-    """Top-5 characteristic terms per doc under BOTH rankers (smoothed
-    tf-idf and BM25 k1=1.2 b=0.75), tagged by scorer."""
+    """The corpus-relevance surface in one tagged union: top-5
+    characteristic terms per doc under BOTH rankers (smoothed tf-idf
+    and BM25 k1=1.2 b=0.75), the retrieval direction (top-10 docs for
+    a fixed query, scorer='search', term = the query), and the
+    unigram-LM quality axis (scorer='lm_nll'/'lm_ppl' rows per doc)."""
     t = q_text_tfidf(spark, sf_dir).withColumn("scorer", F.lit("tfidf"))
     b = q_text_bm25(spark, sf_dir).withColumn("scorer", F.lit("bm25"))
-    return t.unionByName(b)
+    s = q_text_search(spark, sf_dir).select(
+        "doc_id", F.lit(SEARCH_QUERY).alias("term"), "score",
+        F.lit("search").alias("scorer"))
+    lm = q_text_lm(spark, sf_dir)
+    nll = lm.select(
+        "doc_id", F.lit("<all>").alias("term"),
+        F.col("mean_nll").alias("score"), F.lit("lm_nll").alias("scorer"))
+    ppl = lm.select(
+        "doc_id", F.lit("<all>").alias("term"),
+        F.col("ppl").alias("score"), F.lit("lm_ppl").alias("scorer"))
+    return t.unionByName(b).unionByName(s).unionByName(nll) \
+        .unionByName(ppl)
 
 
 O_text_term_scores = f"""
-WITH t AS ({O_text_tfidf}), b AS ({O_text_bm25})
+WITH t AS ({O_text_tfidf}), b AS ({O_text_bm25}),
+s AS ({O_text_search}), l AS ({O_text_lm})
 SELECT doc_id, term, score, 'tfidf' AS scorer FROM t
 UNION ALL
 SELECT doc_id, term, score, 'bm25' AS scorer FROM b
+UNION ALL
+SELECT doc_id, '{SEARCH_QUERY}' AS term, score, 'search' AS scorer FROM s
+UNION ALL
+SELECT doc_id, '<all>' AS term, mean_nll AS score, 'lm_nll' AS scorer
+FROM l
+UNION ALL
+SELECT doc_id, '<all>' AS term, ppl AS score, 'lm_ppl' AS scorer FROM l
 """
 
 

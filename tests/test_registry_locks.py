@@ -144,3 +144,8 @@ def test_ivf_indexed_twin_equality(spark, sf_dir):
 def test_every_registry_row_has_oracle():
     # the r4 bar: zero rows-only rows; keep it that way
     assert set(entry_mod.oracle_sql()) == set(entry_mod.queries())
+
+
+def test_text_search_indexed_twin_equality(spark, sf_dir):
+    assert _rows(Q.q_text_search_indexed(spark, sf_dir)) == \
+        _rows(Q.q_text_search(spark, sf_dir))

@@ -837,3 +837,41 @@ def test_knn_join_int8_matches_single_query_probes(spark, sf_dir,
                S.ivf_topk_indexed_int8(spark, path, probe, qv, k=5)
                .collect()]
         assert ref == got[r["q_id"]], r["q_id"]
+
+
+def test_text_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The inverted-index probe (bm25_search_indexed) returns exactly
+    the scan-mode bm25_search rows, reads only the query terms'
+    bucket partitions (PartitionFilters on tb), and incremental
+    append == full rebuild."""
+    from remote_storage_adapter_spark.operators.text import (
+        append_text_index,
+        bm25_search,
+        bm25_search_indexed,
+        build_text_index,
+    )
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    query = "hash join spark"
+    path = str(tmp_path / "text_idx")
+    build_text_index(docs, path, buckets=16)
+
+    scan = bm25_search(docs, query, k=10)
+    idx = bm25_search_indexed(spark, path, query, k=10, buckets=16)
+    assert [tuple(r) for r in scan.collect()] == \
+        [tuple(r) for r in idx.collect()]
+    plan = _spark_plan(idx)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "tb" in pf
+
+    # build on half the docs, append the rest == full build
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    p_inc = str(tmp_path / "text_inc")
+    build_text_index(half_a, p_inc, buckets=16)
+    append_text_index(half_b, p_inc, buckets=16)
+    inc = bm25_search_indexed(spark, p_inc, query, k=10, buckets=16)
+    assert [tuple(r) for r in inc.collect()] == \
+        [tuple(r) for r in idx.collect()]

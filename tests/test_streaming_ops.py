@@ -892,3 +892,102 @@ def test_streaming_line_dedup_matches_batch_and_survives_crashes(
     assert apply_line_batch(b3df, 3, state, out, line_tokens=4,
                             buckets=4)
     assert streamed() == direct(flat + b2 + b3)
+
+
+def test_streaming_text_index_matches_batch_and_survives_crashes(
+        spark, tmp_path, monkeypatch):
+    """Streaming inverted-index maintenance: docs landed across
+    micro-batches yield an index whose BM25 probe returns EXACTLY the
+    scan-mode search over the union; a fresh-checkpoint reprocess
+    changes nothing; a crash between the postings publish and the
+    stats publish (the two-marker window) replays to the identical
+    index with no double-counted stats or postings."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import ingest as I
+    from remote_storage_adapter_spark.operators.text import (
+        bm25_search,
+        bm25_search_indexed,
+    )
+    from remote_storage_adapter_spark.streaming.retrieval import (
+        apply_text_index_batch,
+        stream_text_index_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "tidx")
+    query = "spark shuffle"
+    batches = [
+        [(1, "spark shuffle join spark"), (2, "hash scan filter row")],
+        [(11, "shuffle spark spark spark"), (12, "sort merge spark")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_text_index_maintain(
+            spark, landing, idx, str(tmp_path / ckpt), schema=schema,
+            buckets=4, available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def probe():
+        return [tuple(r) for r in bm25_search_indexed(
+            spark, idx, query, k=10, buckets=4).collect()]
+
+    def direct(all_rows):
+        df = spark.createDataFrame(all_rows, schema)
+        return [tuple(r) for r in bm25_search(df, query, k=10).collect()]
+
+    run("ck1")
+    flat = [r for b in batches for r in b]
+    assert probe() == direct(flat) and len(probe()) == 3
+    n_stats = spark.read.parquet(f"{idx}/_stats").count()
+    assert n_stats == 2                      # one stats row per batch
+    for ckpt in ("ck1", "ck2"):              # replay + fresh checkpoint
+        run(ckpt)
+        assert probe() == direct(flat)
+        assert spark.read.parquet(f"{idx}/_stats").count() == n_stats
+
+    # crash AFTER postings marker, BEFORE stats marker: replay must
+    # skip the committed postings publish and finish only the stats
+    b3 = [(21, "spark spark shuffle merge"), (22, "row batch column")]
+    b3df = spark.createDataFrame(b3, schema)
+    real_commit = I._mark_committed
+
+    def dying_stats_commit(fs, marker):
+        if "_stats" in str(marker):
+            raise RuntimeError("injected crash before stats marker")
+        return real_commit(fs, marker)
+
+    monkeypatch.setattr(I, "_mark_committed", dying_stats_commit)
+    with pytest.raises(RuntimeError):
+        apply_text_index_batch(b3df, 2, idx, buckets=4)
+    monkeypatch.setattr(I, "_mark_committed", real_commit)
+    n_postings = spark.read.parquet(idx).count()
+    assert apply_text_index_batch(b3df, 2, idx, buckets=4)
+    assert apply_text_index_batch(b3df, 2, idx, buckets=4) is False
+    # the committed postings publish was NOT duplicated by the replay
+    assert spark.read.parquet(idx).count() == n_postings
+    assert probe() == direct(flat + b3)
+
+    # crash mid postings-publish: sweep-by-prefix heals on replay
+    b4 = [(31, "spark filter spark window")]
+    b4df = spark.createDataFrame(b4, schema)
+    real_publish = I._publish_file
+
+    def dying_publish(fs, src, dst):
+        real_publish(fs, src, dst)
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(I, "_publish_file", dying_publish)
+    with pytest.raises(RuntimeError):
+        apply_text_index_batch(b4df, 3, idx, buckets=4)
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    assert apply_text_index_batch(b4df, 3, idx, buckets=4)
+    assert probe() == direct(flat + b3 + b4)
