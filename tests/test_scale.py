@@ -875,3 +875,53 @@ def test_text_index_prunes_partitions(spark, sf_dir, tmp_path):
     inc = bm25_search_indexed(spark, p_inc, query, k=10, buckets=16)
     assert [tuple(r) for r in inc.collect()] == \
         [tuple(r) for r in idx.collect()]
+
+
+def test_text_index_compaction_preserves_probe(spark, tmp_path):
+    """append_text_index adds one file per touched bucket per batch;
+    compact_table(partition_col='tb') merges them and the BM25 probe
+    is unchanged — the maintenance loop the
+    stream_text_index_maintain docstring names. The compactor's
+    uncommitted-batch guard also sees the text index's _text_ledger
+    (it globs any _*ledger* dir)."""
+    from remote_storage_adapter_spark.operators.text import (
+        append_text_index,
+        bm25_search_indexed,
+        build_text_index,
+    )
+    from remote_storage_adapter_spark.plans.compact import (
+        compact_table,
+        partition_file_counts,
+    )
+    from remote_storage_adapter_spark.streaming.retrieval import (
+        apply_text_index_batch,
+    )
+
+    docs0 = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "hash scan row")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tidx")
+    build_text_index(docs0, path, buckets=2)
+    for start in (10, 20, 30):
+        batch = spark.createDataFrame(
+            [(start + i, "spark shuffle merge sort") for i in range(2)],
+            "doc_id long, text string")
+        append_text_index(batch, path, buckets=2)
+    pre = [tuple(r) for r in bm25_search_indexed(
+        spark, path, "spark shuffle", k=10, buckets=2).collect()]
+    before = partition_file_counts(path, partition_col="tb")
+    out = compact_table(spark, path, partition_col="tb",
+                        sort_cols=("term", "id"))
+    after = partition_file_counts(path, partition_col="tb")
+    assert out and max(after.values()) < max(before.values())
+    assert all(n == 1 for n in after.values())
+    post = [tuple(r) for r in bm25_search_indexed(
+        spark, path, "spark shuffle", k=10, buckets=2).collect()]
+    assert post == pre
+
+    # exactly-once append, then compaction still fine (ledger commits)
+    b5 = spark.createDataFrame([(50, "spark row filter")],
+                               "doc_id long, text string")
+    assert apply_text_index_batch(b5, 5, path, buckets=2)
+    assert compact_table(spark, path, partition_col="tb",
+                         sort_cols=("term", "id"))
