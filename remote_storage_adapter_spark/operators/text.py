@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from remote_storage_adapter_spark.operators.dedup import (
+    _pin,
     fingerprint,
     normalized,
     portable_hash64,
@@ -690,7 +691,11 @@ def bm25_search(docs: DataFrame, query: str, *, k: int = 10,
     100 TB the shuffle volume is proportional to the posting lists of
     the query's terms, not the corpus. df is derived from the hits
     (a ≤ |query|-row broadcast); no full-vocabulary table exists in
-    this plan. The at-rest form that also skips the corpus scan is
+    this plan. The pruned hits frame is PINNED (dedup cache contract:
+    release with ``cache_scope()`` / ``unpersist_pinned()``) so the
+    df branch and the scoring branch tokenize the corpus once between
+    them — two scans total including the scalars pass, never three.
+    The at-rest form that also skips the corpus scan is
     :func:`build_text_index` + :func:`bm25_search_indexed`.
 
     Returns (id_col, score, n_terms_matched), ranked (score desc, id).
@@ -711,7 +716,7 @@ def bm25_search(docs: DataFrame, query: str, *, k: int = 10,
     if not n_docs:
         raise ValueError("empty corpus")
     avgdl = stats["tot"] / n_docs
-    tf = (
+    tf = _pin(
         base.select(
             "id", F.size("toks").alias("dl"),
             F.explode("toks").alias("term"))
