@@ -911,3 +911,70 @@ def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
         .write.mode("append").partitionBy("part")
         .parquet(f"{path}/_stats")
     )
+
+
+def passage_contamination(docs: DataFrame, benchmark: DataFrame, *,
+                          k: int = 8, window: int = 16,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          hash_mode: str = "portable",
+                          docs_fps: DataFrame | None = None,
+                          bench_fps: DataFrame | None = None) -> DataFrame:
+    """Passage-level benchmark contamination via winnowing
+    fingerprints — the GUARANTEED-detection twin of :func:`contamination`
+    (token n-gram containment is probabilistic in phrasing: re-wrapped
+    whitespace or a shifted window can miss; winnowing's covering
+    property says any shared passage of ≥ ``window + k − 1`` chars
+    after normalization MUST contribute a shared selected minimum —
+    Schleimer et al. 2003, the property MinHash doesn't give).
+
+    Plan: winnow both sides to (id, fingerprint) sets; the benchmark's
+    distinct fingerprints broadcast (eval benchmarks are small by
+    definition) against the corpus fingerprints — shuffle-free hits;
+    two hash aggregates produce per-doc totals and matches. Shuffled
+    rows are (id, long) pairs, never text.
+
+    ``docs_fps`` / ``bench_fps``: precomputed
+    :func:`winnow_fingerprints` frames (same k/window/hash_mode) —
+    pass them when the caller already materialized the fingerprint
+    set (e.g. the registry row computes it once for profile AND
+    containment legs; a production pipeline reuses the at-rest
+    fingerprint table).
+
+    Returns (id_col, n_winnow_fps, n_shared_fps, shared_frac) with
+    FULL coverage: NULL/empty/short docs yield one degenerate
+    fingerprint row (NULL or short-gram hash) that can never match a
+    real benchmark fingerprint, so they report 0 shared — never a
+    silently dropped doc. Benchmark members come back with
+    shared_frac 1.0 by construction.
+    """
+    if docs_fps is None:
+        docs_fps = winnow_fingerprints(
+            docs, k=k, window=window, id_col=id_col,
+            text_col=text_col, hash_mode=hash_mode)
+    if bench_fps is None:
+        bench_fps = winnow_fingerprints(
+            benchmark, k=k, window=window, id_col=id_col,
+            text_col=text_col, hash_mode=hash_mode)
+    bset = bench_fps.select("fingerprint").distinct()
+    tot = docs_fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_winnow_fps"))
+    hits = (
+        docs_fps.join(F.broadcast(bset), "fingerprint")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    return (
+        tot.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_winnow_fps",
+            F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("long")
+            .alias("n_shared_fps"),
+            F.round(
+                F.coalesce(F.col("n_shared_fps"), F.lit(0))
+                / F.col("n_winnow_fps").cast("double"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

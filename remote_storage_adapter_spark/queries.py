@@ -2864,25 +2864,63 @@ FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
 
 
 def q_text_fingerprints(spark, sf_dir):
-    """Whole-doc md5 fingerprint + winnowing rolling-hash minima in
-    one row (inner join: docs shorter than the winnow k-gram emit no
+    """Whole-doc md5 fingerprint + winnowing rolling-hash minima +
+    winnow-based passage contamination (every 97th doc doubles as the
+    'benchmark', so members come back shared_frac 1.0 — the
+    guaranteed-detection twin of the n-gram contamination leg) in one
+    row. The winnow fingerprint set is PINNED and reused by the
+    profile and containment legs — winnowed once, not three times
+    (inner join: docs shorter than the winnow k-gram emit no
     fingerprints on either engine)."""
+    from remote_storage_adapter_spark.operators.dedup import _pin
+
     docs = load_table(_prep(spark), sf_dir, "documents")
     fp = docs.select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
+    fps = _pin(TX.winnow_fingerprints(docs, k=8, window=16,
+                                      hash_mode="portable"))
     w = (
-        TX.winnow_fingerprints(docs, k=8, window=16, hash_mode="portable")
-        .groupBy("id")
+        fps.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_fingerprints"),
              F.min("fingerprint").alias("min_fp"))
         .withColumnRenamed("id", "doc_id")
     )
-    return fp.join(w, "doc_id")
+    wc = TX.passage_contamination(
+        docs, docs.filter(F.col("doc_id") % 97 == 0),
+        docs_fps=fps, bench_fps=fps.filter(F.col("id") % 97 == 0))
+    return fp.join(w, "doc_id").join(wc, "doc_id")
 
 
 O_text_fingerprints = f"""
-WITH a AS ({O_text_fingerprint}), b AS ({O_text_winnow})
-SELECT a.doc_id, a.fp, b.n_fingerprints, b.min_fp
+WITH a AS ({O_text_fingerprint}), b AS ({O_text_winnow}),
+wd AS (
+  SELECT id, nt FROM (
+    SELECT doc_id AS id, {NORM_SQL} AS nt FROM documents)
+), wpos AS (
+  SELECT id, nt,
+         unnest(range(1, greatest(length(nt) - 7, 1) + 1)) AS pos
+  FROM wd
+), wg AS (
+  SELECT id, pos, {_ph_sql('substring(nt, pos, 8)')} AS h FROM wpos
+), wmin AS (
+  SELECT id, min(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+           AS fingerprint
+  FROM wg
+), wfp AS (SELECT DISTINCT id, fingerprint FROM wmin),
+bset AS (SELECT DISTINCT fingerprint FROM wfp WHERE id % 97 = 0),
+wtot AS (SELECT id, count(*) AS n_winnow_fps FROM wfp GROUP BY 1),
+whit AS (
+  SELECT id, count(*) AS n_shared_fps
+  FROM wfp JOIN bset USING (fingerprint) GROUP BY 1
+)
+SELECT a.doc_id, a.fp, b.n_fingerprints, b.min_fp,
+       wtot.n_winnow_fps,
+       CAST(coalesce(whit.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+       round(coalesce(whit.n_shared_fps, 0)
+             / CAST(wtot.n_winnow_fps AS DOUBLE), 6) AS shared_frac
 FROM a JOIN b ON a.doc_id = b.id
+JOIN wtot ON a.doc_id = wtot.id
+LEFT JOIN whit ON a.doc_id = whit.id
 """
 
 
