@@ -273,6 +273,7 @@ BENCH_QUERIES = {
     "text_line_dedup": Q.q_text_line_dedup,
     "text_search": Q.q_text_search,
     "text_search_indexed": bench_text_search_indexed,
+    "text_search_batch": Q.q_text_search_batch,
     "text_lm": Q.q_text_lm,
     "sketch_hll_distinct": Q.q_sketch_hll_distinct,
     "sketch_cms_topk": Q.q_sketch_cms_topk,

@@ -1009,3 +1009,143 @@ def passage_contamination(docs: DataFrame, benchmark: DataFrame, *,
             ).alias("shared_frac"),
         )
     )
+
+
+def _bm25_score_batch(tf_hits: DataFrame, qt: DataFrame, *,
+                      n_docs: int, avgdl: float, k: int,
+                      k1: float, b: float) -> DataFrame:
+    """Shared scoring tail of the batched searchers: ``tf_hits`` is
+    one row per (id, dl, term, tf) over the UNION of all queries'
+    terms; ``qt`` the (q_id, term) membership pairs (broadcast-small
+    by the query-batch contract). df is a corpus property computed
+    once from the hits; the per-query fan-out join multiplies each hit
+    row by the queries containing its term. Top-k per query is a
+    ranking window over the (q_id, id) score rows — O(Q·matched),
+    never the corpus."""
+    dfq = tf_hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf_hits.join(F.broadcast(dfq), "term")
+        .select("id", "term", F.round(idf * tf_part, 9).alias("contrib"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("q_id", "id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "id", "score", "n_terms_matched")
+    )
+
+
+def bm25_search_batch(docs: DataFrame, queries: DataFrame, *,
+                      k: int = 10, k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      q_id_col: str = "q_id",
+                      q_text_col: str = "q_text") -> DataFrame:
+    """EVERY query in ``queries`` against the corpus in ONE corpus
+    scan — the retrieval-evaluation shape (thousands of benchmark
+    queries, contamination triage for a whole eval suite), where
+    per-query :func:`bm25_search` calls would rescan the corpus Q
+    times. The text-side analog of ``similarity.knn_join``.
+
+    The query side is a PROBE batch, not a table: its exploded
+    (q_id, term) pairs are broadcast, so it must stay executor-small
+    (eval suites are; callers with a huge query corpus shard it and
+    loop, same contract as knn_join). The corpus-side plan is
+    :func:`bm25_search`'s: tokens filter to the union of query terms
+    BEFORE any shuffle (broadcast semi-join), df/avgdl/N are corpus
+    properties computed once, and only matched (doc, term) hits ever
+    aggregate. Per-query top-k ranks (6-dp score desc, id asc).
+
+    Returns (q_id, id_col, score, n_terms_matched) — ≤ k rows per
+    query; queries whose terms match nothing return no rows.
+    """
+    qt = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(tokens(F.coalesce(F.col(q_text_col), F.lit(""))))
+            .alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    terms = qt.select("term").distinct()
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("toks")).alias("tot")).first()
+    n_docs = stats["n"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = stats["tot"] / n_docs
+    tf = _pin(
+        base.select(
+            "id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"))
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_score_batch(tf, qt, n_docs=n_docs, avgdl=avgdl,
+                             k=k, k1=k1, b=b) \
+        .withColumnRenamed("id", id_col)
+
+
+def bm25_search_batch_indexed(spark, path: str, queries: DataFrame, *,
+                              k: int = 10, k1: float = 1.2,
+                              b: float = 0.75, buckets: int = 64,
+                              id_col: str = "doc_id",
+                              q_id_col: str = "q_id",
+                              q_text_col: str = "q_text") -> DataFrame:
+    """Batched retrieval against a materialized
+    :func:`build_text_index` — one partition-pruned posting scan for
+    the whole query batch (the at-scale form of
+    :func:`bm25_search_batch`, which still tokenizes the corpus). The
+    query terms are driver-collected (the query batch is broadcast-
+    small by contract) to fold the bucket set into the plan as
+    partition-pruning literals; scoring and ranking are shared with
+    the scan-mode batch path, so the two are equality-locked."""
+    qt = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(tokens(F.coalesce(F.col(q_text_col), F.lit(""))))
+            .alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    term_list = [r["term"] for r in
+                 qt.select("term").distinct().collect()]
+    if not term_list:
+        raise ValueError("query batch has no terms after normalization")
+    tbs = sorted({term_bucket_of(t, buckets) for t in term_list})
+    st = (
+        spark.read.parquet(f"{path}/_stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("tot"))
+        .first()
+    )
+    n_docs = st["n"]
+    if not n_docs:
+        raise ValueError(f"empty index stats at {path}/_stats")
+    avgdl = st["tot"] / n_docs
+    tf = (
+        spark.read.parquet(path)
+        .filter(F.col("tb").isin(tbs))
+        .filter(F.col("term").isin(term_list))
+        .select("id", "dl", "term", "tf")
+    )
+    return _bm25_score_batch(tf, qt, n_docs=n_docs, avgdl=avgdl,
+                             k=k, k1=k1, b=b) \
+        .withColumnRenamed("id", id_col)

@@ -1722,6 +1722,58 @@ def q_text_search_indexed(spark, sf_dir):
                                   buckets=16)
 
 
+def q_text_search_batch(spark, sf_dir):
+    """Batched retrieval: every 250th document's first 5 tokens form
+    a query; all queries run in ONE corpus scan (members must rank
+    themselves — their own 5 tokens — so top-5 self-hits sanity-check
+    the ranking)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 250 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(TX.tokens(F.col("text")), 1, 5), " ")
+        .alias("q_text"))
+    return TX.bm25_search_batch(docs, queries, k=5)
+
+
+O_text_search_batch = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+), dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(dl) AS tot FROM dls),
+qt AS (
+  SELECT DISTINCT doc_id AS q_id, term FROM (
+    SELECT doc_id, unnest(ws[1:5]) AS term FROM (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws
+      FROM documents WHERE doc_id % 250 = 0))
+  WHERE term != ''
+), qterms AS (SELECT DISTINCT term FROM qt),
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN qterms USING (term) GROUP BY 1, 2
+), qdf AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+contrib AS (
+  SELECT qtf.doc_id, qtf.term,
+         round(ln(1 + (n - df + 0.5) / (df + 0.5))
+               * (qtf.tf * 2.2)
+               / (qtf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * dls.dl / (tot / CAST(n AS DOUBLE)))),
+               9) AS c
+  FROM qtf JOIN qdf USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+), sc AS (
+  SELECT qt.q_id, contrib.doc_id, round(sum(c), 6) AS score,
+         count(*) AS n_terms_matched
+  FROM contrib JOIN qt USING (term) GROUP BY 1, 2
+), rk AS (
+  SELECT q_id, doc_id, score, n_terms_matched,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+)
+SELECT q_id, doc_id, score, n_terms_matched FROM rk WHERE rn <= 5
+"""
+
+
 def q_text_lm(spark, sf_dir):
     """Per-doc mean NLL + perplexity under the corpus-trained
     add-0.5-smoothed unigram LM (the CCNet-style quality axis)."""
@@ -2942,13 +2994,18 @@ def q_text_term_scores(spark, sf_dir):
     ppl = lm.select(
         "doc_id", F.lit("<all>").alias("term"),
         F.col("ppl").alias("score"), F.lit("lm_ppl").alias("scorer"))
+    sb = q_text_search_batch(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("q"), F.col("q_id").cast("string")).alias("term"),
+        "score", F.lit("search_batch").alias("scorer"))
     return t.unionByName(b).unionByName(s).unionByName(nll) \
-        .unionByName(ppl)
+        .unionByName(ppl).unionByName(sb)
 
 
 O_text_term_scores = f"""
 WITH t AS ({O_text_tfidf}), b AS ({O_text_bm25}),
-s AS ({O_text_search}), l AS ({O_text_lm})
+s AS ({O_text_search}), l AS ({O_text_lm}),
+sb AS ({O_text_search_batch})
 SELECT doc_id, term, score, 'tfidf' AS scorer FROM t
 UNION ALL
 SELECT doc_id, term, score, 'bm25' AS scorer FROM b
@@ -2959,6 +3016,10 @@ SELECT doc_id, '<all>' AS term, mean_nll AS score, 'lm_nll' AS scorer
 FROM l
 UNION ALL
 SELECT doc_id, '<all>' AS term, ppl AS score, 'lm_ppl' AS scorer FROM l
+UNION ALL
+SELECT doc_id, 'q' || CAST(q_id AS VARCHAR) AS term, score,
+       'search_batch' AS scorer
+FROM sb
 """
 
 
