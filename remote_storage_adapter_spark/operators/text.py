@@ -1149,3 +1149,121 @@ def bm25_search_batch_indexed(spark, path: str, queries: DataFrame, *,
     return _bm25_score_batch(tf, qt, n_docs=n_docs, avgdl=avgdl,
                              k=k, k1=k1, b=b) \
         .withColumnRenamed("id", id_col)
+
+
+def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
+                   lam: float = 0.7,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   broadcast_lm: bool = True) -> DataFrame:
+    """Per-document mean NLL (and perplexity) under an interpolated
+    BIGRAM LM trained on the corpus itself — the sharper typicality
+    axis (:func:`lm_doc_scores` is blind to word order; this scores
+    ``p(w_i | w_{i-1})``, so scrambled or templated text stands out
+    even when its unigram profile is ordinary; CCNet's KenLM plays
+    this role at order 5).
+
+    Model (documented scoring convention, identical in both engines):
+    the first token of a doc scores under the add-``alpha`` smoothed
+    unigram; every later token under
+    ``ln(lam·c2(prev,w)/c1(prev) + (1−lam)·(c(w)+α)/(T+αV))`` with
+    corpus bigram counts c2 and unigram counts c1 as the context
+    denominator (the standard interpolated-Jelinek-Mercer shortcut;
+    trained-on-self means every scored bigram is observed, so the ML
+    term never vanishes).
+
+    Plan shape: bigrams are built MAP-SIDE as an array zip (no window,
+    no self-join for adjacency); per-doc bigram tf, corpus bigram
+    counts, and the context join are hash aggregates on (prev, w)
+    string pairs. The bigram table is the corpus's distinct-bigram
+    set — bigger than the vocabulary but still sublinear; pass
+    ``broadcast_lm=False`` at web scale to shuffle the LM joins
+    (same escape hatch as :func:`lm_doc_scores`).
+
+    Returns (id_col, n_tokens, mean_nll2, ppl2).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    # unigram model (shared formulas with lm_doc_scores)
+    uni_tf = (
+        base.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    termc = uni_tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = termc.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")).first()
+    denom = float(tot["T"]) + alpha * float(tot["V"])
+    # map-side bigram construction; guard: sequence(2, 1) descends
+    bigram_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.struct(
+                F.element_at("toks", i - 1).alias("prev"),
+                F.element_at("toks", i).alias("w")),
+        ),
+    ).otherwise(F.array())
+    bi = (
+        base.select("id", F.explode(bigram_arr).alias("bg"))
+        .select("id", F.col("bg.prev").alias("prev"),
+                F.col("bg.w").alias("w"))
+        .groupBy("id", "prev", "w")
+        .agg(F.count(F.lit(1)).alias("tf2"))
+    )
+    c2 = bi.groupBy("prev", "w").agg(F.sum("tf2").alias("c2"))
+    c1 = termc.select(F.col("term").alias("prev"), F.col("c").alias("c1"))
+    # interpolated logp needs both the context count (c1 on prev) and
+    # the unigram prob of w (termc on w)
+    lm2 = (
+        c2.join(F.broadcast(c1) if broadcast_lm else c1, "prev")
+        .join(
+            (F.broadcast(termc) if broadcast_lm else termc)
+            .select(F.col("term").alias("w"), F.col("c").alias("cw")),
+            "w")
+        .select(
+            "prev", "w",
+            F.round(
+                F.log(
+                    F.lit(lam) * (F.col("c2") / F.col("c1").cast("double"))
+                    + F.lit(1.0 - lam)
+                    * ((F.col("cw") + F.lit(alpha)) / F.lit(denom))
+                ),
+                9,
+            ).alias("logp2"),
+        )
+    )
+    # per-doc: bigram NLL sum + first-token unigram NLL
+    bi_scored = (
+        bi.join(F.broadcast(lm2) if broadcast_lm else lm2, ["prev", "w"])
+        .groupBy("id")
+        .agg(F.sum(F.col("tf2") * F.col("logp2")).alias("lp_bi"))
+    )
+    uni_lp = termc.select(
+        "term",
+        F.round(F.log((F.col("c") + alpha) / F.lit(denom)), 9)
+        .alias("logp1"))
+    first_tok = base.select(
+        "id", F.size("toks").alias("dl"),
+        F.element_at("toks", 1).alias("term"))
+    first_scored = first_tok.join(
+        F.broadcast(uni_lp) if broadcast_lm else uni_lp, "term")
+    return (
+        first_scored.join(bi_scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dl").cast("long").alias("n_tokens"),
+            F.round(
+                -(F.col("logp1") + F.coalesce(F.col("lp_bi"), F.lit(0.0)))
+                / F.col("dl").cast("double"),
+                6,
+            ).alias("mean_nll2"),
+        )
+        .select(
+            id_col, "n_tokens", "mean_nll2",
+            F.round(F.exp(F.col("mean_nll2")), 2).alias("ppl2"),
+        )
+    )

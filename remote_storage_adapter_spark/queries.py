@@ -1722,6 +1722,55 @@ def q_text_search_indexed(spark, sf_dir):
                                   buckets=16)
 
 
+def q_text_lm2(spark, sf_dir):
+    """Per-doc mean NLL + perplexity under the corpus-trained
+    interpolated BIGRAM LM (λ=0.7 ML-bigram + 0.3 smoothed unigram) —
+    the word-order-aware typicality axis."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.lm2_doc_scores(docs, alpha=0.5, lam=0.7)
+
+
+O_text_lm2 = f"""
+WITH base AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+), toks AS (SELECT doc_id, unnest(ws) AS term FROM base),
+termc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS T, count(*) AS V FROM termc),
+bi AS (
+  SELECT doc_id, prev, w, count(*) AS tf2 FROM (
+    SELECT doc_id, unnest(list_transform(range(2, len(ws) + 1),
+      i -> struct_pack(prev := ws[i-1], w := ws[i]))) AS bg
+    FROM base) t, LATERAL (SELECT bg.prev AS prev, bg.w AS w)
+  GROUP BY 1, 2, 3
+), c2 AS (SELECT prev, w, sum(tf2) AS c2 FROM bi GROUP BY 1, 2),
+lm2 AS (
+  SELECT prev, w,
+         round(ln(0.7 * (c2 / CAST(c1.c AS DOUBLE))
+                  + 0.3 * (cw.c + 0.5) / (T + 0.5 * V)), 9) AS logp2
+  FROM c2
+  JOIN termc c1 ON c2.prev = c1.term
+  JOIN termc cw ON c2.w = cw.term
+  CROSS JOIN tot
+), bs AS (
+  SELECT doc_id, sum(tf2 * logp2) AS lp_bi
+  FROM bi JOIN lm2 USING (prev, w) GROUP BY 1
+), ft AS (
+  SELECT doc_id, len(ws) AS dl, ws[1] AS term FROM base
+), fs AS (
+  SELECT ft.doc_id, dl,
+         round(ln((c + 0.5) / (T + 0.5 * V)), 9) AS logp1
+  FROM ft JOIN termc USING (term) CROSS JOIN tot
+)
+SELECT fs.doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       round(-(logp1 + coalesce(lp_bi, 0.0)) / CAST(dl AS DOUBLE), 6)
+         AS mean_nll2,
+       round(exp(round(-(logp1 + coalesce(lp_bi, 0.0))
+                       / CAST(dl AS DOUBLE), 6)), 2) AS ppl2
+FROM fs LEFT JOIN bs USING (doc_id)
+"""
+
+
 def q_text_search_batch(spark, sf_dir):
     """Batched retrieval: every 250th document's first 5 tokens form
     a query; all queries run in ONE corpus scan (members must rank
@@ -2994,18 +3043,27 @@ def q_text_term_scores(spark, sf_dir):
     ppl = lm.select(
         "doc_id", F.lit("<all>").alias("term"),
         F.col("ppl").alias("score"), F.lit("lm_ppl").alias("scorer"))
+    lm2 = q_text_lm2(spark, sf_dir)
+    nll2 = lm2.select(
+        "doc_id", F.lit("<all>").alias("term"),
+        F.col("mean_nll2").alias("score"),
+        F.lit("lm2_nll").alias("scorer"))
+    ppl2 = lm2.select(
+        "doc_id", F.lit("<all>").alias("term"),
+        F.col("ppl2").alias("score"), F.lit("lm2_ppl").alias("scorer"))
     sb = q_text_search_batch(spark, sf_dir).select(
         "doc_id",
         F.concat(F.lit("q"), F.col("q_id").cast("string")).alias("term"),
         "score", F.lit("search_batch").alias("scorer"))
     return t.unionByName(b).unionByName(s).unionByName(nll) \
-        .unionByName(ppl).unionByName(sb)
+        .unionByName(ppl).unionByName(nll2).unionByName(ppl2) \
+        .unionByName(sb)
 
 
 O_text_term_scores = f"""
 WITH t AS ({O_text_tfidf}), b AS ({O_text_bm25}),
 s AS ({O_text_search}), l AS ({O_text_lm}),
-sb AS ({O_text_search_batch})
+l2 AS ({O_text_lm2}), sb AS ({O_text_search_batch})
 SELECT doc_id, term, score, 'tfidf' AS scorer FROM t
 UNION ALL
 SELECT doc_id, term, score, 'bm25' AS scorer FROM b
@@ -3016,6 +3074,12 @@ SELECT doc_id, '<all>' AS term, mean_nll AS score, 'lm_nll' AS scorer
 FROM l
 UNION ALL
 SELECT doc_id, '<all>' AS term, ppl AS score, 'lm_ppl' AS scorer FROM l
+UNION ALL
+SELECT doc_id, '<all>' AS term, mean_nll2 AS score, 'lm2_nll' AS scorer
+FROM l2
+UNION ALL
+SELECT doc_id, '<all>' AS term, ppl2 AS score, 'lm2_ppl' AS scorer
+FROM l2
 UNION ALL
 SELECT doc_id, 'q' || CAST(q_id AS VARCHAR) AS term, score,
        'search_batch' AS scorer
