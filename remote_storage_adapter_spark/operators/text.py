@@ -1267,3 +1267,86 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
             F.round(F.exp(F.col("mean_nll2")), 2).alias("ppl2"),
         )
     )
+
+
+def lm_table(docs: DataFrame, *, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Corpus unigram counts (term, c) — the at-rest LM
+    :func:`lm_score_against` scores against. Mergeable by ``sum``
+    (the property the streaming maintainer uses: per-batch tables
+    fold into the accumulated state without revisiting seen text)."""
+    return (
+        docs.select(
+            F.explode(
+                tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def lm_score_against(docs: DataFrame, lm: DataFrame, *,
+                     alpha: float = 0.5,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_lm: bool = True) -> DataFrame:
+    """Score documents under a FROZEN reference LM — the production
+    quality-filter shape (:func:`lm_doc_scores` trains on the corpus
+    it scores, which is the right *audit* but the wrong *filter*: a
+    filter must judge incoming docs against a fixed reference, e.g.
+    the kept corpus or a trusted seed — CCNet scores Common Crawl
+    against a Wikipedia-trained LM for exactly this reason).
+
+    ``lm`` is a (term, c) table from :func:`lm_table` (or the
+    streaming-maintained state at rest — read it with
+    ``spark.read.parquet(state_path)``). Out-of-vocabulary terms get
+    the ``c = 0`` mass of the same add-``alpha`` formula
+    (``ln(alpha / (T + alpha·V))``) — unseen words hurt, they don't
+    crash. Scoring a corpus against its own table reproduces
+    :func:`lm_doc_scores` exactly (equality-locked in pytest).
+
+    Returns (id_col, n_tokens, mean_nll, ppl, oov_frac).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    tot = lm.agg(F.sum("c").alias("T"),
+                 F.count(F.lit(1)).alias("V")).first()
+    if not tot["V"]:
+        raise ValueError("reference LM is empty")
+    denom = float(tot["T"]) + alpha * float(tot["V"])
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+        .select(
+            "id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(F.broadcast(lm) if broadcast_lm else lm,
+                     "term", "left")
+    logp = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + alpha)
+              / F.lit(denom)), 9)
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.first("dl").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * logp)
+                / F.first("dl").cast("double"),
+                6,
+            ).alias("mean_nll"),
+            F.round(
+                F.sum(F.when(F.col("c").isNull(), F.col("tf"))
+                      .otherwise(0))
+                / F.first("dl").cast("double"),
+                6,
+            ).alias("oov_frac"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_tokens", "mean_nll",
+            F.round(F.exp(F.col("mean_nll")), 2).alias("ppl"),
+            "oov_frac",
+        )
+    )

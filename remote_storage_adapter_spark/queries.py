@@ -1722,6 +1722,41 @@ def q_text_search_indexed(spark, sf_dir):
                                   buckets=16)
 
 
+def q_text_lm_ref(spark, sf_dir):
+    """Quality filtering against a FROZEN reference LM (trained on
+    the even-id half, scoring every doc) — the CCNet production shape;
+    oracled orphan (test_registry_locks), not a registry row."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    ref = TX.lm_table(docs.filter(F.col("doc_id") % 2 == 0))
+    return TX.lm_score_against(docs, ref, alpha=0.5)
+
+
+O_text_lm_ref = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+), lm AS (
+  SELECT term, count(*) AS c FROM toks WHERE doc_id % 2 = 0 GROUP BY 1
+), tot AS (SELECT sum(c) AS T, count(*) AS V FROM lm),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, CAST(dls.dl AS BIGINT) AS n_tokens,
+         round(-sum(tf.tf * round(ln((coalesce(lm.c, 0) + 0.5)
+                                     / (T + 0.5 * V)), 9))
+               / CAST(dls.dl AS DOUBLE), 6) AS mean_nll,
+         round(sum(CASE WHEN lm.c IS NULL THEN tf.tf ELSE 0 END)
+               / CAST(dls.dl AS DOUBLE), 6) AS oov_frac
+  FROM tf LEFT JOIN lm USING (term)
+  JOIN dls USING (doc_id) CROSS JOIN tot
+  GROUP BY 1, dls.dl
+)
+SELECT doc_id, n_tokens, mean_nll, round(exp(mean_nll), 2) AS ppl,
+       oov_frac
+FROM sc
+"""
+
+
 def q_text_lm2(spark, sf_dir):
     """Per-doc mean NLL + perplexity under the corpus-trained
     interpolated BIGRAM LM (λ=0.7 ML-bigram + 0.3 smoothed unigram) —

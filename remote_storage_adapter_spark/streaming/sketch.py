@@ -10,10 +10,12 @@ property into Structured Streaming via ``foreachBatch``: each
 micro-batch is sketched (bounded rows however large the batch) and
 merged into the state table. HLL and Bloom merges are idempotent
 (max / set-union), so re-delivered batches are absorbed exactly-once
-under at-least-once delivery; CMS ``sum`` is NOT replay-idempotent —
-its exactly-once story is the checkpointed source offsets (a batch id
-is only re-fed after a crash BEFORE the checkpoint commit, the
-standard foreachBatch contract).
+under at-least-once delivery; CMS ``sum`` is NOT replay-idempotent, so
+the maintainer passes the micro-batch id and the merge records applied
+ids in a ledger that lives INSIDE the state directory and swaps
+atomically WITH the data (``_merge_into_once``) — a batch re-fed after
+a swap-then-crash-before-checkpoint-commit is skipped, closing the
+double-count window the checkpoint-offset contract alone leaves.
 
 At 100 TB: the stream state is the sketch table itself — bounded by
 the sketch parameters regardless of ingest volume — and each merge
@@ -85,39 +87,122 @@ def _merge_into(state_path: str, new, merge) -> None:
     fs.delete(old, True)
 
 
+def _read_applied(fs, jvm, path) -> set:
+    """Applied-batch ids recorded in the state's ``_applied.txt``
+    (underscore-prefixed: parquet readers skip it)."""
+    if not fs.exists(path):
+        return set()
+    br = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(path)))
+    ids = set()
+    line = br.readLine()
+    while line is not None:
+        if line.strip():
+            ids.add(int(line.strip()))
+        line = br.readLine()
+    br.close()
+    return ids
+
+
+def _merge_into_once(state_path: str, batch_id: int, new, merge) -> bool:
+    """:func:`_merge_into` with EXACTLY-ONCE replay for non-idempotent
+    merges (CMS sums, LM counts): the applied-batch ledger lives
+    INSIDE the state directory (``_applied.txt``) and is rewritten
+    into the staged ``._tmp`` alongside the merged data, so the single
+    atomic swap rename commits data and ledger together — there is no
+    window where the merge is applied but unrecorded (the gap the
+    checkpoint-offset contract leaves: a crash after the swap but
+    before the stream's commit re-feeds the batch). A replayed batch
+    whose id the live ledger holds is skipped. Returns True if this
+    call merged the batch.
+    """
+    spark = new.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    state = hpath(state_path)
+    old = hpath(state_path + "._old")
+    tmp = hpath(state_path + "._tmp")
+    fs = state.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(state) and fs.exists(old):
+        fs.rename(old, state)  # interrupted swap: restore
+    applied = _read_applied(fs, jvm, hpath(f"{state_path}/_applied.txt"))
+    if batch_id in applied:
+        return False
+    if fs.exists(state):
+        cur = spark.read.parquet(state_path)
+        merged = merge(cur)  # errors here propagate — no fallback
+    else:
+        merged = new
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    merged.write.parquet(state_path + "._tmp")
+    out = fs.create(hpath(f"{state_path}._tmp/_applied.txt"), True)
+    out.write(bytearray(
+        "".join(f"{i}\n" for i in sorted(applied | {batch_id})),
+        "utf-8"))
+    out.close()
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(state):
+        fs.rename(state, old)
+    fs.rename(tmp, state)
+    fs.delete(old, True)
+    return True
+
+
 def merge_hll_state(batch_df, state_path: str, key_col: str,
                     group_cols: Sequence[str] = (), *,
-                    p: int = 12) -> None:
+                    p: int = 12, batch_id: int | None = None) -> None:
     """Fold one batch of raw rows into the register table at
     ``state_path`` (creating it on first use). Idempotent: replaying
-    a batch cannot raise any register (``max`` merge)."""
+    a batch cannot raise any register (``max`` merge); ``batch_id``
+    adds the in-state ledger skip anyway (uniform contract)."""
     new = hll_registers(batch_df, key_col, group_cols, p=p)
-    _merge_into(state_path, new, lambda cur: (
+    merge = lambda cur: (
         cur.unionByName(new)
         .groupBy(*group_cols, "register")
         .agg(F.max("max_rho").alias("max_rho"))
-    ))
+    )
+    if batch_id is None:
+        _merge_into(state_path, new, merge)
+    else:
+        _merge_into_once(state_path, batch_id, new, merge)
 
 
 def merge_cms_state(batch_df, state_path: str, key_col: str, *,
-                    depth: int = 4, width: int = 1024) -> None:
-    """Fold one batch into a count-min sketch table: cells sum."""
+                    depth: int = 4, width: int = 1024,
+                    batch_id: int | None = None) -> None:
+    """Fold one batch into a count-min sketch table: cells sum. The
+    sum merge is NOT replay-idempotent, so pass ``batch_id`` (the
+    stream maintainer does) to engage the in-state ledger — a
+    replayed batch then merges exactly once even across the
+    swap-then-crash-before-checkpoint window."""
     new = cms_sketch(batch_df, key_col, depth=depth, width=width)
-    _merge_into(state_path, new, lambda cur: (
+    merge = lambda cur: (
         cur.unionByName(new)
         .groupBy("sketch_row", "cell")
         .agg(F.sum("cnt").alias("cnt"))
-    ))
+    )
+    if batch_id is None:
+        _merge_into(state_path, new, merge)
+    else:
+        _merge_into_once(state_path, batch_id, new, merge)
 
 
 def merge_bloom_state(batch_df, state_path: str, key_col: str, *,
-                      m_bits: int = 1 << 16, k: int = 4) -> None:
+                      m_bits: int = 1 << 16, k: int = 4,
+                      batch_id: int | None = None) -> None:
     """Fold one batch into a Bloom bit-set table: bitwise OR, spelled
-    as distinct union of the sparse set-bit rows. Idempotent."""
+    as distinct union of the sparse set-bit rows. Idempotent;
+    ``batch_id`` engages the in-state ledger anyway."""
     new = bloom_sketch(batch_df, key_col, m_bits=m_bits, k=k)
-    _merge_into(state_path, new, lambda cur: (
+    merge = lambda cur: (
         cur.unionByName(new).dropDuplicates(["bit"])
-    ))
+    )
+    if batch_id is None:
+        _merge_into(state_path, new, merge)
+    else:
+        _merge_into_once(state_path, batch_id, new, merge)
 
 
 #: kind → (merge_fn, accepted kwargs) for stream_sketch_maintain
@@ -158,8 +243,8 @@ def stream_sketch_maintain(
     )
     writer = (
         raw.writeStream
-        .foreachBatch(lambda df, _id: merge_fn(
-            df, state_path, key_col, **sketch_kwargs))
+        .foreachBatch(lambda df, bid: merge_fn(
+            df, state_path, key_col, batch_id=bid, **sketch_kwargs))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

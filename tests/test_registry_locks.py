@@ -90,6 +90,7 @@ _ORACLED_ORPHANS = [
     "text_fingerprint",
     "emb_normalize",
     "emb_quantize",
+    "text_lm_ref",
 ]
 
 

@@ -991,3 +991,119 @@ def test_streaming_text_index_matches_batch_and_survives_crashes(
     monkeypatch.setattr(I, "_publish_file", real_publish)
     assert apply_text_index_batch(b4df, 3, idx, buckets=4)
     assert probe() == direct(flat + b3 + b4)
+
+
+def test_streaming_lm_matches_batch_and_replay_skips(spark, tmp_path,
+                                                     monkeypatch):
+    """Streaming LM maintenance: the maintained count state equals
+    lm_table over the union of landed batches; scoring against it
+    equals self-trained lm_doc_scores; a direct re-apply of an
+    already-merged batch id is skipped (in-state ledger), so even the
+    swap-then-crash-before-checkpoint window cannot double-count; a
+    crash injected before the swap leaves the old state intact and
+    the replay merges cleanly."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators.text import (
+        lm_doc_scores,
+        lm_score_against,
+        lm_table,
+    )
+    from remote_storage_adapter_spark.streaming import lm as SLM
+    from remote_storage_adapter_spark.streaming import sketch as SSK
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "lm_state")
+    batches = [
+        [(1, "spark shuffle join spark"), (2, "hash scan filter")],
+        [(11, "shuffle merge sort"), (12, "spark spark window")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = SLM.stream_lm_maintain(
+            spark, landing, state, str(tmp_path / ckpt),
+            schema=schema, available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def state_counts():
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(state).collect())
+
+    flat = [r for b in batches for r in b]
+    union = spark.createDataFrame(flat, schema)
+    run("ck1")
+    assert state_counts() == sorted(
+        tuple(r) for r in lm_table(union).collect())
+    # scoring docs against the maintained state == self-trained scores
+    ref = spark.read.parquet(state)
+    against = sorted(
+        (r["doc_id"], r["n_tokens"], r["mean_nll"], r["ppl"])
+        for r in lm_score_against(union, ref).collect())
+    self_tr = sorted(tuple(r) for r in lm_doc_scores(union).collect())
+    assert against == self_tr
+    # direct re-apply of an applied batch id: ledger skip, no change
+    b0 = spark.createDataFrame(batches[0], schema)
+    SLM.merge_lm_state(b0, state, batch_id=0)
+    assert state_counts() == sorted(
+        tuple(r) for r in lm_table(union).collect())
+    # fresh checkpoint reprocess: ledger absorbs both batches
+    run("ck2")
+    assert state_counts() == sorted(
+        tuple(r) for r in lm_table(union).collect())
+
+    # crash INSIDE the merge, before the swap (the staged ._tmp write
+    # dies): live state and ledger untouched, replay merges once
+    b3 = [(21, "fresh tail words")]
+    b3df = spark.createDataFrame(b3, schema)
+    real_read = SSK._read_applied
+
+    def dying_read(fs, jvm, path):
+        ids = real_read(fs, jvm, path)
+        raise RuntimeError("injected crash before staging")
+
+    monkeypatch.setattr(SSK, "_read_applied", dying_read)
+    with pytest.raises(RuntimeError):
+        SLM.merge_lm_state(b3df, state, batch_id=2)
+    monkeypatch.setattr(SSK, "_read_applied", real_read)
+    assert state_counts() == sorted(      # state untouched
+        tuple(r) for r in lm_table(union).collect())
+    SLM.merge_lm_state(b3df, state, batch_id=2)
+    union2 = spark.createDataFrame(flat + b3, schema)
+    assert state_counts() == sorted(
+        tuple(r) for r in lm_table(union2).collect())
+
+
+def test_cms_ledger_closes_double_count_window(spark, tmp_path):
+    """merge_cms_state(batch_id=...) is replay-exactly-once: merging
+    the same batch id twice leaves every cell unchanged (the in-state
+    ledger travels with the swap), while the legacy no-id call
+    double-counts — the window the r6 ledger closes."""
+    from remote_storage_adapter_spark.operators.sketch import (
+        cms_estimate,
+    )
+    from remote_storage_adapter_spark.streaming.sketch import (
+        merge_cms_state,
+    )
+
+    rows = [(i, f"k{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    st_led = str(tmp_path / "cms_led")
+    merge_cms_state(df, st_led, "key", batch_id=0)
+    once = sorted(tuple(r) for r in
+                  spark.read.parquet(st_led).collect())
+    merge_cms_state(df, st_led, "key", batch_id=0)   # replay: skipped
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(st_led).collect()) == once
+    merge_cms_state(df, st_led, "key", batch_id=1)   # new batch merges
+    doubled = {(r["sketch_row"], r["cell"]): r["cnt"]
+               for r in spark.read.parquet(st_led).collect()}
+    assert all(doubled[k] == 2 * cnt for (k, cnt) in
+               ((( r[0], r[1]), r[2]) for r in once))
