@@ -1,0 +1,230 @@
+"""Curation-on-ingest: the composed streaming pipeline — every landed
+document batch is gated (exact-dedup against the seen corpus, rule
+quality score, optional perplexity against the maintained reference
+LM), published with per-doc status/reason, and the KEPT documents are
+folded into the downstream maintained artifacts (BM25 inverted index,
+reference LM counts) — each exactly once.
+
+Replay architecture ("decide once, commit the decision"): the gate
+decisions are computed ONLY against state committed by prior batches,
+then published atomically WITH the batch (the status column of the
+curated table). A replay that finds the publication marker does NOT
+recompute decisions — it reads the committed statuses back — so the
+fact that later steps (LM merge) have since moved the decision inputs
+cannot flip a decision. Step ordering gives the decision-input
+invariant for free: the LM merge for batch N runs strictly after
+batch N's publication marker exists, so when a replay recomputes
+decisions (marker absent) the LM state provably excludes batch N's own
+contribution.
+
+Per-step exactly-once machinery is the shared kit: staged renames +
+batch-prefix sweeps (``ingest.publish_staged_batch``) for the curated
+table and the seen-fingerprint state, the posting publish of
+``streaming.retrieval.apply_text_index_batch``, and the in-state
+ledger of ``streaming.lm.merge_lm_state``. (No decision-visible
+pre-sweep is needed here, unlike the line-dedup maintainer — see the
+step-ordering note in :func:`apply_curate_batch`.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
+                       out_dir: str, seen_state: str,
+                       index_path: str | None = None,
+                       lm_state: str | None = None,
+                       min_q_score: float = 0.5,
+                       max_ppl: float | None = None,
+                       buckets: int = 16,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> bool:
+    """Apply one document batch through the full curation pipeline
+    exactly once. Returns True if this call did any work.
+
+    Steps (each independently markered/idempotent):
+
+    1. decisions — IF the curated-table marker is absent: exact-dedup
+       (md5 of normalized text vs committed seen-state, plus
+       within-batch smallest-id), quality gate (``q_score ≥
+       min_q_score``), optional LM gate (``ppl ≤ max_ppl`` against
+       the committed reference LM; skipped when the state doesn't
+       exist yet — the cold-start batch trains it). Publish ALL docs
+       with (status, reason, q_score) into ``out_dir``; the marker
+       commits the decisions. IF the marker exists: read the batch's
+       own committed files back instead.
+    2. publish the kept docs' fingerprints into ``seen_state``.
+    3. append kept docs' postings to the BM25 index (optional).
+    4. merge kept docs' counts into the reference LM (optional;
+       in-state ledger — the final step, so its ledger doubles as the
+       batch's completion record).
+    """
+    from remote_storage_adapter_spark.operators.dedup import (
+        cache_scope,
+        fingerprint,
+    )
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+        publish_staged_batch,
+    )
+    from remote_storage_adapter_spark.operators.text import (
+        lm_score_against,
+        quality_features,
+    )
+
+    spark = batch_df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(seen_state).getFileSystem(spark._jsc.hadoopConfiguration())
+    # NB: unlike the line-dedup maintainer, no decision-visible
+    # pre-sweep is needed — by step ordering, a partial seen-state
+    # publish for THIS batch can only exist when the decisions marker
+    # is already committed (decisions then read back, not recomputed),
+    # and publish_staged_batch sweeps its own partials before renaming.
+    did_work = False
+    with cache_scope():
+        if not batch_committed(spark, out_dir, batch_id,
+                               ledger_dir="_curate_ledger"):
+            did_work = True
+            # NULL text normalizes to '' (the line_dedup convention);
+            # a NULL fingerprint would silently drop the doc from the
+            # inner join on fp — every landed doc must get a status
+            clean = batch_df.select(
+                id_col,
+                F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+            scored = quality_features(clean).withColumn(
+                "fp", fingerprint(F.col(text_col)))
+            # within-batch smallest-id + committed-state anti-join
+            firsts = scored.groupBy("fp").agg(
+                F.min(F.col(id_col)).alias("_first_id"))
+            scored = scored.join(firsts, "fp")
+            have_seen = bool(fs.globStatus(hpath(f"{seen_state}/b=*")))
+            if have_seen:
+                seen = spark.read.parquet(seen_state).select(
+                    F.col("fp").alias("_seen_fp"))
+                scored = scored.join(
+                    seen, scored["fp"] == seen["_seen_fp"], "left")
+            else:
+                scored = scored.withColumn("_seen_fp", F.lit(None))
+            lm_live = (
+                lm_state is not None and max_ppl is not None
+                and bool(fs.globStatus(hpath(f"{lm_state}/*.parquet")))
+            )
+            if lm_live:
+                ppl = lm_score_against(
+                    clean, spark.read.parquet(lm_state),
+                    id_col=id_col, text_col=text_col).select(
+                    id_col, "ppl")
+                scored = scored.join(ppl, id_col, "left")
+            else:
+                scored = scored.withColumn("ppl", F.lit(None)
+                                           .cast("double"))
+            status = (
+                F.when(F.col("_seen_fp").isNotNull(), "dup_seen")
+                .when(F.col(id_col) != F.col("_first_id"), "dup_batch")
+                .when(F.col("q_score") < min_q_score, "low_quality")
+                .when(
+                    F.lit(lm_live) & (F.col("ppl") > max_ppl
+                                      if max_ppl is not None
+                                      else F.lit(False)),
+                    "high_ppl")
+                .otherwise("kept")
+            )
+            curated = scored.select(
+                id_col, text_col, "q_score", "ppl",
+                status.alias("status"), "fp",
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                       F.lit(buckets)).alias("b"),
+            )
+            staging = f"{out_dir}/_staging/batch-{batch_id:012d}"
+            curated.write.mode("overwrite").partitionBy("b") \
+                .parquet(staging)
+            publish_staged_batch(spark, out_dir, staging, batch_id,
+                                 "b", ledger_dir="_curate_ledger")
+        # committed decision read-back (fresh compute lands here too)
+        files = [st.getPath().toString() for st in fs.globStatus(
+            hpath(f"{out_dir}/b=*/b{batch_id:012d}-*"))]
+        kept = (
+            spark.read.parquet(*files)
+            .filter(F.col("status") == "kept")
+            if files else None
+        )
+        if kept is None:
+            return did_work
+        kept = kept.persist()
+
+        if not batch_committed(spark, seen_state, batch_id,
+                               ledger_dir="_curate_ledger"):
+            did_work = True
+            staging = f"{seen_state}/_staging/batch-{batch_id:012d}"
+            (
+                kept.select("fp")
+                .withColumn("b", F.pmod(F.xxhash64("fp"),
+                                        F.lit(buckets)))
+                .write.mode("overwrite").partitionBy("b")
+                .parquet(staging)
+            )
+            publish_staged_batch(spark, seen_state, staging, batch_id,
+                                 "b", ledger_dir="_curate_ledger")
+        if index_path is not None:
+            from remote_storage_adapter_spark.streaming.retrieval import (
+                apply_text_index_batch,
+            )
+            did_work |= apply_text_index_batch(
+                kept.select(id_col, text_col), batch_id, index_path,
+                buckets=buckets, id_col=id_col, text_col=text_col)
+        if lm_state is not None:
+            from remote_storage_adapter_spark.streaming.lm import (
+                merge_lm_state,
+            )
+            merge_lm_state(kept.select(id_col, text_col), lm_state,
+                           id_col=id_col, text_col=text_col,
+                           batch_id=batch_id)
+        kept.unpersist()
+    return did_work
+
+
+def stream_curate_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    seen_state: str,
+    checkpoint_dir: str,
+    *,
+    schema: StructType,
+    index_path: str | None = None,
+    lm_state: str | None = None,
+    min_q_score: float = 0.5,
+    max_ppl: float | None = None,
+    buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+    max_files_per_trigger: int = 64,
+):
+    """Continuous curation over a parquet landing directory; returns
+    the StreamingQuery. ``out_dir`` accumulates every landed doc with
+    its (status, reason-encoded status, q_score, ppl); downstream
+    consumers filter ``status = 'kept'``. When ``index_path`` /
+    ``lm_state`` are given, kept docs also maintain the BM25 index
+    and the reference LM — the full ingest-to-artifacts pipeline in
+    one exactly-once batch apply (see :func:`apply_curate_batch`)."""
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    writer = (
+        raw.writeStream
+        .foreachBatch(lambda df, bid: apply_curate_batch(
+            df, bid, out_dir=out_dir, seen_state=seen_state,
+            index_path=index_path, lm_state=lm_state,
+            min_q_score=min_q_score, max_ppl=max_ppl,
+            buckets=buckets, id_col=id_col, text_col=text_col))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1107,3 +1107,126 @@ def test_cms_ledger_closes_double_count_window(spark, tmp_path):
                for r in spark.read.parquet(st_led).collect()}
     assert all(doubled[k] == 2 * cnt for (k, cnt) in
                ((( r[0], r[1]), r[2]) for r in once))
+
+
+def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
+    """Curation-on-ingest capstone: landed batches are gated
+    (cross-batch + within-batch exact dedup, quality score, and —
+    once the reference LM exists — perplexity), every doc lands in
+    the curated table with its status, and the kept docs maintain the
+    BM25 index and the reference LM. Crash injections at the
+    decide/publish boundary replay to the identical result, and the
+    committed-decision read-back means a replay cannot flip decisions
+    even though the LM state has since absorbed the batch."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import ingest as I
+    from remote_storage_adapter_spark.operators.text import (
+        bm25_search_indexed,
+        lm_table,
+    )
+    from remote_storage_adapter_spark.streaming.curate import (
+        apply_curate_batch,
+        stream_curate_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    seen = str(tmp_path / "seen")
+    idx = str(tmp_path / "idx")
+    lm = str(tmp_path / "lm")
+    good = "the quick brown fox jumps over the lazy dog"
+    batches = [
+        [(1, good),                       # kept (trains the LM)
+         (2, good),                       # dup_batch (same fp, larger id)
+         (3, "x!@#")],                    # low_quality
+        [(11, good),                      # dup_seen (fp committed in b0)
+         # same vocabulary as doc 1, new order: in-vocab => low ppl
+         (12, "the lazy dog jumps over the quick brown fox"),  # kept
+         # mostly OOV vs the doc-1-trained LM => ppl ~22 > 15
+         (13, "zzq qqz zqz qzq zzz the of and to is")],     # high_ppl
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_curate_maintain(
+            spark, landing, out, seen, str(tmp_path / ckpt),
+            schema=schema, index_path=idx, lm_state=lm,
+            min_q_score=0.75, max_ppl=15.0, buckets=4,
+            available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def statuses():
+        return {r["doc_id"]: r["status"]
+                for r in spark.read.parquet(out).collect()}
+
+    run("ck1")
+    assert statuses() == {1: "kept", 2: "dup_batch", 3: "low_quality",
+                          11: "dup_seen", 12: "kept", 13: "high_ppl"}
+    kept_docs = [(1, good),
+                 (12, "the lazy dog jumps over the quick brown fox")]
+    # LM state == counts over exactly the kept docs
+    assert sorted(tuple(r) for r in spark.read.parquet(lm).collect()) \
+        == sorted(tuple(r) for r in lm_table(
+            spark.createDataFrame(kept_docs, schema)).collect())
+    # index serves only kept docs (1 and 12 share the vocabulary;
+    # rejected docs 2/3/11/13 must not appear)
+    hits = bm25_search_indexed(spark, idx, "quick brown", k=10,
+                               buckets=4).collect()
+    assert [r["doc_id"] for r in hits] == [1, 12]
+    # fresh-checkpoint reprocess: ledgers absorb everything
+    run("ck2")
+    assert statuses()[1] == "kept"
+    assert sorted(tuple(r) for r in spark.read.parquet(lm).collect()) \
+        == sorted(tuple(r) for r in lm_table(
+            spark.createDataFrame(kept_docs, schema)).collect())
+
+    # crash BEFORE the decisions marker: nothing visible, replay
+    # recomputes the same decisions
+    # in-vocab words + one novel probe word: ppl ~9 < 15 => kept
+    b3 = [(21, "the quick dog over the lazy fox zebra"),
+          (22, good)]                     # dup_seen
+    b3df = spark.createDataFrame(b3, schema)
+    real_commit = I._mark_committed
+
+    def dying_curate_commit(fs, marker):
+        if "curated" in str(marker):
+            raise RuntimeError("injected crash before decisions marker")
+        return real_commit(fs, marker)
+
+    monkeypatch.setattr(I, "_mark_committed", dying_curate_commit)
+    with pytest.raises(RuntimeError):
+        apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
+                           index_path=idx, lm_state=lm,
+                           min_q_score=0.75, max_ppl=15.0, buckets=4)
+    monkeypatch.setattr(I, "_mark_committed", real_commit)
+    # files may be visible (the ordinary mid-publish parquet state)
+    # but the decisions are NOT committed — the replay recomputes
+    # them and re-publishes identical files under the same prefix
+    assert not I.batch_committed(spark, out, 2,
+                                 ledger_dir="_curate_ledger")
+    assert apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
+                              index_path=idx, lm_state=lm,
+                              min_q_score=0.75, max_ppl=15.0,
+                              buckets=4)
+    st = statuses()
+    assert st[21] == "kept" and st[22] == "dup_seen"
+    # full re-apply: every step's marker/ledger skips — no change
+    n_lm = sorted(tuple(r) for r in spark.read.parquet(lm).collect())
+    assert apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
+                              index_path=idx, lm_state=lm,
+                              min_q_score=0.75, max_ppl=15.0,
+                              buckets=4) is False
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(lm).collect()) == n_lm
+    # doc 21's words are now in the maintained LM and index
+    hits = bm25_search_indexed(spark, idx, "zebra", k=10,
+                               buckets=4).collect()
+    assert [r["doc_id"] for r in hits] == [21]
