@@ -276,6 +276,7 @@ BENCH_QUERIES = {
     "text_search_batch": Q.q_text_search_batch,
     "text_lm": Q.q_text_lm,
     "text_lm2": Q.q_text_lm2,
+    "text_manifest": Q.q_text_manifest,
     "sketch_hll_distinct": Q.q_sketch_hll_distinct,
     "sketch_cms_topk": Q.q_sketch_cms_topk,
     "sketch_hist_quantiles": Q.q_sketch_hist_quantiles,

@@ -1350,3 +1350,68 @@ def lm_score_against(docs: DataFrame, lm: DataFrame, *,
             "oov_frac",
         )
     )
+
+
+def corpus_manifest(docs: DataFrame, *, group_col: str = "source",
+                    id_col: str = "doc_id",
+                    text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Per-``group_col`` corpus card — the reporting row of a curation
+    pipeline (datasheet-style: what's in each slice of the corpus
+    before/after filtering): document count, token and character mass,
+    mean rule-quality score, exact-duplicate rate (1 − distinct
+    fingerprints / docs), and the dominant language with its share.
+
+    One corpus scan, two hash aggregates (per-group metrics and the
+    per-(group, lang) mode), no windows: the language mode is
+    ``max(struct(cnt, lang))`` — deterministic (count first, then
+    lexicographically larger lang on ties) and engine-reproducible.
+
+    Returns (group_col, n_docs, n_tokens, n_chars, mean_q_score,
+    dup_frac, top_lang, top_lang_frac) sorted by group.
+    """
+    from remote_storage_adapter_spark.operators.dedup import fingerprint
+
+    feats = quality_features(
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(lang_col).alias("lng"),
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    ).select(
+        "grp", "lng",
+        F.col("q_n_tokens").alias("n_tok"),
+        F.col("q_n_chars").alias("n_chr"),
+        "q_score",
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    per_grp = feats.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        F.round(F.avg("q_score"), 6).alias("mean_q_score"),
+        F.countDistinct("fp").alias("_dfp"),
+    )
+    lang_mode = (
+        feats.groupBy("grp", "lng")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("grp")
+        .agg(F.max(F.struct("cnt", "lng")).alias("top"))
+        .select("grp", F.col("top.lng").alias("top_lang"),
+                F.col("top.cnt").alias("_top_cnt"))
+    )
+    return (
+        per_grp.join(lang_mode, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs", "n_tokens", "n_chars", "mean_q_score",
+            F.round(
+                F.lit(1.0) - F.col("_dfp")
+                / F.col("n_docs").cast("double"), 6).alias("dup_frac"),
+            "top_lang",
+            F.round(F.col("_top_cnt")
+                    / F.col("n_docs").cast("double"), 6)
+            .alias("top_lang_frac"),
+        )
+        .orderBy(group_col)
+    )

@@ -1757,6 +1757,55 @@ FROM sc
 """
 
 
+def q_text_manifest(spark, sf_dir):
+    """Per-source corpus card (datasheet row): doc/token/char mass,
+    mean rule-quality, exact-dup rate, dominant language + share.
+    Oracled orphan (test_registry_locks), not a registry row."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    return TX.corpus_manifest(docs, group_col="source")
+
+
+O_text_manifest = f"""
+WITH w AS (
+  SELECT source, lang,
+         string_split({NORM_SQL}, ' ') AS ws, text
+  FROM (SELECT source, lang, coalesce(text, '') AS text FROM documents)
+), feats AS (
+  SELECT source, lang,
+    CAST(len(ws) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chr,
+    (CASE WHEN len(ws) >= 5 THEN 0.25 ELSE 0 END
+     + CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                            'g')) AS DOUBLE)
+              / greatest(length(text), 1) <= 0.2 THEN 0.25 ELSE 0 END
+     + CASE WHEN list_sum(list_transform(ws,
+                x -> CAST(length(x) AS DOUBLE))) / greatest(len(ws), 1)
+              BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+     + CASE WHEN CAST(len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))
+                 AS DOUBLE) / greatest(len(ws), 1) >= 0.01
+            THEN 0.25 ELSE 0 END) AS q_score,
+    md5(array_to_string(ws, ' ')) AS fp
+  FROM w
+), per_grp AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chr) AS BIGINT) AS n_chars,
+         round(avg(q_score), 6) AS mean_q_score,
+         count(DISTINCT fp) AS dfp
+  FROM feats GROUP BY 1
+), lm AS (
+  SELECT source, max(struct_pack(cnt := cnt, lng := lang)) AS top
+  FROM (SELECT source, lang, count(*) AS cnt FROM feats GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT p.source, n_docs, n_tokens, n_chars, mean_q_score,
+       round(1.0 - dfp / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+       top.lng AS top_lang,
+       round(top.cnt / CAST(n_docs AS DOUBLE), 6) AS top_lang_frac
+FROM per_grp p JOIN lm USING (source)
+"""
+
+
 def q_text_lm2(spark, sf_dir):
     """Per-doc mean NLL + perplexity under the corpus-trained
     interpolated BIGRAM LM (λ=0.7 ML-bigram + 0.3 smoothed unigram) —

@@ -91,6 +91,7 @@ _ORACLED_ORPHANS = [
     "emb_normalize",
     "emb_quantize",
     "text_lm_ref",
+    "text_manifest",
 ]
 
 
