@@ -106,6 +106,16 @@ def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def portable_hash64_py(s: str) -> int:
+    """Driver-side twin of :func:`portable_hash64` — the identical
+    md5→first-15-nibbles→int derivation, for plan-build-time uses
+    (index bucket routing, sign matrices) that must stay in lock-step
+    with the Column form and the oracle's ``_ph_sql``."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def portable_hash64(c: Column) -> Column:
     """60-bit hash any engine can reproduce: the first 15 hex chars of
     md5, parsed base-16 (DuckDB twin: ``('0x'||substr(md5(x),1,15))::

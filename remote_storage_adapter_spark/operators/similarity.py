@@ -985,12 +985,13 @@ def rp_sign_matrix(in_dim: int, out_dim: int,
     same recipe gets identical signs. ``in_dim x out_dim`` doubles of
     driver state — for 4096→128 that is 0.5 M floats, still trivially
     broadcast as expression literals."""
-    import hashlib
+    from remote_storage_adapter_spark.operators.dedup import (
+        portable_hash64_py,
+    )
 
     def s(i: int, j: int) -> float:
-        h = int(hashlib.md5(
-            f"{salt}#{i}#{j}".encode()).hexdigest()[:15], 16)
-        return 1.0 if h % 2 == 0 else -1.0
+        return 1.0 if portable_hash64_py(f"{salt}#{i}#{j}") % 2 == 0 \
+            else -1.0
 
     return [[s(i, j) for i in range(in_dim)] for j in range(out_dim)]
 

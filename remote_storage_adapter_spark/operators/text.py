@@ -764,9 +764,11 @@ def term_bucket_of(term: str, buckets: int) -> int:
     """Driver-side twin of the index's ``pmod(portable_hash64(term),
     buckets)`` partition key — md5-derived, so any engine (and the
     probe planner) computes the same bucket for a term."""
-    import hashlib
-    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
-    return h % buckets
+    from remote_storage_adapter_spark.operators.dedup import (
+        portable_hash64_py,
+    )
+
+    return portable_hash64_py(term) % buckets
 
 
 def build_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
@@ -1370,8 +1372,6 @@ def corpus_manifest(docs: DataFrame, *, group_col: str = "source",
     Returns (group_col, n_docs, n_tokens, n_chars, mean_q_score,
     dup_frac, top_lang, top_lang_frac) sorted by group.
     """
-    from remote_storage_adapter_spark.operators.dedup import fingerprint
-
     feats = quality_features(
         docs.select(
             F.col(group_col).alias("grp"),

@@ -1829,9 +1829,13 @@ bi AS (
   GROUP BY 1, 2, 3
 ), c2 AS (SELECT prev, w, sum(tf2) AS c2 FROM bi GROUP BY 1, 2),
 lm2 AS (
+  -- weights interpolate {0.7!r} / {(1.0 - 0.7)!r}: the complement is
+  -- emitted as the EXACT Python double (1.0-0.7 != the decimal 0.3 by
+  -- one ulp), matching F.lit(1.0 - lam) bit-for-bit before the round
   SELECT prev, w,
-         round(ln(0.7 * (c2 / CAST(c1.c AS DOUBLE))
-                  + 0.3 * (cw.c + 0.5) / (T + 0.5 * V)), 9) AS logp2
+         round(ln({0.7!r} * (c2 / CAST(c1.c AS DOUBLE))
+                  + {(1.0 - 0.7)!r} * (cw.c + 0.5) / (T + 0.5 * V)), 9)
+           AS logp2
   FROM c2
   JOIN termc c1 ON c2.prev = c1.term
   JOIN termc cw ON c2.w = cw.term

@@ -154,35 +154,54 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
         if kept is None:
             return did_work
         kept = kept.persist()
+        try:
+            did_work = _apply_downstream(
+                spark, kept, batch_id, did_work,
+                seen_state=seen_state, index_path=index_path,
+                lm_state=lm_state, buckets=buckets,
+                id_col=id_col, text_col=text_col)
+        finally:
+            kept.unpersist()
+    return did_work
 
-        if not batch_committed(spark, seen_state, batch_id,
-                               ledger_dir="_curate_ledger"):
-            did_work = True
-            staging = f"{seen_state}/_staging/batch-{batch_id:012d}"
-            (
-                kept.select("fp")
-                .withColumn("b", F.pmod(F.xxhash64("fp"),
-                                        F.lit(buckets)))
-                .write.mode("overwrite").partitionBy("b")
-                .parquet(staging)
-            )
-            publish_staged_batch(spark, seen_state, staging, batch_id,
-                                 "b", ledger_dir="_curate_ledger")
-        if index_path is not None:
-            from remote_storage_adapter_spark.streaming.retrieval import (
-                apply_text_index_batch,
-            )
-            did_work |= apply_text_index_batch(
-                kept.select(id_col, text_col), batch_id, index_path,
-                buckets=buckets, id_col=id_col, text_col=text_col)
-        if lm_state is not None:
-            from remote_storage_adapter_spark.streaming.lm import (
-                merge_lm_state,
-            )
-            merge_lm_state(kept.select(id_col, text_col), lm_state,
-                           id_col=id_col, text_col=text_col,
-                           batch_id=batch_id)
-        kept.unpersist()
+
+def _apply_downstream(spark, kept, batch_id, did_work, *,
+                      seen_state, index_path, lm_state,
+                      buckets, id_col, text_col) -> bool:
+    """Steps 2-4 of :func:`apply_curate_batch` over the committed
+    kept set — split out so the caller's try/finally releases the
+    cached frame even when a downstream publish throws."""
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+        publish_staged_batch,
+    )
+
+    if not batch_committed(spark, seen_state, batch_id,
+                           ledger_dir="_curate_ledger"):
+        did_work = True
+        staging = f"{seen_state}/_staging/batch-{batch_id:012d}"
+        (
+            kept.select("fp")
+            .withColumn("b", F.pmod(F.xxhash64("fp"), F.lit(buckets)))
+            .write.mode("overwrite").partitionBy("b")
+            .parquet(staging)
+        )
+        publish_staged_batch(spark, seen_state, staging, batch_id,
+                             "b", ledger_dir="_curate_ledger")
+    if index_path is not None:
+        from remote_storage_adapter_spark.streaming.retrieval import (
+            apply_text_index_batch,
+        )
+        did_work |= apply_text_index_batch(
+            kept.select(id_col, text_col), batch_id, index_path,
+            buckets=buckets, id_col=id_col, text_col=text_col)
+    if lm_state is not None:
+        from remote_storage_adapter_spark.streaming.lm import (
+            merge_lm_state,
+        )
+        did_work |= merge_lm_state(
+            kept.select(id_col, text_col), lm_state,
+            id_col=id_col, text_col=text_col, batch_id=batch_id)
     return did_work
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from remote_storage_adapter_spark.operators.dedup import (
+    _pin,
     cache_scope,
     minhash_index,
     minhash_index_append,
@@ -371,14 +372,17 @@ def apply_line_batch(batch_df: DataFrame, batch_id: int,
                       id_col=id_col, text_col=text_col)
     firsts = lines.groupBy("lh").agg(
         F.min(F.struct(F.col("id"), F.col("line_idx"))).alias("first"))
-    have_state = bool(fs.globStatus(hpath(f"{state_path}/b=*")))
+    # data FILES, not partition dirs: a crashed first-batch publish
+    # leaves empty b=* dirs after the pre-sweep, and reading a
+    # dataless path throws — wedging every replay (r6 review #1)
+    have_state = bool(fs.globStatus(hpath(f"{state_path}/b=*/*.parquet")))
     if have_state:
         seen = spark.read.parquet(state_path).select("lh")
         fresh = firsts.join(seen, "lh", "left_anti")
     else:
         fresh = firsts
     with cache_scope():
-        fresh = fresh.persist()
+        fresh = _pin(fresh)
         tagged = lines.join(fresh, "lh", "left").withColumn(
             "keep",
             F.col("first").isNotNull()

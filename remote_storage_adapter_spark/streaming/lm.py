@@ -33,11 +33,12 @@ from remote_storage_adapter_spark.streaming.sketch import (
 
 def merge_lm_state(batch_df, state_path: str, *,
                    id_col: str = "doc_id", text_col: str = "text",
-                   batch_id: int | None = None) -> None:
+                   batch_id: int | None = None) -> bool:
     """Fold one document batch's unigram counts into the LM state at
     ``state_path`` (creating it on first use). Pass ``batch_id`` (the
     stream maintainer does) for exactly-once replay via the in-state
-    ledger; without it a replayed batch double-counts."""
+    ledger; without it a replayed batch double-counts. Returns True
+    if this call merged the batch (False = ledger skip)."""
     from remote_storage_adapter_spark.operators.text import lm_table
 
     new = lm_table(batch_df, id_col=id_col, text_col=text_col)
@@ -51,8 +52,8 @@ def merge_lm_state(batch_df, state_path: str, *,
 
     if batch_id is None:
         _merge_into(state_path, new, merge)
-    else:
-        _merge_into_once(state_path, batch_id, new, merge)
+        return True
+    return _merge_into_once(state_path, batch_id, new, merge)
 
 
 def stream_lm_maintain(

@@ -79,6 +79,16 @@ def _merge_into(state_path: str, new, merge) -> None:
     if fs.exists(tmp):  # leftover from an interrupted stage write
         fs.delete(tmp, True)
     merged.write.parquet(state_path + "._tmp")
+    # a state previously maintained with batch ids carries its
+    # exactly-once ledger INSIDE the directory — a no-id merge must
+    # not clobber it, or later crash-replays double-count (r6 review)
+    applied = _read_applied(fs, jvm,
+                            hpath(f"{state_path}/_applied.txt"))
+    if applied:
+        out = fs.create(hpath(f"{state_path}._tmp/_applied.txt"), True)
+        out.write(bytearray(
+            "".join(f"{i}\n" for i in sorted(applied)), "utf-8"))
+        out.close()
     if fs.exists(old):
         fs.delete(old, True)
     if fs.exists(state):

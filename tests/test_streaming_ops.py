@@ -1230,3 +1230,70 @@ def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
     hits = bm25_search_indexed(spark, idx, "zebra", k=10,
                                buckets=4).collect()
     assert [r["doc_id"] for r in hits] == [21]
+
+
+def test_line_dedup_first_batch_crash_recovers(spark, tmp_path,
+                                               monkeypatch):
+    """r6 review #1: a crash mid-state-publish on the FIRST batch
+    leaves empty b=* partition dirs after the replay's pre-sweep; the
+    have_state probe must look for data files, not dirs, or the
+    replay wedges on an unreadable empty state path forever."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import ingest as I
+    from remote_storage_adapter_spark.operators.text import line_dedup
+    from remote_storage_adapter_spark.streaming.dedup import (
+        apply_line_batch,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    state = str(tmp_path / "line_state")
+    out = str(tmp_path / "line_out")
+    rows = [(1, "a b c d e f g h"), (2, "a b c d x y z w")]
+    df = spark.createDataFrame(rows, schema)
+    real_publish = I._publish_file
+
+    def dying_state_publish(fs, src, dst):
+        if "line_state" in str(dst):
+            real_publish(fs, src, dst)
+            raise RuntimeError("injected crash mid first-batch state")
+        return real_publish(fs, src, dst)
+
+    monkeypatch.setattr(I, "_publish_file", dying_state_publish)
+    with pytest.raises(RuntimeError):
+        apply_line_batch(df, 0, state, out, line_tokens=4, buckets=4)
+    monkeypatch.setattr(I, "_publish_file", real_publish)
+    assert apply_line_batch(df, 0, state, out, line_tokens=4,
+                            buckets=4)
+    got = sorted((r["doc_id"], r["n_lines"], r["n_dup_lines"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["doc_id"], r["n_lines"], r["n_dup_lines"])
+                  for r in line_dedup(df, line_tokens=4).collect())
+    assert got == want
+
+
+def test_merge_into_preserves_applied_ledger(spark, tmp_path):
+    """r6 review #3: a no-batch-id merge over a state previously
+    maintained WITH batch ids must carry the in-state ledger forward
+    — clobbering it would re-open the double-count window for later
+    replays of already-applied batches."""
+    from remote_storage_adapter_spark.streaming.lm import (
+        merge_lm_state,
+    )
+
+    state = str(tmp_path / "lm_state")
+    df1 = spark.createDataFrame([(1, "a b c")],
+                                "doc_id long, text string")
+    df2 = spark.createDataFrame([(2, "c d")],
+                                "doc_id long, text string")
+    assert merge_lm_state(df1, state, batch_id=0)
+    merge_lm_state(df2, state)            # legacy no-id backfill
+    # the ledger survived the no-id swap: batch 0 still skips
+    assert merge_lm_state(df1, state, batch_id=0) is False
+    counts = {r["term"]: r["c"]
+              for r in spark.read.parquet(state).collect()}
+    assert counts == {"a": 1, "b": 1, "c": 2, "d": 1}
