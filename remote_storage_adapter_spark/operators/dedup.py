@@ -1604,3 +1604,168 @@ def semantic_clusters(embs: DataFrame, *, n_cells: int = 16,
         id_col=id_col, vec_col=vec_col,
     ).select("id_a", "id_b")
     return dedup_clusters(pairs, stats=stats)
+
+
+def _simhash_banded(fp_df: DataFrame, max_hamming: int,
+                    buckets: int) -> DataFrame:
+    """Band (id, fp) fingerprints into pigeonhole chunks with the
+    combined partition key ``ck = chunk·buckets + pmod(key, buckets)``
+    — the banded at-rest shape of the SimHash index (single partition
+    column, so the shared staged-rename publisher and compactor apply
+    unchanged)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = fp_df.select(
+        "id", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("fp"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for c in range(chunks)
+        ])).alias("b"),
+    ).select("id", "fp", F.col("b.chunk").alias("chunk"),
+             F.col("b.key").alias("key"))
+    return banded.withColumn(
+        "ck",
+        (F.col("chunk") * buckets
+         + F.pmod(F.col("key"), F.lit(buckets))).cast("int"))
+
+
+def simhash_write_index(docs: DataFrame, path: str, *,
+                        max_hamming: int = 3, buckets: int = 64,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_mode: str = "xx") -> None:
+    """Materialize the SimHash index: fingerprint and band the corpus
+    ONCE, partitioned by ``ck`` — the sign-once contract the MinHash
+    and ANN indexes already have, for the Hamming-radius family.
+    Every later batch joins against pre-banded scans
+    (:func:`simhash_join_indexed`) instead of re-fingerprinting the
+    corpus; single-fingerprint probes (:func:`simhash_lookup`) prune
+    to ``max_hamming+1`` of ``(max_hamming+1)·buckets`` partitions.
+    Banding is a pure function of the fingerprint (no trained state),
+    so :func:`simhash_append` extends it freely — same
+    ``max_hamming``/``buckets``/``hash_mode`` as the build, unique
+    ids. Compact with ``compact_table(path, partition_col="ck",
+    sort_cols=("key", "id"))``."""
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
+                              hash_mode=hash_mode)
+    _simhash_banded(fp, max_hamming, buckets) \
+        .write.mode("overwrite").partitionBy("ck").parquet(path)
+
+
+def simhash_append(docs: DataFrame, path: str, *,
+                   max_hamming: int = 3, buckets: int = 64,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   hash_mode: str = "xx") -> None:
+    """Incrementally band new documents into a
+    :func:`simhash_write_index` layout (plain append — at-least-once;
+    the exactly-once form is :func:`simhash_append_exactly_once`)."""
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
+                              hash_mode=hash_mode)
+    _simhash_banded(fp, max_hamming, buckets) \
+        .write.mode("append").partitionBy("ck").parquet(path)
+
+
+def simhash_append_exactly_once(docs: DataFrame, path: str,
+                                batch_id: int, *,
+                                max_hamming: int = 3, buckets: int = 64,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                hash_mode: str = "xx") -> bool:
+    """:func:`simhash_append` under the staged-rename replay protocol
+    (shared ``ingest.publish_staged_batch`` machinery, ledger
+    ``_simhash_ledger``). Returns True if this call applied the
+    batch."""
+    from remote_storage_adapter_spark.operators.ingest import (
+        batch_committed,
+        publish_staged_batch,
+    )
+
+    spark = docs.sparkSession
+    if batch_committed(spark, path, batch_id,
+                       ledger_dir="_simhash_ledger"):
+        return False
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
+                              hash_mode=hash_mode)
+    staging = f"{path}/_staging/batch-{batch_id:012d}"
+    _simhash_banded(fp, max_hamming, buckets) \
+        .write.mode("overwrite").partitionBy("ck").parquet(staging)
+    publish_staged_batch(spark, path, staging, batch_id, "ck",
+                         ledger_dir="_simhash_ledger")
+    return True
+
+
+def simhash_join_indexed(spark, path: str, incoming: DataFrame, *,
+                         max_hamming: int = 3, buckets: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         hash_mode: str = "xx") -> DataFrame:
+    """Hamming-radius join of an incoming batch against a
+    materialized :func:`simhash_write_index` — the recurring at-scale
+    operation: the reference corpus was fingerprinted once at
+    build/append time, so per-batch cost is the batch's own
+    fingerprinting plus a banded join against pre-banded scans. Any
+    pair within ``max_hamming`` agrees exactly on ≥ 1 chunk
+    (pigeonhole), so candidates join on (chunk, key) and verify with
+    ``bit_count(xor)``. Returns (id_in, id_ref, hamming); self-matches
+    (same id on both sides) are dropped, so probing the index's own
+    corpus reproduces :func:`simhash_pairs` under an id ordering
+    (equality-locked in tests)."""
+    fpq = _pin(simhash_fingerprints(
+        incoming, id_col=id_col, text_col=text_col,
+        hash_mode=hash_mode))
+    bq = _simhash_banded(fpq, max_hamming, buckets).alias("q")
+    idx = spark.read.parquet(path).alias("r")
+    return (
+        bq.join(
+            idx,
+            (F.col("q.chunk") == F.col("r.chunk"))
+            & (F.col("q.key") == F.col("r.key"))
+            & (F.col("q.id") != F.col("r.id")),
+        )
+        .select(
+            F.col("q.id").alias("id_in"),
+            F.col("r.id").alias("id_ref"),
+            F.bit_count(
+                F.col("q.fp").bitwiseXOR(F.col("r.fp"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_in", "id_ref"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_lookup(spark, path: str, fp: int, *,
+                   max_hamming: int = 3,
+                   buckets: int = 64) -> DataFrame:
+    """All indexed documents within ``max_hamming`` of one
+    fingerprint — the serving-path probe: the ``ck`` filter prunes to
+    ``max_hamming+1`` of ``(max_hamming+1)·buckets`` partition
+    directories at plan time (assert ``PartitionFilters``), then the
+    exact key filter and the XOR verify run on the pruned scan only.
+    Returns (id, fp, hamming)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    probes = []
+    for c in range(chunks):
+        key = (fp >> c * width) & ((1 << width) - 1)
+        probes.append((c, key, c * buckets + key % buckets))
+    cks = sorted({ck for _, _, ck in probes})
+    keys = [(c, k) for c, k, _ in probes]
+    idx = spark.read.parquet(path).filter(F.col("ck").isin(cks))
+    match_key = None
+    for c, k in keys:
+        cond = (F.col("chunk") == c) & (F.col("key") == k)
+        match_key = cond if match_key is None else (match_key | cond)
+    return (
+        idx.filter(match_key)
+        .select(
+            "id", "fp",
+            F.bit_count(
+                F.col("fp").bitwiseXOR(F.lit(fp).cast("long"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

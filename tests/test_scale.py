@@ -925,3 +925,58 @@ def test_text_index_compaction_preserves_probe(spark, tmp_path):
     assert apply_text_index_batch(b5, 5, path, buckets=2)
     assert compact_table(spark, path, partition_col="tb",
                          sort_cols=("term", "id"))
+
+
+def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir,
+                                                tmp_path):
+    """The materialized SimHash index (sign-once contract for the
+    Hamming family): probing the index with its own corpus reproduces
+    simhash_pairs exactly; a single-fingerprint lookup partition-
+    prunes on ck; incremental append == full rebuild; the
+    exactly-once append's ledger skips a replay."""
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "sh_idx")
+    D.simhash_write_index(docs, path, max_hamming=3, buckets=8)
+
+    pairs = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(docs, max_hamming=3).collect())
+    joined = D.simhash_join_indexed(spark, path, docs, max_hamming=3,
+                                    buckets=8)
+    via_idx = sorted(
+        (r["id_in"], r["id_ref"], r["hamming"])
+        for r in joined.filter(F.col("id_in") < F.col("id_ref"))
+        .collect())
+    assert via_idx == pairs
+    D.unpersist_pinned()
+
+    # single-fingerprint serving probe prunes partitions
+    some_fp = D.simhash_fingerprints(docs).first()["fp"]
+    probe = D.simhash_lookup(spark, path, some_fp, max_hamming=3,
+                             buckets=8)
+    assert probe.filter(F.col("hamming") == 0).count() >= 1
+    plan = _spark_plan(probe)
+    assert "PartitionFilters: [" in plan
+    assert "ck" in plan.split("PartitionFilters: [", 1)[1] \
+        .split("]", 1)[0]
+
+    # append == full build; exactly-once ledger skip
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    p_inc = str(tmp_path / "sh_inc")
+    D.simhash_write_index(half_a, p_inc, max_hamming=3, buckets=8)
+    assert D.simhash_append_exactly_once(half_b, p_inc, 7,
+                                         max_hamming=3, buckets=8)
+    assert D.simhash_append_exactly_once(half_b, p_inc, 7,
+                                         max_hamming=3,
+                                         buckets=8) is False
+    inc = sorted(
+        (r["id_in"], r["id_ref"], r["hamming"])
+        for r in D.simhash_join_indexed(spark, p_inc, docs,
+                                        max_hamming=3, buckets=8)
+        .filter(F.col("id_in") < F.col("id_ref")).collect())
+    assert inc == pairs
+    D.unpersist_pinned()
