@@ -444,3 +444,49 @@ def stream_line_dedup_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_simhash_index_maintain(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: StructType,
+    max_hamming: int = 3,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xx",
+    available_now: bool = False,
+    max_files_per_trigger: int = 64,
+):
+    """Maintain a materialized SimHash index
+    (operators.dedup.simhash_write_index layout) over a parquet
+    landing directory of documents; returns the StreamingQuery. Each
+    batch bands exactly once via the staged-rename protocol
+    (``simhash_append_exactly_once``, ledger ``_simhash_ledger``) —
+    the Hamming-family twin of the MinHash maintainer. Query the
+    maintained index any time with ``simhash_join_indexed`` /
+    ``simhash_lookup``; band parameters must stay constant across the
+    index's lifetime."""
+    from remote_storage_adapter_spark.operators.dedup import (
+        simhash_append_exactly_once,
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    writer = (
+        raw.writeStream
+        .foreachBatch(lambda df, bid: simhash_append_exactly_once(
+            df, index_path, bid, max_hamming=max_hamming,
+            buckets=buckets, id_col=id_col, text_col=text_col,
+            hash_mode=hash_mode))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1297,3 +1297,61 @@ def test_merge_into_preserves_applied_ledger(spark, tmp_path):
     counts = {r["term"]: r["c"]
               for r in spark.read.parquet(state).collect()}
     assert counts == {"a": 1, "b": 1, "c": 2, "d": 1}
+
+
+def test_streaming_simhash_index_matches_batch(spark, tmp_path):
+    """Streaming SimHash maintenance: docs landed across micro-batches
+    build an index whose Hamming join equals the one-shot build over
+    the union; a fresh-checkpoint reprocess changes nothing (ledger
+    absorbs replayed batches)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming.dedup import (
+        stream_simhash_index_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "sh_idx")
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta")],   # near doc 1
+        [(11, "totally different words in this one here"),
+         (12, "alpha beta gamma delta epsilon zeta")],  # = doc 1
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_simhash_index_maintain(
+            spark, landing, idx, str(tmp_path / ckpt), schema=schema,
+            max_hamming=3, buckets=4, available_now=True,
+            max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    flat = [r for b in batches for r in b]
+    union = spark.createDataFrame(flat, schema)
+
+    def joined():
+        out = sorted(
+            (r["id_in"], r["id_ref"], r["hamming"])
+            for r in D.simhash_join_indexed(spark, idx, union,
+                                            max_hamming=3, buckets=4)
+            .filter("id_in < id_ref").collect())
+        D.unpersist_pinned()
+        return out
+
+    run("ck1")
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(union, max_hamming=3).collect())
+    D.unpersist_pinned()
+    assert joined() == want
+    assert (1, 12, 0) in want            # exact dup across batches
+    run("ck2")                           # fresh checkpoint: no change
+    assert joined() == want
