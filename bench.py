@@ -104,18 +104,13 @@ def bench_dedup_clusters(spark, sf_dir):
 def bench_dedup_simhash_indexed(spark, sf_dir):
     """Incoming 10% batch Hamming-joined against the other 90% as a
     MATERIALIZED SimHash index (sign-once contract for the Hamming
-    family; the index build runs on the first untimed warm-up call
-    per sf — timed reps measure the per-batch join only)."""
-    import os
-
+    family; the index is rebuilt untimed in main() each run —
+    timed reps measure the per-batch join only)."""
     from remote_storage_adapter_spark.operators import dedup as D
     from remote_storage_adapter_spark.queries import _scratch_index_path
 
     docs = load_table(spark, sf_dir, "documents")
     path = _scratch_index_path("simhash", sf_dir)
-    if not os.path.isdir(path):
-        D.simhash_write_index(docs.filter(F.col("doc_id") % 10 != 0),
-                              path, max_hamming=3, buckets=16)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     return D.simhash_join_indexed(spark, path, batch, max_hamming=3,
                                   buckets=16)
@@ -327,6 +322,16 @@ def main():
     Q.q_simsearch_lsh_indexed(spark, sf_dir).count()
     Q.q_simsearch_ivf_indexed(spark, sf_dir).count()
     Q.q_text_search_indexed(spark, sf_dir).count()
+    # simhash index: overwrite-rebuild each run (stale-dir reuse would
+    # silently join against an outdated reference)
+    from remote_storage_adapter_spark.operators import dedup as _D
+    from remote_storage_adapter_spark.queries import (
+        _scratch_index_path as _sip,
+    )
+    _docs = load_table(spark, sf_dir, "documents")
+    _D.simhash_write_index(_docs.filter(F.col("doc_id") % 10 != 0),
+                           _sip("simhash", sf_dir), max_hamming=3,
+                           buckets=16)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # queries whose r3→r4 deltas sat inside their measured spread get

@@ -23,6 +23,8 @@ text never shuffles.
 
 from __future__ import annotations
 
+import hashlib
+
 import contextlib
 
 from pyspark.sql import Column, DataFrame, Window
@@ -111,8 +113,6 @@ def portable_hash64_py(s: str) -> int:
     md5→first-15-nibbles→int derivation, for plan-build-time uses
     (index bucket routing, sign matrices) that must stay in lock-step
     with the Column form and the oracle's ``_ph_sql``."""
-    import hashlib
-
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
@@ -1219,30 +1219,16 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     on ≥1 chunk, so the chunk value is the block/join key. Distance is
     then verified with ``bit_count(a XOR b)``.
     """
-    chunks = max_hamming + 1
-    width = 64 // chunks
     # persist: fingerprints feed banding AND the verify join within
     # one action; same long-lived-session contract as
     # minhash_lsh_pairs (clearCache/unpersist after the action).
     fp = _pin(simhash_fingerprints(
         docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode
     ))
-    banded = fp.select(
-        "id", "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("fp"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("ck"),
-    ).select("id", "fp", F.col("ck.chunk").alias("chunk"),
-             F.col("ck.key").alias("key"))
+    # shared banding with the materialized index (_simhash_banded) so
+    # the probe==pairs equality contract can't drift; ck is unused here
+    banded = _simhash_banded(fp, max_hamming, 1) \
+        .select("id", "fp", "chunk", "key")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -1618,6 +1604,10 @@ def _simhash_banded(fp_df: DataFrame, max_hamming: int,
     — the banded at-rest shape of the SimHash index (single partition
     column, so the shared staged-rename publisher and compactor apply
     unchanged)."""
+    if not 1 <= max_hamming <= 31:
+        raise ValueError(
+            f"max_hamming must be in [1, 31], got {max_hamming} — for "
+            f"radius 0 group on the exact fingerprint instead")
     chunks = max_hamming + 1
     width = 64 // chunks
     banded = fp_df.select(
@@ -1652,8 +1642,8 @@ def simhash_write_index(docs: DataFrame, path: str, *,
     Banding is a pure function of the fingerprint (no trained state),
     so :func:`simhash_append` extends it freely — same
     ``max_hamming``/``buckets``/``hash_mode`` as the build, unique
-    ids. Compact with ``compact_table(path, partition_col="ck",
-    sort_cols=("key", "id"))``."""
+    ids. Compact with ``compact_table(spark, path,
+    partition_col="ck", sort_cols=("key", "id"))``."""
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
                               hash_mode=hash_mode)
     _simhash_banded(fp, max_hamming, buckets) \

@@ -618,7 +618,7 @@ def ivf_append(new_embs: DataFrame, path: str, centroids, *,
     cell-partitioned layout. Each batch adds one file per touched
     cell directory; probes see old + new rows through the same
     partition-pruned scan. Periodically rewrite small files with
-    ``plans.compact.compact_table(path, partition_col="cell",
+    ``plans.compact.compact_table(spark, path, partition_col="cell",
     sort_cols=(id_col,))`` — append never rewrites history,
     so the index ingests a firehose of fresh embeddings at any scale.
     """

@@ -786,7 +786,7 @@ def build_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
     Doc ids must be unique across builds+appends (same contract as
     ``ivf_append``): a re-ingested id would double its postings and
     inflate tf/df. Compact small files periodically with
-    ``plans.compact.compact_table(path, partition_col="tb",
+    ``plans.compact.compact_table(spark, path, partition_col="tb",
     sort_cols=("term", "id"))``.
     """
     postings, stats = _postings(docs, buckets, id_col, text_col)

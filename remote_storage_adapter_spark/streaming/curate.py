@@ -229,7 +229,16 @@ def stream_curate_maintain(
     consumers filter ``status = 'kept'``. When ``index_path`` /
     ``lm_state`` are given, kept docs also maintain the BM25 index
     and the reference LM — the full ingest-to-artifacts pipeline in
-    one exactly-once batch apply (see :func:`apply_curate_batch`)."""
+    one exactly-once batch apply (see :func:`apply_curate_batch`).
+
+    Replay ledgers key on the MICRO-BATCH ID, which is stable only
+    under deterministic re-batching: a fresh-checkpoint reprocess must
+    feed the same files in the same batch groups (``availableNow``
+    with unchanged ``max_files_per_trigger`` over an unchanged landing
+    directory — the tested shape). Restarting with a new checkpoint
+    AFTER new files landed regroups batches under already-committed
+    ids and silently skips them — resume the original checkpoint
+    (normal operation) or start a fresh state/index path."""
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

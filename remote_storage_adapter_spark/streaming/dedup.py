@@ -428,7 +428,16 @@ def stream_line_dedup_maintain(
     document is emitted into ``out_dir`` with corpus-duplicated lines
     removed (first arrival wins, across and within batches), and the
     seen-line-hash state accumulates under ``state_path``. See
-    :func:`apply_line_batch` for the exactly-once replay protocol."""
+    :func:`apply_line_batch` for the exactly-once replay protocol.
+
+    Replay ledgers key on the MICRO-BATCH ID, which is stable only
+    under deterministic re-batching: a fresh-checkpoint reprocess must
+    feed the same files in the same batch groups (``availableNow``
+    with unchanged ``max_files_per_trigger`` over an unchanged landing
+    directory — the tested shape). Restarting with a new checkpoint
+    AFTER new files landed regroups batches under already-committed
+    ids and silently skips them — resume the original checkpoint
+    (normal operation) or start a fresh state/index path."""
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -469,7 +478,16 @@ def stream_simhash_index_maintain(
     the Hamming-family twin of the MinHash maintainer. Query the
     maintained index any time with ``simhash_join_indexed`` /
     ``simhash_lookup``; band parameters must stay constant across the
-    index's lifetime."""
+    index's lifetime.
+
+    Replay ledgers key on the MICRO-BATCH ID, which is stable only
+    under deterministic re-batching: a fresh-checkpoint reprocess must
+    feed the same files in the same batch groups (``availableNow``
+    with unchanged ``max_files_per_trigger`` over an unchanged landing
+    directory — the tested shape). Restarting with a new checkpoint
+    AFTER new files landed regroups batches under already-committed
+    ids and silently skips them — resume the original checkpoint
+    (normal operation) or start a fresh state/index path."""
     from remote_storage_adapter_spark.operators.dedup import (
         simhash_append_exactly_once,
     )

@@ -71,7 +71,16 @@ def stream_lm_maintain(
     """Maintain the reference unigram LM over a parquet landing
     directory of documents; returns the StreamingQuery. Score any
     frame against the maintained state with
-    ``text.lm_score_against(docs, spark.read.parquet(state_path))``."""
+    ``text.lm_score_against(docs, spark.read.parquet(state_path))``.
+
+    Replay ledgers key on the MICRO-BATCH ID, which is stable only
+    under deterministic re-batching: a fresh-checkpoint reprocess must
+    feed the same files in the same batch groups (``availableNow``
+    with unchanged ``max_files_per_trigger`` over an unchanged landing
+    directory — the tested shape). Restarting with a new checkpoint
+    AFTER new files landed regroups batches under already-committed
+    ids and silently skips them — resume the original checkpoint
+    (normal operation) or start a fresh state/index path."""
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

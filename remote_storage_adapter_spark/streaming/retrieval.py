@@ -91,9 +91,18 @@ def stream_text_index_maintain(
     document becomes probe-visible postings under ``index_path``; see
     :func:`apply_text_index_batch` for the exactly-once protocol and
     ``text.bm25_search_indexed`` for the probe side. Compact bucket
-    partitions periodically with ``plans.compact.compact_table(path,
+    partitions periodically with ``plans.compact.compact_table(spark, path,
     partition_col="tb", sort_cols=("term", "id"))`` — the compactor
-    refuses partitions holding uncommitted batches."""
+    refuses partitions holding uncommitted batches.
+
+    Replay ledgers key on the MICRO-BATCH ID, which is stable only
+    under deterministic re-batching: a fresh-checkpoint reprocess must
+    feed the same files in the same batch groups (``availableNow``
+    with unchanged ``max_files_per_trigger`` over an unchanged landing
+    directory — the tested shape). Restarting with a new checkpoint
+    AFTER new files landed regroups batches under already-committed
+    ids and silently skips them — resume the original checkpoint
+    (normal operation) or start a fresh state/index path."""
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
