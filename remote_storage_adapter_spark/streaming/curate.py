@@ -256,3 +256,27 @@ def stream_curate_maintain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curation_report(spark, out_dir: str, *,
+                    text_col: str = "text") -> DataFrame:
+    """Status-level rollup of the curated table — the operational
+    dashboard of :func:`stream_curate_maintain`: per status, document
+    count, token mass, and mean quality/perplexity (NULL ppl rows —
+    docs landed before the LM existed — average over the scored
+    subset only, standard ``avg`` NULL semantics). One scan, one hash
+    aggregate; read it any time, including mid-stream."""
+    from remote_storage_adapter_spark.operators.text import token_count
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long")
+            .alias("n_tokens"),
+            F.round(F.avg("q_score"), 6).alias("mean_q_score"),
+            F.round(F.avg("ppl"), 6).alias("mean_ppl"),
+        )
+        .orderBy("status")
+    )

@@ -1231,6 +1231,18 @@ def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
                                buckets=4).collect()
     assert [r["doc_id"] for r in hits] == [21]
 
+    # the operational rollup reads the same table: one row per status,
+    # doc counts matching the per-doc statuses
+    from remote_storage_adapter_spark.streaming.curate import (
+        curation_report,
+    )
+    rep = {r["status"]: r for r in curation_report(spark, out).collect()}
+    st = statuses()
+    from collections import Counter
+    want_counts = Counter(st.values())
+    assert {k: r["n_docs"] for k, r in rep.items()} == dict(want_counts)
+    assert rep["kept"]["mean_q_score"] >= 0.75
+
 
 def test_line_dedup_first_batch_crash_recovers(spark, tmp_path,
                                                monkeypatch):
