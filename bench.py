@@ -107,13 +107,17 @@ def bench_dedup_simhash_indexed(spark, sf_dir):
     family; the index is rebuilt untimed in main() each run —
     timed reps measure the per-batch join only)."""
     from remote_storage_adapter_spark.operators import dedup as D
-    from remote_storage_adapter_spark.queries import _scratch_index_path
 
     docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_index_path("simhash", sf_dir)
+    table = _simhash_bench_table(sf_dir)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    return D.simhash_join_indexed(spark, path, batch, max_hamming=3,
+    return D.simhash_join_indexed(spark, table, batch, max_hamming=3,
                                   buckets=16)
+
+
+def _simhash_bench_table(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"bench_sh_idx_{tag}"
 
 
 def bench_text_search_indexed(spark, sf_dir):
@@ -322,15 +326,14 @@ def main():
     Q.q_simsearch_lsh_indexed(spark, sf_dir).count()
     Q.q_simsearch_ivf_indexed(spark, sf_dir).count()
     Q.q_text_search_indexed(spark, sf_dir).count()
-    # simhash index: overwrite-rebuild each run (stale-dir reuse would
-    # silently join against an outdated reference)
+    # simhash index: overwrite-rebuild each run (stale reuse would
+    # silently join against an outdated reference); bucketed catalog
+    # table — the timed probe joins it with zero reference-side
+    # shuffle
     from remote_storage_adapter_spark.operators import dedup as _D
-    from remote_storage_adapter_spark.queries import (
-        _scratch_index_path as _sip,
-    )
     _docs = load_table(spark, sf_dir, "documents")
     _D.simhash_write_index(_docs.filter(F.col("doc_id") % 10 != 0),
-                           _sip("simhash", sf_dir), max_hamming=3,
+                           _simhash_bench_table(sf_dir), max_hamming=3,
                            buckets=16)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1628,90 +1628,185 @@ def _simhash_banded(fp_df: DataFrame, max_hamming: int,
          + F.pmod(F.col("key"), F.lit(buckets))).cast("int"))
 
 
-def simhash_write_index(docs: DataFrame, path: str, *,
+def reset_managed_tables(spark, *tables: str) -> None:
+    """Drop catalog tables AND their managed warehouse directories.
+    A previous session's warehouse dirs outlive the in-memory
+    catalog, and ``saveAsTable`` refuses to create a table over a
+    leftover location — every index (re)build goes through this."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
+def _simhash_save(banded: DataFrame, table: str, *, mode: str,
+                  table_buckets: int, n_ck: int, fanout: int) -> None:
+    """Write banded fingerprints as the index's at-rest shape: a
+    catalog table partitioned by ``ck`` (lookup/batch partition
+    pruning) and bucketed by (chunk, key) (the Hamming join's keys —
+    the bucketed scan arrives pre-distributed, so the reference side
+    of :func:`simhash_join_indexed` never re-shuffles). The explicit
+    repartition bounds the file count: one writer task per ``ck``
+    directory (``fanout`` > 1 salt-splits each ``ck`` across that
+    many writers for corpus-scale builds, the K1 fan-out pattern)."""
+    if fanout > 1:
+        part = banded.repartition(
+            n_ck * fanout, F.col("ck"),
+            F.pmod(F.xxhash64("id"), F.lit(fanout)))
+    else:
+        part = banded.repartition(F.col("ck"))
+    (part.write.mode(mode).partitionBy("ck")
+     .bucketBy(table_buckets, "chunk", "key").sortBy("key", "id")
+     .saveAsTable(table))
+
+
+def simhash_write_index(docs: DataFrame, table: str, *,
                         max_hamming: int = 3, buckets: int = 64,
+                        table_buckets: int = 8, fanout: int = 1,
                         id_col: str = "doc_id", text_col: str = "text",
                         hash_mode: str = "xx") -> None:
     """Materialize the SimHash index: fingerprint and band the corpus
-    ONCE, partitioned by ``ck`` — the sign-once contract the MinHash
+    ONCE into a catalog table — the sign-once contract the MinHash
     and ANN indexes already have, for the Hamming-radius family.
-    Every later batch joins against pre-banded scans
-    (:func:`simhash_join_indexed`) instead of re-fingerprinting the
-    corpus; single-fingerprint probes (:func:`simhash_lookup`) prune
-    to ``max_hamming+1`` of ``(max_hamming+1)·buckets`` partitions.
-    Banding is a pure function of the fingerprint (no trained state),
-    so :func:`simhash_append` extends it freely — same
-    ``max_hamming``/``buckets``/``hash_mode`` as the build, unique
-    ids. Compact with ``compact_table(spark, path,
-    partition_col="ck", sort_cols=("key", "id"))``."""
+
+    At-rest shape (the r7 rewrite — the r6 path-partitioned parquet
+    layout made every :func:`simhash_join_indexed` batch re-shuffle
+    the whole banded reference, because disk partitioning doesn't
+    pre-distribute a shuffle join):
+
+    - partitioned by ``ck``: single-fingerprint probes
+      (:func:`simhash_lookup`) and small batches prune to their
+      banded keys' partitions at plan time (``PartitionFilters``);
+    - bucketed by (chunk, key) — exactly the join keys, the
+      :func:`minhash_index` pattern — so the join reads the
+      reference PRE-DISTRIBUTED (``SelectedBucketsCount`` in the
+      scan, no reference-side Exchange; plan-locked in test_scale).
+
+    Banding is a pure function of the fingerprint (no trained
+    state), so :func:`simhash_append` extends the table freely —
+    same ``max_hamming``/``buckets``/``table_buckets``/``hash_mode``
+    as the build, unique ids. Appends keep the bucket metadata (the
+    scan groups files by bucket id across partition dirs), so no
+    path compactor is needed or applicable."""
+    spark = docs.sparkSession
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
                               hash_mode=hash_mode)
-    _simhash_banded(fp, max_hamming, buckets) \
-        .write.mode("overwrite").partitionBy("ck").parquet(path)
+    reset_managed_tables(spark, table, f"{table}_applied")
+    _simhash_save(_simhash_banded(fp, max_hamming, buckets), table,
+                  mode="overwrite", table_buckets=table_buckets,
+                  n_ck=(max_hamming + 1) * buckets, fanout=fanout)
+    # build marker: a live ledger tells simhash_append_exactly_once
+    # this index is PREBUILT, so its bootstrap branch (rebuild from
+    # the batch alone) can never clobber a built corpus; a crash
+    # landing data but not this row replays the build cleanly
+    spark.createDataFrame([(-1,)], "batch_id long") \
+        .write.mode("append").saveAsTable(f"{table}_applied")
 
 
-def simhash_append(docs: DataFrame, path: str, *,
+def simhash_append(docs: DataFrame, table: str, *,
                    max_hamming: int = 3, buckets: int = 64,
+                   table_buckets: int = 8, fanout: int = 1,
                    id_col: str = "doc_id", text_col: str = "text",
                    hash_mode: str = "xx") -> None:
     """Incrementally band new documents into a
-    :func:`simhash_write_index` layout (plain append — at-least-once;
-    the exactly-once form is :func:`simhash_append_exactly_once`)."""
+    :func:`simhash_write_index` table (plain append — at-least-once;
+    the exactly-once form is :func:`simhash_append_exactly_once`).
+    Band parameters and ``table_buckets`` must match the build."""
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
                               hash_mode=hash_mode)
-    _simhash_banded(fp, max_hamming, buckets) \
-        .write.mode("append").partitionBy("ck").parquet(path)
+    _simhash_save(_simhash_banded(fp, max_hamming, buckets), table,
+                  mode="append", table_buckets=table_buckets,
+                  n_ck=(max_hamming + 1) * buckets, fanout=fanout)
 
 
-def simhash_append_exactly_once(docs: DataFrame, path: str,
+def simhash_append_exactly_once(docs: DataFrame, table: str,
                                 batch_id: int, *,
                                 max_hamming: int = 3, buckets: int = 64,
+                                table_buckets: int = 8,
+                                fanout: int = 1,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
                                 hash_mode: str = "xx") -> bool:
-    """:func:`simhash_append` under the staged-rename replay protocol
-    (shared ``ingest.publish_staged_batch`` machinery, ledger
-    ``_simhash_ledger``). Returns True if this call applied the
-    batch."""
-    from remote_storage_adapter_spark.operators.ingest import (
-        batch_committed,
-        publish_staged_batch,
-    )
+    """:func:`simhash_append` under the catalog-ledger replay
+    protocol (the :mod:`streaming.dedup` MinHash maintainer's
+    pattern, single-table form): applied batch ids live in a
+    ``{table}_applied`` catalog table riding the index, so even a
+    fresh-checkpoint reprocess of the same landing files skips
+    already-applied batches. Returns True if this call applied the
+    batch. A stream-born index bootstraps from its first batch
+    (empty ledger → overwrite build); a :func:`simhash_write_index`
+    prebuild leaves a ``batch_id = -1`` marker so appends never
+    mistake it for an unborn index.
 
+    Crash windows: an empty/missing ledger replays the bootstrap in
+    overwrite mode (idempotent); each ``saveAsTable`` append is
+    job-atomic (the commit protocol publishes nothing on a mid-job
+    crash); the one residual window — append committed, crash before
+    the ledger row lands — re-appends the batch on replay, and a
+    double-applied SimHash batch is RESULT-idempotent: the banded
+    row carries its own fingerprint (no signature join-back to fan
+    out), and both probes end in ``dropDuplicates``, so duplicate
+    rows cost storage, never wrong pairs."""
     spark = docs.sparkSession
-    if batch_committed(spark, path, batch_id,
-                       ledger_dir="_simhash_ledger"):
+    ledger = f"{table}_applied"
+    ledger_live = (
+        spark.catalog.tableExists(ledger)
+        and spark.table(ledger).limit(1).count() > 0
+    )
+    if ledger_live and spark.table(ledger).filter(
+            F.col("batch_id") == batch_id).limit(1).count() > 0:
         return False
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
-                              hash_mode=hash_mode)
-    staging = f"{path}/_staging/batch-{batch_id:012d}"
-    _simhash_banded(fp, max_hamming, buckets) \
-        .write.mode("overwrite").partitionBy("ck").parquet(staging)
-    publish_staged_batch(spark, path, staging, batch_id, "ck",
-                         ledger_dir="_simhash_ledger")
+    if not ledger_live:
+        # first batch, or a bootstrap attempt crashed before its
+        # ledger row landed: (re)build in overwrite mode — idempotent
+        simhash_write_index(docs, table, max_hamming=max_hamming,
+                            buckets=buckets,
+                            table_buckets=table_buckets,
+                            fanout=fanout, id_col=id_col,
+                            text_col=text_col, hash_mode=hash_mode)
+    else:
+        simhash_append(docs, table, max_hamming=max_hamming,
+                       buckets=buckets, table_buckets=table_buckets,
+                       fanout=fanout, id_col=id_col,
+                       text_col=text_col, hash_mode=hash_mode)
+    spark.createDataFrame([(int(batch_id),)], "batch_id long") \
+        .write.mode("append").saveAsTable(ledger)
     return True
 
 
-def simhash_join_indexed(spark, path: str, incoming: DataFrame, *,
+def simhash_join_indexed(spark, table: str, incoming: DataFrame, *,
                          max_hamming: int = 3, buckets: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
-                         hash_mode: str = "xx") -> DataFrame:
+                         hash_mode: str = "xx",
+                         prune: bool = True) -> DataFrame:
     """Hamming-radius join of an incoming batch against a
     materialized :func:`simhash_write_index` — the recurring at-scale
     operation: the reference corpus was fingerprinted once at
-    build/append time, so per-batch cost is the batch's own
-    fingerprinting plus a banded join against pre-banded scans. Any
-    pair within ``max_hamming`` agrees exactly on ≥ 1 chunk
-    (pigeonhole), so candidates join on (chunk, key) and verify with
-    ``bit_count(xor)``. Returns (id_in, id_ref, hamming); self-matches
-    (same id on both sides) are dropped, so probing the index's own
-    corpus reproduces :func:`simhash_pairs` under an id ordering
-    (equality-locked in tests)."""
+    build/append time, arrives PRE-DISTRIBUTED on the join keys
+    (bucketed scan — only the incoming batch shuffles), and with
+    ``prune`` the scan is first partition-pruned to the batch's own
+    banded ``ck`` set (a bounded driver list: at most
+    ``(max_hamming+1)·buckets`` values — decisive for small batches,
+    a no-op for corpus-sized ones). Any pair within ``max_hamming``
+    agrees exactly on ≥ 1 chunk (pigeonhole), so candidates join on
+    (chunk, key) and verify with ``bit_count(xor)``. Returns
+    (id_in, id_ref, hamming); self-matches (same id on both sides)
+    are dropped, so probing the index's own corpus reproduces
+    :func:`simhash_pairs` under an id ordering (equality-locked in
+    tests)."""
     fpq = _pin(simhash_fingerprints(
         incoming, id_col=id_col, text_col=text_col,
         hash_mode=hash_mode))
-    bq = _simhash_banded(fpq, max_hamming, buckets).alias("q")
-    idx = spark.read.parquet(path).alias("r")
+    bq = _simhash_banded(fpq, max_hamming, buckets)
+    idx = spark.table(table)
+    if prune:
+        cks = sorted(r["ck"]
+                     for r in bq.select("ck").distinct().collect())
+        idx = idx.filter(F.col("ck").isin(cks))
+    bq, idx = bq.alias("q"), idx.alias("r")
     return (
         bq.join(
             idx,
@@ -1731,7 +1826,7 @@ def simhash_join_indexed(spark, path: str, incoming: DataFrame, *,
     )
 
 
-def simhash_lookup(spark, path: str, fp: int, *,
+def simhash_lookup(spark, table: str, fp: int, *,
                    max_hamming: int = 3,
                    buckets: int = 64) -> DataFrame:
     """All indexed documents within ``max_hamming`` of one
@@ -1748,7 +1843,7 @@ def simhash_lookup(spark, path: str, fp: int, *,
         probes.append((c, key, c * buckets + key % buckets))
     cks = sorted({ck for _, _, ck in probes})
     keys = [(c, k) for c, k, _ in probes]
-    idx = spark.read.parquet(path).filter(F.col("ck").isin(cks))
+    idx = spark.table(table).filter(F.col("ck").isin(cks))
     match_key = None
     for c, k in keys:
         cond = (F.col("chunk") == c) & (F.col("key") == k)

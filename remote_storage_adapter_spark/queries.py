@@ -1126,9 +1126,33 @@ WHERE {_u_sql('doc_id', 'sample')} <
 def q_dedup_simhash(spark, sf_dir):
     """SimHash pigeonhole near-dup pairs, portable-hash mode (md5-based
     token hashes → DuckDB recomputes identical fingerprints; the
-    xxhash64 fast path shares the plan and is unit-tested)."""
-    docs = load_table(_prep(spark), sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=7, hash_mode="portable")
+    xxhash64 fast path shares the plan and is unit-tested).
+
+    Two legs: ``pairs`` — the full self-join operator; ``idx`` — a
+    10% incoming batch Hamming-joined against the other 90% through
+    the MATERIALIZED index (simhash_write_index's bucketed catalog
+    table, rebuilt each call so stale state can't leak between
+    runs) — the r7 bucketed rewrite lands oracle-checked, not just
+    equality-locked (VERDICT r6 next #5)."""
+    import hashlib
+
+    spark = _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.simhash_pairs(docs, max_hamming=7, hash_mode="portable")
+        .select(F.lit("pairs").alias("leg"), "id_a", "id_b", "hamming"))
+    table = f"rsa_sh_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    D.simhash_write_index(docs.filter(F.col("doc_id") % 10 != 0),
+                          table, max_hamming=7, buckets=8,
+                          table_buckets=4, hash_mode="portable")
+    idx = (
+        D.simhash_join_indexed(
+            spark, table, docs.filter(F.col("doc_id") % 10 == 0),
+            max_hamming=7, buckets=8, hash_mode="portable")
+        .select(F.lit("idx").alias("leg"),
+                F.col("id_in").alias("id_a"),
+                F.col("id_ref").alias("id_b"), "hamming"))
+    return pairs.unionByName(idx)
 
 
 def _O_simhash(max_hamming: int = 7) -> str:
@@ -1168,9 +1192,19 @@ WITH w AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
   FROM keyed a JOIN keyed b
     ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+), cand_idx AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM keyed a JOIN keyed b
+    ON a.chunk = b.chunk AND a.key = b.key
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
 )
-SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+SELECT 'pairs' AS leg, id_a, id_b,
+       CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+UNION ALL
+SELECT 'idx' AS leg, id_a, id_b,
+       CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand_idx WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
 
 

@@ -458,12 +458,13 @@ def stream_line_dedup_maintain(
 def stream_simhash_index_maintain(
     spark: SparkSession,
     landing_dir: str,
-    index_path: str,
+    index_table: str,
     checkpoint_dir: str,
     *,
     schema: StructType,
     max_hamming: int = 3,
     buckets: int = 64,
+    table_buckets: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_mode: str = "xx",
@@ -471,14 +472,14 @@ def stream_simhash_index_maintain(
     max_files_per_trigger: int = 64,
 ):
     """Maintain a materialized SimHash index
-    (operators.dedup.simhash_write_index layout) over a parquet
-    landing directory of documents; returns the StreamingQuery. Each
-    batch bands exactly once via the staged-rename protocol
-    (``simhash_append_exactly_once``, ledger ``_simhash_ledger``) —
-    the Hamming-family twin of the MinHash maintainer. Query the
-    maintained index any time with ``simhash_join_indexed`` /
-    ``simhash_lookup``; band parameters must stay constant across the
-    index's lifetime.
+    (operators.dedup.simhash_write_index's bucketed catalog table)
+    over a parquet landing directory of documents; returns the
+    StreamingQuery. Each batch bands exactly once via the
+    catalog-ledger protocol (``simhash_append_exactly_once``, ledger
+    table ``{index_table}_applied``) — the Hamming-family twin of the
+    MinHash maintainer. Query the maintained index any time with
+    ``simhash_join_indexed`` / ``simhash_lookup``; band parameters
+    must stay constant across the index's lifetime.
 
     Replay ledgers key on the MICRO-BATCH ID, which is stable only
     under deterministic re-batching: a fresh-checkpoint reprocess must
@@ -500,9 +501,9 @@ def stream_simhash_index_maintain(
     writer = (
         raw.writeStream
         .foreachBatch(lambda df, bid: simhash_append_exactly_once(
-            df, index_path, bid, max_hamming=max_hamming,
-            buckets=buckets, id_col=id_col, text_col=text_col,
-            hash_mode=hash_mode))
+            df, index_table, bid, max_hamming=max_hamming,
+            buckets=buckets, table_buckets=table_buckets,
+            id_col=id_col, text_col=text_col, hash_mode=hash_mode))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -927,24 +927,28 @@ def test_text_index_compaction_preserves_probe(spark, tmp_path):
                          sort_cols=("term", "id"))
 
 
-def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir,
-                                                tmp_path):
+def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir):
     """The materialized SimHash index (sign-once contract for the
     Hamming family): probing the index with its own corpus reproduces
-    simhash_pairs exactly; a single-fingerprint lookup partition-
-    prunes on ck; incremental append == full rebuild; the
-    exactly-once append's ledger skips a replay."""
+    simhash_pairs exactly; the Hamming join reads the reference as a
+    BUCKETED scan (pre-distributed on the join keys — no
+    reference-side re-shuffle per batch, the r7 fix) and a small
+    batch partition-prunes the reference to its own banded ck set; a
+    single-fingerprint lookup partition-prunes on ck; incremental
+    append == full rebuild; the exactly-once append's ledger skips a
+    replay."""
     from remote_storage_adapter_spark.operators import dedup as D
     from remote_storage_adapter_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    path = str(tmp_path / "sh_idx")
-    D.simhash_write_index(docs, path, max_hamming=3, buckets=8)
+    table = "sh_idx_scale_test"
+    D.simhash_write_index(docs, table, max_hamming=3, buckets=8,
+                          table_buckets=4)
 
     pairs = sorted(
         (r["id_a"], r["id_b"], r["hamming"])
         for r in D.simhash_pairs(docs, max_hamming=3).collect())
-    joined = D.simhash_join_indexed(spark, path, docs, max_hamming=3,
+    joined = D.simhash_join_indexed(spark, table, docs, max_hamming=3,
                                     buckets=8)
     via_idx = sorted(
         (r["id_in"], r["id_ref"], r["hamming"])
@@ -953,9 +957,35 @@ def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir,
     assert via_idx == pairs
     D.unpersist_pinned()
 
+    # plan lock, at-scale join shape: with broadcast off (a 100 TB
+    # reference cannot broadcast) the reference side is a bucketed
+    # scan and contributes NO Exchange — the only exchanges are the
+    # batch side's shuffle and the pair dedup, strictly fewer than
+    # the direct simhash_pairs self-join
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        jplan = _spark_plan(D.simhash_join_indexed(
+            spark, table, docs, max_hamming=3, buckets=8))
+        assert "SelectedBucketsCount" in jplan
+        dplan = _spark_plan(D.simhash_pairs(docs, max_hamming=3))
+        assert jplan.count("Exchange") < dplan.count("Exchange")
+        # small batch: the reference scan partition-prunes to the
+        # batch's banded ck values
+        small = docs.limit(2)
+        splan = _spark_plan(D.simhash_join_indexed(
+            spark, table, small, max_hamming=3, buckets=8))
+        # several scans print PartitionFilters (the batch's parquet
+        # scan prints an empty one) — the TABLE scan's must carry ck
+        assert any("ck" in seg.split("]", 1)[0] for seg in
+                   splan.split("PartitionFilters: [")[1:]), splan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    D.unpersist_pinned()
+
     # single-fingerprint serving probe prunes partitions
     some_fp = D.simhash_fingerprints(docs).first()["fp"]
-    probe = D.simhash_lookup(spark, path, some_fp, max_hamming=3,
+    probe = D.simhash_lookup(spark, table, some_fp, max_hamming=3,
                              buckets=8)
     assert probe.filter(F.col("hamming") == 0).count() >= 1
     plan = _spark_plan(probe)
@@ -966,17 +996,21 @@ def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir,
     # append == full build; exactly-once ledger skip
     half_a = docs.filter(F.col("doc_id") % 2 == 0)
     half_b = docs.filter(F.col("doc_id") % 2 == 1)
-    p_inc = str(tmp_path / "sh_inc")
-    D.simhash_write_index(half_a, p_inc, max_hamming=3, buckets=8)
-    assert D.simhash_append_exactly_once(half_b, p_inc, 7,
-                                         max_hamming=3, buckets=8)
-    assert D.simhash_append_exactly_once(half_b, p_inc, 7,
-                                         max_hamming=3,
-                                         buckets=8) is False
+    t_inc = "sh_idx_scale_test_inc"
+    D.simhash_write_index(half_a, t_inc, max_hamming=3, buckets=8,
+                          table_buckets=4)
+    assert D.simhash_append_exactly_once(half_b, t_inc, 7,
+                                         max_hamming=3, buckets=8,
+                                         table_buckets=4)
+    assert D.simhash_append_exactly_once(half_b, t_inc, 7,
+                                         max_hamming=3, buckets=8,
+                                         table_buckets=4) is False
     inc = sorted(
         (r["id_in"], r["id_ref"], r["hamming"])
-        for r in D.simhash_join_indexed(spark, p_inc, docs,
+        for r in D.simhash_join_indexed(spark, t_inc, docs,
                                         max_hamming=3, buckets=8)
         .filter(F.col("id_in") < F.col("id_ref")).collect())
     assert inc == pairs
     D.unpersist_pinned()
+    D.reset_managed_tables(spark, table, f"{table}_applied",
+                           t_inc, f"{t_inc}_applied")

@@ -1328,7 +1328,8 @@ def test_streaming_simhash_index_matches_batch(spark, tmp_path):
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("text", StringType())])
     landing = str(tmp_path / "landing")
-    idx = str(tmp_path / "sh_idx")
+    idx = "sh_idx_stream_test"
+    D.reset_managed_tables(spark, idx, f"{idx}_applied")
     batches = [
         [(1, "alpha beta gamma delta epsilon zeta"),
          (2, "alpha beta gamma delta epsilon eta")],   # near doc 1
@@ -1367,3 +1368,4 @@ def test_streaming_simhash_index_matches_batch(spark, tmp_path):
     assert (1, 12, 0) in want            # exact dup across batches
     run("ck2")                           # fresh checkpoint: no change
     assert joined() == want
+    D.reset_managed_tables(spark, idx, f"{idx}_applied")
