@@ -291,13 +291,22 @@ def sample_exact_n(df: DataFrame, n: int, *,
     is a pure function of the corpus, bit-identical in any engine
     with md5 and IEEE doubles (DuckDB oracle: ``ORDER BY u, key
     LIMIT n``).
+
+    NULL keys are excluded before ordering (non-null key contract):
+    a NULL key draws a NULL ``u``, which Spark's ascending sort puts
+    FIRST (always sampled) while DuckDB's puts last (never sampled) —
+    filtering is the only engine-independent semantics on dirty keys.
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    if "_u" in df.columns:
+        raise ValueError("df already has a column named '_u' "
+                         "(reserved as this sampler's draw column)")
     key_col = F.col(key) if isinstance(key, str) else key
     u = uniform_unit(key_col, salt)
     return (
-        df.withColumn("_u", u)
+        df.filter(key_col.isNotNull())
+        .withColumn("_u", u)
         .orderBy(F.col("_u").asc(), key_col.asc())
         .limit(n)
         .drop("_u")
@@ -324,17 +333,23 @@ def weighted_sample_n(df: DataFrame, n: int, *,
     differ in the last ulp across engines (JVM Math.pow vs libm), and
     rounding + the ``key`` tie-break makes the selected set
     engine-independent while perturbing true inclusion odds by
-    ~1e-12. Same ``TakeOrderedAndProject`` shape and driver-size
-    contract as :func:`sample_exact_n`.
+    ~1e-12. Same ``TakeOrderedAndProject`` shape, driver-size
+    contract, and non-null key contract as :func:`sample_exact_n`
+    (NULL keys are excluded before ordering — NULL-first vs
+    NULL-last sorts diverge between engines).
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    if "_k" in df.columns:
+        raise ValueError("df already has a column named '_k' "
+                         "(reserved as this sampler's draw column)")
     key_col = F.col(key) if isinstance(key, str) else key
     u = uniform_unit(key_col, salt)
     w = F.col(weight_col).cast("double")
     aes = F.round(F.pow(u, F.lit(1.0) / w), 12)
     return (
         df.filter(w > 0)
+        .filter(key_col.isNotNull())
         .withColumn("_k", aes)
         .orderBy(F.col("_k").desc(), key_col.asc())
         .limit(n)

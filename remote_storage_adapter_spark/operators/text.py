@@ -1368,6 +1368,11 @@ def corpus_manifest(docs: DataFrame, *, group_col: str = "source",
     per-(group, lang) mode), no windows: the language mode is
     ``max(struct(cnt, lang))`` — deterministic (count first, then
     lexicographically larger lang on ties) and engine-reproducible.
+    NULL languages are coalesced to the ISO-639-3 'und' sentinel
+    BEFORE the mode aggregate: struct comparisons rank NULL fields
+    differently across engines (Spark NULL-first, DuckDB
+    NULL-greatest), so a modal-count tie between a NULL lang and a
+    real lang would otherwise pick different winners.
 
     Returns (group_col, n_docs, n_tokens, n_chars, mean_q_score,
     dup_frac, top_lang, top_lang_frac) sorted by group.
@@ -1375,7 +1380,7 @@ def corpus_manifest(docs: DataFrame, *, group_col: str = "source",
     feats = quality_features(
         docs.select(
             F.col(group_col).alias("grp"),
-            F.col(lang_col).alias("lng"),
+            F.coalesce(F.col(lang_col), F.lit("und")).alias("lng"),
             F.col(id_col).alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     ).select(

@@ -1803,7 +1803,8 @@ O_text_manifest = f"""
 WITH w AS (
   SELECT source, lang,
          string_split({NORM_SQL}, ' ') AS ws, text
-  FROM (SELECT source, lang, coalesce(text, '') AS text FROM documents)
+  FROM (SELECT source, coalesce(lang, 'und') AS lang,
+               coalesce(text, '') AS text FROM documents)
 ), feats AS (
   SELECT source, lang,
     CAST(len(ws) AS BIGINT) AS n_tok,
@@ -3468,7 +3469,7 @@ def q_sample_exact_n(spark, sf_dir):
 
 
 O_sample_exact_n = f"""
-SELECT doc_id, lang FROM documents
+SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL
 ORDER BY {_u_sql('doc_id', 'exactn')}, doc_id LIMIT 100
 """
 
@@ -3488,7 +3489,8 @@ def q_sample_weighted_n(spark, sf_dir):
 
 
 O_sample_weighted_n = f"""
-SELECT doc_id, lang FROM documents WHERE n_chars > 0
+SELECT doc_id, lang FROM documents
+WHERE n_chars > 0 AND doc_id IS NOT NULL
 ORDER BY round(power({_u_sql('doc_id', 'wsample')},
                1.0 / CAST(n_chars AS DOUBLE)), 12) DESC, doc_id
 LIMIT 100

@@ -40,10 +40,17 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        min_q_score: float = 0.5,
                        max_ppl: float | None = None,
                        buckets: int = 16,
+                       index_buckets: int = 64,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> bool:
     """Apply one document batch through the full curation pipeline
     exactly once. Returns True if this call did any work.
+
+    ``buckets`` fixes the doc-bucket fan-out of the curated table and
+    the seen-fingerprint state; ``index_buckets`` independently fixes
+    the BM25 index's TERM-bucket count and must match every probe
+    (``bm25_search_indexed`` defaults to 64 — a mismatched probe
+    silently prunes to wrong ``tb`` partitions).
 
     Steps (each independently markered/idempotent):
 
@@ -159,6 +166,7 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                 spark, kept, batch_id, did_work,
                 seen_state=seen_state, index_path=index_path,
                 lm_state=lm_state, buckets=buckets,
+                index_buckets=index_buckets,
                 id_col=id_col, text_col=text_col)
         finally:
             kept.unpersist()
@@ -167,7 +175,8 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
 
 def _apply_downstream(spark, kept, batch_id, did_work, *,
                       seen_state, index_path, lm_state,
-                      buckets, id_col, text_col) -> bool:
+                      buckets, index_buckets, id_col,
+                      text_col) -> bool:
     """Steps 2-4 of :func:`apply_curate_batch` over the committed
     kept set — split out so the caller's try/finally releases the
     cached frame even when a downstream publish throws."""
@@ -194,7 +203,7 @@ def _apply_downstream(spark, kept, batch_id, did_work, *,
         )
         did_work |= apply_text_index_batch(
             kept.select(id_col, text_col), batch_id, index_path,
-            buckets=buckets, id_col=id_col, text_col=text_col)
+            buckets=index_buckets, id_col=id_col, text_col=text_col)
     if lm_state is not None:
         from remote_storage_adapter_spark.streaming.lm import (
             merge_lm_state,
@@ -218,6 +227,7 @@ def stream_curate_maintain(
     min_q_score: float = 0.5,
     max_ppl: float | None = None,
     buckets: int = 16,
+    index_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = False,
@@ -250,7 +260,8 @@ def stream_curate_maintain(
             df, bid, out_dir=out_dir, seen_state=seen_state,
             index_path=index_path, lm_state=lm_state,
             min_q_score=min_q_score, max_ppl=max_ppl,
-            buckets=buckets, id_col=id_col, text_col=text_col))
+            buckets=buckets, index_buckets=index_buckets,
+            id_col=id_col, text_col=text_col))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

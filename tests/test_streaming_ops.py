@@ -1160,6 +1160,7 @@ def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
             spark, landing, out, seen, str(tmp_path / ckpt),
             schema=schema, index_path=idx, lm_state=lm,
             min_q_score=0.75, max_ppl=15.0, buckets=4,
+            index_buckets=4,
             available_now=True, max_files_per_trigger=1)
         q.awaitTermination(120)
 
@@ -1205,7 +1206,8 @@ def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError):
         apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
                            index_path=idx, lm_state=lm,
-                           min_q_score=0.75, max_ppl=15.0, buckets=4)
+                           min_q_score=0.75, max_ppl=15.0, buckets=4,
+                           index_buckets=4)
     monkeypatch.setattr(I, "_mark_committed", real_commit)
     # files may be visible (the ordinary mid-publish parquet state)
     # but the decisions are NOT committed — the replay recomputes
@@ -1215,7 +1217,7 @@ def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
     assert apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
                               index_path=idx, lm_state=lm,
                               min_q_score=0.75, max_ppl=15.0,
-                              buckets=4)
+                              buckets=4, index_buckets=4)
     st = statuses()
     assert st[21] == "kept" and st[22] == "dup_seen"
     # full re-apply: every step's marker/ledger skips — no change
@@ -1223,7 +1225,7 @@ def test_streaming_curation_pipeline_e2e(spark, tmp_path, monkeypatch):
     assert apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
                               index_path=idx, lm_state=lm,
                               min_q_score=0.75, max_ppl=15.0,
-                              buckets=4) is False
+                              buckets=4, index_buckets=4) is False
     assert sorted(tuple(r) for r in
                   spark.read.parquet(lm).collect()) == n_lm
     # doc 21's words are now in the maintained LM and index
