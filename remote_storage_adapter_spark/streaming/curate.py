@@ -37,6 +37,9 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        out_dir: str, seen_state: str,
                        index_path: str | None = None,
                        lm_state: str | None = None,
+                       minhash_prefix: str | None = None,
+                       near_dup_threshold: float = 0.5,
+                       minhash_kwargs: dict | None = None,
                        min_q_score: float = 0.5,
                        max_ppl: float | None = None,
                        buckets: int = 16,
@@ -64,10 +67,30 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
        commits the decisions. IF the marker exists: read the batch's
        own committed files back instead.
     2. publish the kept docs' fingerprints into ``seen_state``.
-    3. append kept docs' postings to the BM25 index (optional).
-    4. merge kept docs' counts into the reference LM (optional;
+    3. fold kept docs into the accumulated MinHash index (optional;
+       per-table catalog ledger of ``streaming.dedup.apply_index_batch``).
+    4. append kept docs' postings to the BM25 index (optional).
+    5. merge kept docs' counts into the reference LM (optional;
        in-state ledger — the final step, so its ledger doubles as the
        batch's completion record).
+
+    ``minhash_prefix`` arms the NEAR-DUP gate: docs that survive all
+    earlier gates are MinHash-joined within the batch (smallest-id
+    wins) and against the accumulated index of previously-KEPT docs
+    (``minhash_lsh_join_indexed`` — bucketed scans, prior-committed
+    state only), and ≥ ``near_dup_threshold`` matches get status
+    ``near_dup`` — the curated corpus stays fuzzy-duplicate-free by
+    construction, under the same decide-once protocol (statuses
+    publish atomically with the batch; a replay reads them back, so
+    the index having since absorbed this batch cannot flip a
+    decision; by step ordering, decision recompute only ever sees an
+    index whose prior batches are fully applied). The within-batch
+    smallest-id rule is conservative: a doc whose only match was
+    itself rejected by the gate still drops — similarity is not
+    transitive, but this keeps decisions a pure function of the
+    batch + committed state. ``minhash_kwargs`` (num_hashes, bands,
+    shingle_n, mode, buckets) must stay constant across the index's
+    lifetime.
     """
     from remote_storage_adapter_spark.operators.dedup import (
         cache_scope,
@@ -128,7 +151,7 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
             else:
                 scored = scored.withColumn("ppl", F.lit(None)
                                            .cast("double"))
-            status = (
+            scored = scored.withColumn("_status0", (
                 F.when(F.col("_seen_fp").isNotNull(), "dup_seen")
                 .when(F.col(id_col) != F.col("_first_id"), "dup_batch")
                 .when(F.col("q_score") < min_q_score, "low_quality")
@@ -138,7 +161,19 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                                       else F.lit(False)),
                     "high_ppl")
                 .otherwise("kept")
-            )
+            ))
+            if minhash_prefix is not None:
+                nd = _near_dup_ids(
+                    spark, scored, minhash_prefix,
+                    near_dup_threshold, minhash_kwargs or {},
+                    id_col, text_col)
+                scored = scored.join(nd, id_col, "left")
+                status = F.when(
+                    (F.col("_status0") == "kept")
+                    & F.col("_nd").isNotNull(),
+                    "near_dup").otherwise(F.col("_status0"))
+            else:
+                status = F.col("_status0")
             curated = scored.select(
                 id_col, text_col, "q_score", "ppl",
                 status.alias("status"), "fp",
@@ -165,7 +200,8 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
             did_work = _apply_downstream(
                 spark, kept, batch_id, did_work,
                 seen_state=seen_state, index_path=index_path,
-                lm_state=lm_state, buckets=buckets,
+                lm_state=lm_state, minhash_prefix=minhash_prefix,
+                minhash_kwargs=minhash_kwargs, buckets=buckets,
                 index_buckets=index_buckets,
                 id_col=id_col, text_col=text_col)
         finally:
@@ -173,8 +209,56 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     return did_work
 
 
+def _near_dup_ids(spark, scored, prefix: str, threshold: float,
+                  mk: dict, id_col: str, text_col: str) -> DataFrame:
+    """Decision-side MinHash near-dup set over the batch's surviving
+    (``_status0 == 'kept'``) docs: within-batch pairs (smallest-id
+    wins — ``id_b`` drops) plus a cross join against the accumulated
+    index of previously-kept docs. Ids are materialized eagerly
+    (bounded by batch size, the maintainers' convention — integral
+    id contract) so the published frame doesn't lazily re-run the
+    signature pipeline. ``id_l == id_r`` cross matches are discarded:
+    under the id-uniqueness contract they can only be a crashed
+    attempt's own partially-applied copy, which keeps replay
+    decisions identical even when the join sees partial state."""
+    from remote_storage_adapter_spark.operators.dedup import (
+        minhash_lsh_join_indexed,
+        minhash_lsh_pairs,
+    )
+
+    join_kwargs = {k: v for k, v in mk.items() if k != "buckets"}
+    cand = scored.filter(F.col("_status0") == "kept") \
+        .select(id_col, text_col)
+    pairs = minhash_lsh_pairs(cand, threshold=threshold,
+                              id_col=id_col, text_col=text_col,
+                              **join_kwargs)
+    nd = {int(r["id_b"])
+          for r in pairs.select("id_b").distinct().collect()}
+    idx_live = (
+        spark.catalog.tableExists(f"{prefix}_applied")
+        and spark.table(f"{prefix}_applied").limit(1).count() > 0
+    )
+    if idx_live:
+        surv = cand
+        if nd:
+            surv = cand.join(
+                spark.createDataFrame([(i,) for i in sorted(nd)],
+                                      f"{id_col} long"),
+                id_col, "left_anti")
+        cross = minhash_lsh_join_indexed(
+            spark, prefix, surv, threshold=threshold,
+            id_col=id_col, text_col=text_col, **join_kwargs)
+        nd |= {int(r["id_l"]) for r in
+               cross.filter(F.col("id_l") != F.col("id_r"))
+               .select("id_l").distinct().collect()}
+    return spark.createDataFrame(
+        [(i, True) for i in sorted(nd)],
+        f"{id_col} long, _nd boolean")
+
+
 def _apply_downstream(spark, kept, batch_id, did_work, *,
                       seen_state, index_path, lm_state,
+                      minhash_prefix, minhash_kwargs,
                       buckets, index_buckets, id_col,
                       text_col) -> bool:
     """Steps 2-4 of :func:`apply_curate_batch` over the committed
@@ -197,6 +281,14 @@ def _apply_downstream(spark, kept, batch_id, did_work, *,
         )
         publish_staged_batch(spark, seen_state, staging, batch_id,
                              "b", ledger_dir="_curate_ledger")
+    if minhash_prefix is not None:
+        from remote_storage_adapter_spark.streaming.dedup import (
+            apply_index_batch,
+        )
+        did_work |= apply_index_batch(
+            kept.select(id_col, text_col), batch_id, minhash_prefix,
+            id_col=id_col, text_col=text_col,
+            **(minhash_kwargs or {}))
     if index_path is not None:
         from remote_storage_adapter_spark.streaming.retrieval import (
             apply_text_index_batch,
@@ -224,6 +316,9 @@ def stream_curate_maintain(
     schema: StructType,
     index_path: str | None = None,
     lm_state: str | None = None,
+    minhash_prefix: str | None = None,
+    near_dup_threshold: float = 0.5,
+    minhash_kwargs: dict | None = None,
     min_q_score: float = 0.5,
     max_ppl: float | None = None,
     buckets: int = 16,
@@ -237,9 +332,11 @@ def stream_curate_maintain(
     the StreamingQuery. ``out_dir`` accumulates every landed doc with
     its (status, reason-encoded status, q_score, ppl); downstream
     consumers filter ``status = 'kept'``. When ``index_path`` /
-    ``lm_state`` are given, kept docs also maintain the BM25 index
-    and the reference LM — the full ingest-to-artifacts pipeline in
-    one exactly-once batch apply (see :func:`apply_curate_batch`).
+    ``lm_state`` / ``minhash_prefix`` are given, kept docs also
+    maintain the BM25 index, the reference LM, and the MinHash
+    near-dup index (which arms the ``near_dup`` gate) — the full
+    ingest-to-artifacts pipeline in one exactly-once batch apply
+    (see :func:`apply_curate_batch`).
 
     Replay ledgers key on the MICRO-BATCH ID, which is stable only
     under deterministic re-batching: a fresh-checkpoint reprocess must
@@ -259,6 +356,9 @@ def stream_curate_maintain(
         .foreachBatch(lambda df, bid: apply_curate_batch(
             df, bid, out_dir=out_dir, seen_state=seen_state,
             index_path=index_path, lm_state=lm_state,
+            minhash_prefix=minhash_prefix,
+            near_dup_threshold=near_dup_threshold,
+            minhash_kwargs=minhash_kwargs,
             min_q_score=min_q_score, max_ppl=max_ppl,
             buckets=buckets, index_buckets=index_buckets,
             id_col=id_col, text_col=text_col))

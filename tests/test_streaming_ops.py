@@ -1371,3 +1371,126 @@ def test_streaming_simhash_index_matches_batch(spark, tmp_path):
     run("ck2")                           # fresh checkpoint: no change
     assert joined() == want
     D.reset_managed_tables(spark, idx, f"{idx}_applied")
+
+
+def test_curation_near_dup_gate(spark, tmp_path, monkeypatch):
+    """The r7 near-dup gate in the curation capstone: fuzzy
+    duplicates (MinHash, not exact-fingerprint) get status
+    ``near_dup`` — within a batch (smallest-id wins) and across
+    batches via the accumulated index of kept docs — under the same
+    decide-once replay protocol: fresh-checkpoint reprocess changes
+    nothing, a crash before the decisions marker replays to the
+    identical statuses, and a full re-apply is a no-op. The
+    maintained index equals a direct join against exactly the kept
+    docs (streaming==batch proof extended)."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.operators import ingest as I
+    from remote_storage_adapter_spark.streaming.curate import (
+        apply_curate_batch,
+        stream_curate_maintain,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    seen = str(tmp_path / "seen")
+    prefix = "curate_nd_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
+    mk = dict(num_hashes=16, bands=8, shingle_n=3)
+
+    base = ("the quick brown fox jumps over the lazy dog near "
+            "the river bank today")
+    batches = [
+        [(1, base),
+         (2, base.replace("today", "tonight")),   # fuzzy, NOT exact
+         (3, "completely different content about spark partitions "
+             "and bucketed joins in this one")],
+        [(11, base.replace("river", "ocean")),    # fuzzy dup via index
+         (12, "another unrelated text about minhash signatures "
+              "and lsh bands entirely")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = stream_curate_maintain(
+            spark, landing, out, seen, str(tmp_path / ckpt),
+            schema=schema, minhash_prefix=prefix,
+            near_dup_threshold=0.3, minhash_kwargs=mk,
+            min_q_score=0.0, buckets=4,
+            available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def statuses():
+        return {r["doc_id"]: r["status"]
+                for r in spark.read.parquet(out).collect()}
+
+    run("ck1")
+    want = {1: "kept", 2: "near_dup", 3: "kept",
+            11: "near_dup", 12: "kept"}
+    assert statuses() == want
+
+    # streaming==batch: the maintained index answers exactly like a
+    # direct join against the kept docs
+    alldocs = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    kept_docs = alldocs.filter(F.col("doc_id").isin([1, 3, 12]))
+    with D.cache_scope():
+        via_idx = sorted(
+            (r["id_l"], r["id_r"], round(r["est_jaccard"], 9))
+            for r in D.minhash_lsh_join_indexed(
+                spark, prefix, alldocs, threshold=0.3, **mk).collect())
+        direct = sorted(
+            (r["id_l"], r["id_r"], round(r["est_jaccard"], 9))
+            for r in D.minhash_lsh_join(
+                alldocs, kept_docs, threshold=0.3, **mk).collect())
+    assert via_idx == direct and via_idx
+
+    run("ck2")                 # fresh checkpoint: ledgers absorb all
+    assert statuses() == want
+
+    # crash before the decisions marker: replay recomputes the same
+    # near_dup decision from the committed index
+    b3 = [(21, base.replace("dog", "cat")),       # fuzzy dup via index
+          (22, "yet more disjoint words concerning watermark state "
+               "and replay ledgers altogether")]
+    b3df = spark.createDataFrame(b3, schema)
+    real_commit = I._mark_committed
+
+    def dying(fs, marker):
+        if "curated" in str(marker):
+            raise RuntimeError("injected crash before decisions marker")
+        return real_commit(fs, marker)
+
+    monkeypatch.setattr(I, "_mark_committed", dying)
+    with pytest.raises(RuntimeError):
+        apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
+                           minhash_prefix=prefix,
+                           near_dup_threshold=0.3, minhash_kwargs=mk,
+                           min_q_score=0.0, buckets=4)
+    monkeypatch.setattr(I, "_mark_committed", real_commit)
+    assert apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
+                              minhash_prefix=prefix,
+                              near_dup_threshold=0.3, minhash_kwargs=mk,
+                              min_q_score=0.0, buckets=4)
+    st = statuses()
+    assert st[21] == "near_dup" and st[22] == "kept"
+    # full re-apply: every ledger skips, index unchanged
+    n_banded = spark.table(f"{prefix}_banded").count()
+    assert apply_curate_batch(b3df, 2, out_dir=out, seen_state=seen,
+                              minhash_prefix=prefix,
+                              near_dup_threshold=0.3, minhash_kwargs=mk,
+                              min_q_score=0.0, buckets=4) is False
+    assert spark.table(f"{prefix}_banded").count() == n_banded
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
