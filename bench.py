@@ -306,7 +306,33 @@ BENCH_QUERIES = {
 
 
 
+def _machine_state():
+    """Contention/cold-cache telemetry (VERDICT r6 next #2): the r6
+    bench recorded 3-10x inflation on short rows that turned out to
+    be environmental — record 1-min load average and page-cache size
+    with the run so a contaminated session is visible in the
+    artifact instead of silently poisoning the round-over-round
+    series."""
+    state = {"load1": round(os.getloadavg()[0], 2)}
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = dict(ln.split(":", 1) for ln in fh)
+        state["cached_gb"] = round(
+            int(mem["Cached"].strip().split()[0]) / 1024 ** 2, 1)
+    except Exception:
+        pass
+    return state
+
+
 def main():
+    # capture BEFORE the session spins up: a bench started on a busy
+    # machine (pytest, sf1 generation, another Spark) is the one
+    # documented way to get unexplainable per-row inflation
+    env_start = _machine_state()
+    if env_start["load1"] > 2.0:
+        print(f"# WARNING: load1={env_start['load1']} at bench start "
+              f"— concurrent work inflates rows (r6: up to 10x on "
+              f"short rows); results suspect", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -382,7 +408,13 @@ def main():
             _D.unpersist_pinned(blocking=True)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # median
-        spread[name] = round(runs[-1] - runs[0], 3)
+        # max-min inflates mechanically with rep count and one fs
+        # stall poisons it (r6: dedup_cross_join_indexed spread 6.4 s
+        # on a 2.6 s median from a single 8.4 s tail rep) — for rows
+        # with >= 5 reps report the one-per-tail trimmed range as the
+        # round-over-round noise signal; raw runs stay recorded
+        trimmed = runs[1:-1] if len(runs) >= 5 else runs
+        spread[name] = round(trimmed[-1] - trimmed[0], 3)
         raw_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: {timings[name]}s median of {n_reps} "
               f"(spread {spread[name]}s, {n} rows)", file=sys.stderr)
@@ -408,6 +440,10 @@ def main():
         # sorted per-rep walls: max-min 'spread' inflates with rep
         # count; the raw runs let a reader compute robust stats
         "runs": raw_runs,
+        # machine state at run start/end: a load1 over ~2 or a
+        # cache that shrank mid-run marks the session contaminated
+        "env_start": env_start,
+        "env_end": _machine_state(),
         "sf": sf_val,
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

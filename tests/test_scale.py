@@ -326,20 +326,20 @@ def test_new_pipeline_operator_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in tfidf
     assert "SortAggregate" not in tfidf
 
-    # huge-vocabulary escape hatch (BENCH_SF1 watch item):
-    # broadcast_df=False drops the HINT, so when Catalyst judges the
-    # df table too big to broadcast (simulated here by disabling the
-    # auto threshold) the term join degrades to a shuffle instead of
-    # OOMing an executor; the default hint would force the broadcast
-    # regardless. Scores identical either way.
+    # huge-vocabulary guard (r7: the DEFAULT is now the size-guarded
+    # auto mode — no hint, Catalyst's threshold + AQE decide; see
+    # test_vocab_broadcast_size_guard for the full five-scorer lock):
+    # with the threshold disabled the default degrades to a shuffle
+    # instead of OOMing an executor, and only an explicit True still
+    # forces the hint. Scores identical either way.
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        no_bc = _spark_plan(TX.tfidf_top_terms(docs,
-                                               broadcast_df=False))
+        no_bc = _spark_plan(TX.tfidf_top_terms(docs))
         assert ("SortMergeJoin" in no_bc
                 or "ShuffledHashJoin" in no_bc)
-        hinted = _spark_plan(TX.tfidf_top_terms(docs))
+        hinted = _spark_plan(TX.tfidf_top_terms(docs,
+                                                broadcast_df=True))
         assert "BroadcastHashJoin" in hinted  # hint beats threshold
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
