@@ -313,7 +313,11 @@ def _machine_state():
     with the run so a contaminated session is visible in the
     artifact instead of silently poisoning the round-over-round
     series."""
-    state = {"load1": round(os.getloadavg()[0], 2)}
+    state = {}
+    try:
+        state["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:  # load average unobtainable in some containers
+        pass
     try:
         with open("/proc/meminfo") as fh:
             mem = dict(ln.split(":", 1) for ln in fh)
@@ -329,7 +333,7 @@ def main():
     # machine (pytest, sf1 generation, another Spark) is the one
     # documented way to get unexplainable per-row inflation
     env_start = _machine_state()
-    if env_start["load1"] > 2.0:
+    if env_start.get("load1", 0.0) > 2.0:
         print(f"# WARNING: load1={env_start['load1']} at bench start "
               f"— concurrent work inflates rows (r6: up to 10x on "
               f"short rows); results suspect", file=sys.stderr)

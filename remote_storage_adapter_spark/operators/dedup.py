@@ -473,6 +473,31 @@ def _band_frame(sigs: DataFrame, *, bands: int, rows_per_band: int,
              F.col("bb.bucket").alias("bucket"))
 
 
+_SIG_FNS = {
+    "oph": minhash_signatures_oph,
+    "kmin": minhash_signatures,
+    "portable": minhash_signatures_portable,
+}
+
+
+def minhash_signatures_for(docs: DataFrame, *, num_hashes: int = 64,
+                           shingle_n: int = 3, mode: str = "oph",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(id, sig) signatures in the given ``mode`` — the shared entry
+    point for callers that want to sign a frame ONCE and thread the
+    result through several consumers via their ``sigs=`` parameter
+    (pair join, indexed join, index append) instead of paying the
+    dominant shingle+minhash cost per call. Caller owns persistence
+    (``_pin`` + materialize) and the subset contract: a ``sigs``
+    frame passed to a consumer must cover exactly the rows of the
+    docs frame it accompanies (signatures are per-doc pure, so
+    id-filtering a signed superset is sound)."""
+    return _SIG_FNS[mode](docs, num_hashes=num_hashes,
+                          shingle_n=shingle_n, id_col=id_col,
+                          text_col=text_col)
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.5,
@@ -480,7 +505,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
                       text_col: str = "text",
                       mode: str = "oph",
                       max_bucket_size: int | None = 1000,
-                      caps_stats: dict | None = None) -> DataFrame:
+                      caps_stats: dict | None = None,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard from signature agreement.
 
     Signatures are banded (``bands`` bands of k/bands rows); docs
@@ -512,20 +538,18 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 64,
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sig_fn = {
-        "oph": minhash_signatures_oph,
-        "kmin": minhash_signatures,
-        "portable": minhash_signatures_portable,
-    }[mode]
-    # persist: computed once, reused by banding + both join-backs
-    # within the SAME action. Caller contract for long-lived sessions:
-    # the cache stays pinned after the action until
-    # spark.catalog.clearCache() (the registry harness does this per
-    # query via _prep) or an explicit unpersist.
-    sigs = _pin(sig_fn(
-        docs, num_hashes=num_hashes, shingle_n=shingle_n,
-        id_col=id_col, text_col=text_col,
-    ))
+    if sigs is None:
+        # persist: computed once, reused by banding + both join-backs
+        # within the SAME action. Caller contract for long-lived
+        # sessions: the cache stays pinned after the action until
+        # spark.catalog.clearCache() (the registry harness does this
+        # per query via _prep) or an explicit unpersist. A caller who
+        # already signed these docs (minhash_signatures_for) passes
+        # sigs= and owns persistence instead.
+        sigs = _pin(_SIG_FNS[mode](
+            docs, num_hashes=num_hashes, shingle_n=shingle_n,
+            id_col=id_col, text_col=text_col,
+        ))
     if max_bucket_size is not None:
         # eager materialization: the cap adds a bucket-count branch
         # that otherwise races the banding branch against an
@@ -619,11 +643,7 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sig_fn = {
-        "oph": minhash_signatures_oph,
-        "kmin": minhash_signatures,
-        "portable": minhash_signatures_portable,
-    }[mode]
+    sig_fn = _SIG_FNS[mode]
     ls = _pin(sig_fn(left, num_hashes=num_hashes, shingle_n=shingle_n,
                      id_col=id_col, text_col=text_col))
     rs = _pin(sig_fn(right, num_hashes=num_hashes, shingle_n=shingle_n,
@@ -710,11 +730,7 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    sig_fn = {
-        "oph": minhash_signatures_oph,
-        "kmin": minhash_signatures,
-        "portable": minhash_signatures_portable,
-    }[mode]
+    sig_fn = _SIG_FNS[mode]
     sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
                        shingle_n=shingle_n, id_col=id_col,
                        text_col=text_col))
@@ -755,15 +771,13 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
     ledger via ``on_step(table)`` and replays with the completed set
     as ``skip_tables`` — only the missing table is appended, never a
     duplicate. The counts table is a pure overwrite-derivation of
-    banded and is refreshed unconditionally."""
+    banded, refreshed after the appends and reported to ``on_step``
+    as the third ledger step (``"counts"``) — a batch whose ledger
+    shows all three replays write-free."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
-    sig_fn = {
-        "oph": minhash_signatures_oph,
-        "kmin": minhash_signatures,
-        "portable": minhash_signatures_portable,
-    }[mode]
+    sig_fn = _SIG_FNS[mode]
     sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
                        shingle_n=shingle_n, id_col=id_col,
                        text_col=text_col))
@@ -786,6 +800,8 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
      .groupBy("band", "bucket")
      .agg(F.count(F.lit(1)).alias("_n"))
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
+    if on_step is not None:
+        on_step("counts")
 
 
 def minhash_lsh_join_indexed(spark, table_prefix: str,
@@ -797,7 +813,8 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                              text_col: str = "text",
                              mode: str = "oph",
                              max_bucket_size: int | None = 1000,
-                             caps_stats: dict | None = None
+                             caps_stats: dict | None = None,
+                             sigs: DataFrame | None = None
                              ) -> DataFrame:
     """Cross-corpus fuzzy join of an incoming batch against a
     :func:`minhash_index` — identical pair semantics to
@@ -812,15 +829,13 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
         raise ValueError("bands must divide num_hashes")
     rb = spark.table(f"{table_prefix}_banded")
     rs = spark.table(f"{table_prefix}_sigs")
-    sig_fn = {
-        "oph": minhash_signatures_oph,
-        "kmin": minhash_signatures,
-        "portable": minhash_signatures_portable,
-    }[mode]
-    ls = _pin(sig_fn(incoming, num_hashes=num_hashes,
-                     shingle_n=shingle_n, id_col=id_col,
-                     text_col=text_col))
-    ls.count()  # banding + join-back read one materialization
+    if sigs is not None:
+        ls = sigs  # caller signed once and owns persistence
+    else:
+        ls = _pin(_SIG_FNS[mode](incoming, num_hashes=num_hashes,
+                                 shingle_n=shingle_n, id_col=id_col,
+                                 text_col=text_col))
+        ls.count()  # banding + join-back read one materialization
     lb = _band_frame(ls, bands=bands,
                      rows_per_band=num_hashes // bands, mode=mode)
     if max_bucket_size is not None:
@@ -1632,14 +1647,27 @@ def reset_managed_tables(spark, *tables: str) -> None:
     """Drop catalog tables AND their managed warehouse directories.
     A previous session's warehouse dirs outlive the in-memory
     catalog, and ``saveAsTable`` refuses to create a table over a
-    leftover location — every index (re)build goes through this."""
+    leftover location — every index (re)build goes through this.
+    Contract: unqualified table names in the DEFAULT database (the
+    managed location is ``{warehouse}/{lowercase(name)}`` there;
+    catalog identifiers are case-insensitive, so the delete targets
+    the lowercased path)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     wh = spark.conf.get("spark.sql.warehouse.dir")
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t.lower()}")
         p.getFileSystem(hconf).delete(p, True)
+
+
+def table_live(spark, table: str) -> bool:
+    """True iff ``table`` exists AND holds at least one row — the
+    shared ledger-liveness probe of the catalog-ledger replay
+    protocols (an existing-but-empty ledger means a bootstrap
+    attempt crashed before its first row landed and must replay)."""
+    return (spark.catalog.tableExists(table)
+            and spark.table(table).limit(1).count() > 0)
 
 
 def _simhash_save(banded: DataFrame, table: str, *, mode: str,
@@ -1741,27 +1769,28 @@ def simhash_append_exactly_once(docs: DataFrame, table: str,
     prebuild leaves a ``batch_id = -1`` marker so appends never
     mistake it for an unborn index.
 
-    Crash windows: an empty/missing ledger replays the bootstrap in
-    overwrite mode (idempotent); each ``saveAsTable`` append is
-    job-atomic (the commit protocol publishes nothing on a mid-job
-    crash); the one residual window — append committed, crash before
-    the ledger row lands — re-appends the batch on replay, and a
-    double-applied SimHash batch is RESULT-idempotent: the banded
-    row carries its own fingerprint (no signature join-back to fan
-    out), and both probes end in ``dropDuplicates``, so duplicate
-    rows cost storage, never wrong pairs."""
+    Crash windows: an empty/missing ledger with NO data table
+    replays the bootstrap in overwrite mode (idempotent — a mid-job
+    bootstrap crash commits neither the table nor its catalog
+    entry); an empty ledger WITH an existing data table means a
+    prebuild crashed between its data commit and its ``-1`` marker,
+    so the batch APPENDS — the table-existence check backstops the
+    marker and overwrite can never clobber a built corpus; each
+    ``saveAsTable`` append is job-atomic; the one residual window —
+    append committed, crash before the ledger row lands — re-appends
+    the batch on replay, and a double-applied SimHash batch is
+    RESULT-idempotent: the banded row carries its own fingerprint
+    (no signature join-back to fan out), and both probes end in
+    ``dropDuplicates``, so duplicate rows cost storage, never wrong
+    pairs."""
     spark = docs.sparkSession
     ledger = f"{table}_applied"
-    ledger_live = (
-        spark.catalog.tableExists(ledger)
-        and spark.table(ledger).limit(1).count() > 0
-    )
+    ledger_live = table_live(spark, ledger)
     if ledger_live and spark.table(ledger).filter(
             F.col("batch_id") == batch_id).limit(1).count() > 0:
         return False
-    if not ledger_live:
-        # first batch, or a bootstrap attempt crashed before its
-        # ledger row landed: (re)build in overwrite mode — idempotent
+    if not ledger_live and not spark.catalog.tableExists(table):
+        # first batch of a stream-born index: build in overwrite mode
         simhash_write_index(docs, table, max_hamming=max_hamming,
                             buckets=buckets,
                             table_buckets=table_buckets,

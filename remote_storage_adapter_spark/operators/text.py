@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from remote_storage_adapter_spark.operators.dedup import (
     _pin,
@@ -193,6 +194,22 @@ def _topk_terms(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _stats_side(df: DataFrame, flag: bool | None) -> DataFrame:
+    """Size-guard tri-state for the unbounded stats/LM build sides of
+    the vocabulary joins: ``None`` (the production default) attaches
+    no hint — Spark's ``autoBroadcastJoinThreshold`` plus AQE's
+    runtime re-plan pick broadcast exactly when the materialized
+    frame fits; ``True`` forces the broadcast hint (caller asserts
+    executor-small); ``False`` forces a shuffle join (merge hint) —
+    both sides of these joins are term-keyed hash aggregates, so the
+    forced shuffle is skew-safe."""
+    if flag:
+        return F.broadcast(df)
+    if flag is False:
+        return df.hint("merge")
+    return df
+
+
 def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
                     id_col: str = "doc_id",
                     text_col: str = "text",
@@ -217,16 +234,14 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
     driver-OOM on a web-scale table (VERDICT r6 wrong #2). ``True``
     FORCES the broadcast hint regardless of size (callers who know
     the table is executor-small and want the static plan); ``False``
-    also attaches no hint (kept as the documented escape hatch —
-    both sides are term-keyed hash aggregates, so a shuffle join is
-    skew-safe).
+    FORCES a shuffle join via the merge hint — both sides are
+    term-keyed hash aggregates, so the shuffle is skew-safe.
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
     n_docs = docs.count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
     scored = (
-        tf_dl.join(F.broadcast(df_counts) if broadcast_df
-                   else df_counts, "term")
+        tf_dl.join(_stats_side(df_counts, broadcast_df), "term")
         .select(
             "id", "term",
             F.round(F.col("tf") * idf, 9).alias("score"),
@@ -264,8 +279,7 @@ def bm25_top_terms(docs: DataFrame, *, k: int = 5,
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     )
     scored = (
-        tf_dl.join(F.broadcast(df_counts) if broadcast_df
-                   else df_counts, "term")
+        tf_dl.join(_stats_side(df_counts, broadcast_df), "term")
         .select("id", "term", F.round(idf * tf_part, 9).alias("score"))
     )
     return _topk_terms(scored, k).select(
@@ -819,11 +833,10 @@ def bm25_search_indexed(spark, path: str, query: str, *, k: int = 10,
     if not qterms:
         raise ValueError("query has no terms after normalization")
     tbs = sorted({term_bucket_of(t, buckets) for t in qterms})
-    st = (
-        spark.read.parquet(f"{path}/_stats")
-        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("tot"))
-        .first()
-    )
+    sdf = spark.read.parquet(f"{path}/_stats")
+    _check_index_buckets(sdf, buckets, path)
+    st = sdf.agg(F.sum("n_docs").alias("n"),
+                 F.sum("total_dl").alias("tot")).first()
     n_docs = st["n"]
     if not n_docs:
         raise ValueError(f"empty index stats at {path}/_stats")
@@ -893,7 +906,7 @@ def lm_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
         F.round(F.log((F.col("c") + alpha) / F.lit(denom)), 9)
         .alias("logp"),
     )
-    scored = tf.join(F.broadcast(lm) if broadcast_lm else lm, "term")
+    scored = tf.join(_stats_side(lm, broadcast_lm), "term")
     return (
         scored.groupBy("id")
         .agg(
@@ -929,8 +942,33 @@ def _postings(docs: DataFrame, buckets: int, id_col: str,
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks")).alias("total_dl"))
+        F.sum(F.size("toks")).alias("total_dl"),
+        # the bucket modulus rides every stats row so probes and
+        # appends can verify theirs matches the build's — a mismatch
+        # silently prunes to wrong tb partitions (r6 ADVICE / r7
+        # review)
+        F.lit(buckets).alias("buckets"))
     return postings, stats
+
+
+def _check_index_buckets(stats_df: DataFrame, buckets: int,
+                         path: str) -> None:
+    """Raise if the index's recorded term-bucket modulus differs from
+    the caller's ``buckets`` — the failure is otherwise SILENT (the
+    ``tb`` filter prunes to partitions the postings aren't in and the
+    probe just misses documents). Stats written before the guard
+    (no ``buckets`` column) are tolerated."""
+    if "buckets" not in stats_df.columns:
+        return
+    seen = {r["b"] for r in
+            stats_df.select(F.col("buckets").alias("b"))
+            .distinct().collect() if r["b"] is not None}
+    if seen and seen != {buckets}:
+        raise ValueError(
+            f"text index at {path} was built/appended with "
+            f"term-bucket count(s) {sorted(seen)} but called with "
+            f"buckets={buckets} — tb pruning would read the wrong "
+            f"partitions; pass the build's bucket count")
 
 
 def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
@@ -942,7 +980,15 @@ def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
     the IVF one), so new postings append straight into the bucket
     partitions and a fresh (n_docs, total_dl) row appends to
     ``_stats`` (probes SUM stats rows, so df/N/avgdl stay exact).
-    ``buckets`` must match the build. New doc ids must be unseen."""
+    ``buckets`` must match the build — checked against the index's
+    recorded modulus, since a mismatched append lands postings in
+    partitions probes never read. New doc ids must be unseen."""
+    spark = docs.sparkSession
+    try:
+        _check_index_buckets(
+            spark.read.parquet(f"{path}/_stats"), buckets, path)
+    except AnalysisException:
+        pass  # no index yet — this append bootstraps it
     postings, stats = _postings(docs, buckets, id_col, text_col)
     postings.write.mode("append").partitionBy("tb").parquet(path)
     (
@@ -1139,11 +1185,10 @@ def bm25_search_batch_indexed(spark, path: str, queries: DataFrame, *,
     if not term_list:
         raise ValueError("query batch has no terms after normalization")
     tbs = sorted({term_bucket_of(t, buckets) for t in term_list})
-    st = (
-        spark.read.parquet(f"{path}/_stats")
-        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("tot"))
-        .first()
-    )
+    sdf = spark.read.parquet(f"{path}/_stats")
+    _check_index_buckets(sdf, buckets, path)
+    st = sdf.agg(F.sum("n_docs").alias("n"),
+                 F.sum("total_dl").alias("tot")).first()
     n_docs = st["n"]
     if not n_docs:
         raise ValueError(f"empty index stats at {path}/_stats")
@@ -1229,9 +1274,9 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
     # interpolated logp needs both the context count (c1 on prev) and
     # the unigram prob of w (termc on w)
     lm2 = (
-        c2.join(F.broadcast(c1) if broadcast_lm else c1, "prev")
+        c2.join(_stats_side(c1, broadcast_lm), "prev")
         .join(
-            (F.broadcast(termc) if broadcast_lm else termc)
+            _stats_side(termc, broadcast_lm)
             .select(F.col("term").alias("w"), F.col("c").alias("cw")),
             "w")
         .select(
@@ -1248,7 +1293,7 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
     )
     # per-doc: bigram NLL sum + first-token unigram NLL
     bi_scored = (
-        bi.join(F.broadcast(lm2) if broadcast_lm else lm2, ["prev", "w"])
+        bi.join(_stats_side(lm2, broadcast_lm), ["prev", "w"])
         .groupBy("id")
         .agg(F.sum(F.col("tf2") * F.col("logp2")).alias("lp_bi"))
     )
@@ -1260,7 +1305,7 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
         "id", F.size("toks").alias("dl"),
         F.element_at("toks", 1).alias("term"))
     first_scored = first_tok.join(
-        F.broadcast(uni_lp) if broadcast_lm else uni_lp, "term")
+        _stats_side(uni_lp, broadcast_lm), "term")
     return (
         first_scored.join(bi_scored, "id", "left")
         .select(
@@ -1336,8 +1381,7 @@ def lm_score_against(docs: DataFrame, lm: DataFrame, *,
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = tf.join(F.broadcast(lm) if broadcast_lm else lm,
-                     "term", "left")
+    scored = tf.join(_stats_side(lm, broadcast_lm), "term", "left")
     logp = F.round(
         F.log((F.coalesce(F.col("c"), F.lit(0)) + alpha)
               / F.lit(denom)), 9)

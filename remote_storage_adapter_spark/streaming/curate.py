@@ -222,32 +222,45 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     attempt's own partially-applied copy, which keeps replay
     decisions identical even when the join sees partial state."""
     from remote_storage_adapter_spark.operators.dedup import (
+        _pin,
         minhash_lsh_join_indexed,
         minhash_lsh_pairs,
+        minhash_signatures_for,
+        table_live,
     )
 
     join_kwargs = {k: v for k, v in mk.items() if k != "buckets"}
+    sig_kwargs = {k: v for k, v in mk.items()
+                  if k in ("num_hashes", "shingle_n", "mode")}
     cand = scored.filter(F.col("_status0") == "kept") \
         .select(id_col, text_col)
+    # sign the surviving docs ONCE — shingle+minhash is the dominant
+    # per-batch cost and the within-batch pair join and the
+    # cross-index join both consume the same signatures (r7 review;
+    # signatures are per-doc pure, so id-filtering the signed frame
+    # for the survivor join is sound)
+    sigs = _pin(minhash_signatures_for(
+        cand, id_col=id_col, text_col=text_col, **sig_kwargs))
+    sigs.count()
     pairs = minhash_lsh_pairs(cand, threshold=threshold,
                               id_col=id_col, text_col=text_col,
-                              **join_kwargs)
+                              sigs=sigs, **join_kwargs)
     nd = {int(r["id_b"])
           for r in pairs.select("id_b").distinct().collect()}
-    idx_live = (
-        spark.catalog.tableExists(f"{prefix}_applied")
-        and spark.table(f"{prefix}_applied").limit(1).count() > 0
-    )
+    idx_live = table_live(spark, f"{prefix}_applied")
     if idx_live:
-        surv = cand
+        surv, surv_sigs = cand, sigs
         if nd:
-            surv = cand.join(
-                spark.createDataFrame([(i,) for i in sorted(nd)],
-                                      f"{id_col} long"),
-                id_col, "left_anti")
+            drop_df = spark.createDataFrame(
+                [(i,) for i in sorted(nd)], f"{id_col} long")
+            surv = cand.join(drop_df, id_col, "left_anti")
+            surv_sigs = sigs.join(
+                drop_df.withColumnRenamed(id_col, "id"), "id",
+                "left_anti")
         cross = minhash_lsh_join_indexed(
             spark, prefix, surv, threshold=threshold,
-            id_col=id_col, text_col=text_col, **join_kwargs)
+            id_col=id_col, text_col=text_col, sigs=surv_sigs,
+            **join_kwargs)
         nd |= {int(r["id_l"]) for r in
                cross.filter(F.col("id_l") != F.col("id_r"))
                .select("id_l").distinct().collect()}

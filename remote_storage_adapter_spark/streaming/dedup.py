@@ -78,10 +78,9 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
                               "batch_id long, tbl string") \
             .write.mode("append").saveAsTable(ledger)
 
-    ledger_live = (
-        spark.catalog.tableExists(ledger)
-        and spark.table(ledger).limit(1).count() > 0
-    )
+    from remote_storage_adapter_spark.operators.dedup import table_live
+
+    ledger_live = table_live(spark, ledger)
     id_col = index_kwargs.get("id_col", "doc_id")
     join_kwargs = {k: v for k, v in index_kwargs.items()
                    if k != "buckets"}
@@ -96,10 +95,25 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
             minhash_index(kept, table_prefix, **index_kwargs)
         mark("banded")
         mark("sigs")
+        mark("counts")
         return True
     done = {r["tbl"] for r in spark.table(ledger)
             .filter(F.col("batch_id") == batch_id).collect()}
+    if {"banded", "sigs", "counts"} <= done:
+        return False
     if {"banded", "sigs"} <= done:
+        # appends landed but the counts refresh never got its ledger
+        # row (crash between mark("sigs") and the refresh, or mid-
+        # overwrite — drop-then-create is not atomic): without this
+        # branch counts would stay missing/stale FOREVER on the old
+        # skip path, and counts are decision-visible to every
+        # cap-filtered join (r7 review). minhash_index_append with
+        # both appends skipped runs ONLY the idempotent counts
+        # refresh, then marks it — so a fully-applied batch replays
+        # write-free (no churn against cached file listings).
+        minhash_index_append(batch_df.limit(0), table_prefix,
+                             skip_tables=frozenset(done),
+                             on_step=mark, **index_kwargs)
         return False
     kept = batch_df
     if dedup_threshold is not None:

@@ -43,17 +43,27 @@ def apply_text_index_batch(batch_df: DataFrame, batch_id: int,
        constant partition (the protocol is partition-addressed),
        publish; its marker — created last — commits the batch.
     """
+    from pyspark.errors import AnalysisException
+
     from remote_storage_adapter_spark.operators.ingest import (
         batch_committed,
         publish_staged_batch,
     )
-    from remote_storage_adapter_spark.operators.text import _postings
+    from remote_storage_adapter_spark.operators.text import (
+        _check_index_buckets,
+        _postings,
+    )
 
     spark = batch_df.sparkSession
     stats_path = f"{path}/_stats"
     if batch_committed(spark, stats_path, batch_id,
                        ledger_dir="_text_ledger"):
         return False
+    try:
+        _check_index_buckets(spark.read.parquet(stats_path), buckets,
+                             path)
+    except AnalysisException:
+        pass  # no stats yet — this batch bootstraps the index
     postings, stats = _postings(batch_df, buckets, id_col, text_col)
     if not batch_committed(spark, path, batch_id,
                            ledger_dir="_text_ledger"):

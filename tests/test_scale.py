@@ -512,8 +512,8 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
         [(i, f"common text body shared across docs v{i % 2}")
          for i in range(8)], "doc_id long, text string")
     prefix = "mh_idx_test"
-    for t in ("banded", "sigs", "counts"):
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}" for t in ("banded", "sigs", "counts")])
     with D.cache_scope():
         D.minhash_index(ref, prefix, num_hashes=16, bands=4,
                         shingle_n=3, buckets=4)

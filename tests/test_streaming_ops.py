@@ -458,8 +458,9 @@ def test_streaming_minhash_index_matches_batch_and_skips_replay(
                          StructField("text", StringType())])
     landing = str(tmp_path / "landing")
     prefix = "mh_stream_test"
-    for t in ("banded", "sigs", "counts", "applied"):
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
     batches = [
         [(100 + i, f"common text body shared across docs w{i % 3}")
          for i in range(8)],
@@ -506,10 +507,11 @@ def test_streaming_minhash_index_matches_batch_and_skips_replay(
         assert again == streamed
     applied = spark.table(f"{prefix}_applied")
     assert applied.select("batch_id").distinct().count() == 2
-    # per-table ledger: both appends recorded for both batches
-    assert applied.count() == 4
-    for t in ("banded", "sigs", "counts", "applied"):
-        spark.sql(f"DROP TABLE {prefix}_{t}")
+    # per-table ledger: appends + counts refresh recorded per batch
+    assert applied.count() == 6
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
 
 
 def test_streaming_semantic_index_dedups_and_skips_replay(spark, tmp_path):
@@ -670,8 +672,9 @@ def test_minhash_maintainer_recovers_between_table_appends(
 
     schema = "doc_id long, text string"
     prefix = "mh_crash_test"
-    for t in ("banded", "sigs", "counts", "applied"):
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
     b0 = spark.createDataFrame(
         [(i, f"common text body shared across docs w{i % 2}")
          for i in range(6)], schema)
@@ -746,8 +749,9 @@ def test_streaming_text_dedup_on_ingest(spark, tmp_path):
                          StructField("text", StringType())])
     landing = str(tmp_path / "landing")
     prefix = "mh_ingest_dedup_test"
-    for t in ("banded", "sigs", "counts", "applied"):
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
     base = "the quick brown fox jumps over the lazy dog again and again "
     other = "completely different content about spark engines parquet "
     b1 = [(10, (base * 3).strip()),
