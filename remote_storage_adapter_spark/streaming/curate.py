@@ -1,9 +1,10 @@
 """Curation-on-ingest: the composed streaming pipeline — every landed
-document batch is gated (exact-dedup against the seen corpus, rule
+document batch is gated (exact-dedup against the seen corpus,
+optional MinHash near-dup against the accumulated kept corpus, rule
 quality score, optional perplexity against the maintained reference
 LM), published with per-doc status/reason, and the KEPT documents are
-folded into the downstream maintained artifacts (BM25 inverted index,
-reference LM counts) — each exactly once.
+folded into the downstream maintained artifacts (MinHash index, BM25
+inverted index, reference LM counts) — each exactly once.
 
 Replay architecture ("decide once, commit the decision"): the gate
 decisions are computed ONLY against state committed by prior batches,
