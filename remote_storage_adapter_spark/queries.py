@@ -2360,6 +2360,58 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL pixel decode, oracle-gated end to end: plant a COMPLETE
+    valid 2×1 grayscale PNG per document — deflate *stored* block so
+    the byte stream is closed-form, adler32 of the 3 raw bytes
+    computed analytically (s1 = 2+g1+d, s2 = 6+2·g1+d), Sub filter on
+    the scanline so the unfilter path is exercised — then recover the
+    two planted pixels through `decode_media`'s genuine
+    zlib-inflate + filter-reconstruction path
+    (`functions/mediacodec.png_decode`). The oracle knows pixel mean
+    and std analytically (exact halves, IEEE-exact), so the gate
+    proves the real decoder inverts the real format, not a stub.
+    Pixels: g1 = doc_id % 256, g2 = (doc_id·7 + 13) % 256; the filter
+    byte stores d = (g2 − g1) mod 256."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+
+    def be(c, nibbles):  # int column → fixed-width big-endian bytes
+        return F.unhex(F.lpad(F.hex(c), nibbles, "0"))
+
+    g1 = F.col("doc_id") % 256
+    g2 = (F.col("doc_id") * 7 + 13) % 256
+    d = (g2 - g1 + 256) % 256
+    adler = (g1 * 2 + d + 6) * 65536 + (g1 + d + 2)
+    payload = F.concat(
+        # signature + IHDR(w=2,h=1,depth 8,gray) + zero CRC
+        F.lit(bytes.fromhex(
+            "89504E470D0A1A0A" "0000000D49484452"
+            "0000000200000001" "0800000000" "00000000")),
+        # IDAT(len 14): zlib hdr, stored-block hdr (LEN=3), Sub filter
+        F.lit(bytes.fromhex("0000000E49444154" "7801" "010300FCFF" "01")),
+        be(g1, 2), be(d, 2), be(adler, 8),
+        # IDAT CRC (unchecked by the decoder) + IEND
+        F.lit(bytes.fromhex("00000000" "0000000049454E44" "00000000")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.decode_media(media).select(
+        "media_id", F.col("kind").alias("decode_kind"),
+        F.col("height").alias("px_h"), F.col("width").alias("px_w"),
+        F.col("channels").alias("px_c"), "px_mean", "px_std")
+
+
+O_multimodal_decode = """
+SELECT doc_id AS media_id, 'image' AS decode_kind,
+       1 AS px_h, 2 AS px_w, 1 AS px_c,
+       round((doc_id % 256 + (doc_id * 7 + 13) % 256) / 2.0, 6)
+         AS px_mean,
+       round(abs(doc_id % 256 - (doc_id * 7 + 13) % 256) / 2.0, 6)
+         AS px_std
+FROM documents
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition-quality signals (top-2-gram fraction,
     duplicated-5-gram fraction, combined flag)."""
@@ -3344,21 +3396,26 @@ FROM bloom
 
 def q_multimodal_profile(spark, sf_dir):
     """Multimodal plumbing in one row: opaque-payload byte accounting,
-    Arrow-batched stub feature extraction, and the REAL PNG container
-    parser recovering planted dimensions (media_id join)."""
+    Arrow-batched stub feature extraction, the REAL PNG container
+    parser recovering planted dimensions, and the REAL pixel decoder
+    (zlib inflate + Sub-filter reconstruction) recovering planted
+    pixel statistics (media_id join)."""
     b = q_multimodal_bytes(spark, sf_dir)
     f_ = q_multimodal_features(spark, sf_dir).select(
         "media_id", "sha256", "f0")
     s = q_multimodal_sniff(spark, sf_dir)
-    return b.join(f_, "media_id").join(s, "media_id")
+    px = q_multimodal_decode(spark, sf_dir)
+    return b.join(f_, "media_id").join(s, "media_id").join(px, "media_id")
 
 
 O_multimodal_profile = f"""
 WITH b AS ({O_multimodal_bytes}), f AS ({O_multimodal_features}),
-s AS ({O_multimodal_sniff})
+s AS ({O_multimodal_sniff}), px AS ({O_multimodal_decode})
 SELECT b.media_id, b.byte_len, b.payload_md5, b.media_type,
-       f.sha256, f.f0, s.format, s.width, s.height
+       f.sha256, f.f0, s.format, s.width, s.height,
+       px.decode_kind, px.px_h, px.px_w, px.px_c, px.px_mean, px.px_std
 FROM b JOIN f USING (media_id) JOIN s USING (media_id)
+JOIN px USING (media_id)
 """
 
 
