@@ -232,27 +232,48 @@ def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> np.ndarray:
     return out[:n]
 
 
-def gif_decode(p: bytes) -> np.ndarray:
-    """GIF87a/89a first frame → uint8 (h, w, 3) RGB via LZW decode +
-    palette lookup; interlaced images are de-interlaced (4-pass row
-    order per the spec)."""
+def gif_frames(p: bytes):
+    """GIF87a/89a → list of ``(delay_ms, frame)`` with frames as uint8
+    (screen_h, screen_w, 3) RGB, COMPOSITED per the GIF89a animation
+    model: each image descriptor paints its (possibly sub-rectangle,
+    possibly interlaced, possibly transparent-keyed) pixels onto the
+    logical-screen canvas; disposal method 2 restores the background
+    after the frame, method 3 restores the previous canvas, 0/1 leave
+    the canvas as painted. ``delay_ms`` comes from the preceding
+    Graphic Control Extension (0 when absent)."""
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    sw = int.from_bytes(p[6:8], "little")
+    sh = int.from_bytes(p[8:10], "little")
     flags = p[10]
+    bg_idx = p[11]
     i = 13
     gct = None
     if flags & 0x80:
         size = 2 << (flags & 0x07)
         gct = np.frombuffer(p, np.uint8, size * 3, i).reshape(-1, 3)
         i += size * 3
+    bg_rgb = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames = []
+    delay_ms, transp, disposal = 0, None, 0
     while i < len(p):
         b0 = p[i]
         if b0 == 0x21:  # extension: label + sub-blocks
-            i += 2
-            while i < len(p) and p[i] != 0:
-                i += 1 + p[i]
-            i += 1
+            label = p[i + 1]
+            j = i + 2
+            if label == 0xF9 and j < len(p) and p[j] >= 4:  # GCE
+                gflags = p[j + 1]
+                delay_ms = int.from_bytes(p[j + 2:j + 4], "little") * 10
+                transp = p[j + 4] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
+            while j < len(p) and p[j] != 0:
+                j += 1 + p[j]
+            i = j + 1
         elif b0 == 0x2C:  # image descriptor
+            left = int.from_bytes(p[i + 1:i + 3], "little")
+            top = int.from_bytes(p[i + 3:i + 5], "little")
             w = int.from_bytes(p[i + 5:i + 7], "little")
             h = int.from_bytes(p[i + 7:i + 9], "little")
             iflags = p[i + 9]
@@ -270,6 +291,7 @@ def gif_decode(p: bytes) -> np.ndarray:
             while i < len(p) and p[i] != 0:
                 chunks.append(p[i + 1:i + 1 + p[i]])
                 i += 1 + p[i]
+            i += 1  # block terminator
             idx = _lzw_decode(min_code, b"".join(chunks), w * h)
             if len(idx) < w * h:
                 raise ValueError("GIF: truncated LZW stream")
@@ -284,12 +306,35 @@ def gif_decode(p: bytes) -> np.ndarray:
                 deint = np.empty_like(grid)
                 deint[order] = grid
                 grid = deint
-            return np.ascontiguousarray(pal[grid])
+            if top + h > sh or left + w > sw:
+                raise ValueError("GIF: frame exceeds logical screen")
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + h, left:left + w]
+            painted = pal[grid]
+            if transp is not None:
+                keep = grid == transp
+                painted = np.where(keep[:, :, None], region, painted)
+            canvas[top:top + h, left:left + w] = painted
+            frames.append((delay_ms, canvas.copy()))
+            if disposal == 2:  # restore background in the frame rect
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = before
+            delay_ms, transp, disposal = 0, None, 0
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
-    raise ValueError("GIF: no image descriptor")
+    if not frames:
+        raise ValueError("GIF: no image descriptor")
+    return frames
+
+
+def gif_decode(p: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → uint8 (h, w, 3) RGB via LZW decode +
+    palette lookup; interlaced images are de-interlaced (4-pass row
+    order per the spec). Animations: see :func:`gif_frames`."""
+    return gif_frames(p)[0][1]
 
 
 # ---------------------------------------------------------------- WAV

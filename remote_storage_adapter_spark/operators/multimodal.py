@@ -383,21 +383,89 @@ def decode_media(media: DataFrame, *, id_col: str = "media_id",
     ).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+#: output of the REAL :func:`frame_sample` path — sampled frame bytes.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def _sample_gif(p: bytes, every_ms: int):
+    """Animated-GIF time sampling: frame k displays over
+    [cum_start_k, cum_start_k + delay_k); ticks at 0, every_ms, …
+    pick the frame on screen at that instant. A still image
+    (total duration 0) yields one sample at t=0 of the final
+    composited canvas."""
+    frames = MC.gif_frames(p)
+    total = sum(d for d, _ in frames)
+    out = []
+    if total == 0:
+        out.append((0, 0, MC.png_encode(frames[-1][1])))
+        return out
+    encoded = {}
+    t, k, start = 0, 0, 0
+    while t < total:
+        while k < len(frames) - 1 and t >= start + frames[k][0]:
+            start += frames[k][0]
+            k += 1
+        if k not in encoded:
+            encoded[k] = MC.png_encode(frames[k][1])
+        out.append((len(out), t, encoded[k]))
+        t += every_ms
+    return out
+
+
 def frame_sample(media: DataFrame, *, every_ms: int = 1000,
                  decode_stub: bool = True) -> DataFrame:
-    """Video → sampled frames (stub): one synthetic frame row per
-    ``every_ms`` of duration, demonstrating the 1→N expansion shape."""
-    frames = F.explode(
-        F.sequence(
-            F.lit(0),
-            F.greatest(
-                F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms - 1,
+    """Video → sampled frames.
+
+    ``decode_stub=False`` is REAL for animated GIF — the one video-ish
+    container decodable with the stdlib: :func:`..functions.mediacodec.
+    gif_frames` composites every frame per the GIF89a animation model
+    (sub-rectangles, transparency, disposal 2/3), Graphic Control
+    Extension delays place frames on the timeline, and one PNG-encoded
+    frame row is emitted per ``every_ms`` tick via Arrow-batched
+    ``mapInPandas`` (schema :data:`FRAME_SCHEMA`). Non-GIF payloads
+    raise (MP4/H.264 genuinely needs a codec library) — quarantine
+    with :func:`sniff_media_meta` first.
+
+    Stub: one synthetic frame row per ``every_ms`` of
+    ``meta.duration_ms``, demonstrating the 1→N expansion shape
+    without payload decode (no ``frame`` column).
+    """
+    if decode_stub:
+        frames = F.explode(
+            F.sequence(
                 F.lit(0),
-            ).cast("long"),
+                F.greatest(
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+                    / every_ms - 1,
+                    F.lit(0),
+                ).cast("long"),
+            )
         )
-    )
-    if not decode_stub:  # pragma: no cover
-        raise NotImplementedError("real frame decode requires PyAV")
-    return media.select(
-        F.col("media_id"), frames.alias("frame_idx")
-    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+        return media.select(
+            F.col("media_id"), frames.alias("frame_idx")
+        ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise NotImplementedError(
+                        "real frame sampling is implemented for GIF; "
+                        "other video containers need a codec library")
+                for idx, ts, png in _sample_gif(p, every_ms):
+                    rows.append((int(mid), idx, ts, png))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_ms",
+                               "frame"])
+
+    return media.select("media_id", "payload") \
+        .mapInPandas(run, schema=FRAME_SCHEMA)

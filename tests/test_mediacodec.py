@@ -115,12 +115,21 @@ def _lzw_encode_trivial(min_code: int, indices) -> bytes:
     return bytes(out)
 
 
+def _pad_pal(pal: np.ndarray, size_bits: int) -> np.ndarray:
+    """GIF color tables have 2^(size_bits+1) entries — pad with zeros."""
+    want = 2 << size_bits
+    if len(pal) < want:
+        pal = np.vstack([pal, np.zeros((want - len(pal), 3), np.uint8)])
+    return pal
+
+
 def build_gif(idx: np.ndarray, pal: np.ndarray, *,
               interlace: bool = False) -> bytes:
     h, w = idx.shape
     ncol = len(pal)
     size_bits = max((ncol - 1).bit_length(), 1) - 1
     min_code = max((ncol - 1).bit_length(), 2)
+    pal = _pad_pal(pal, size_bits)
     rows = idx
     if interlace:
         order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
@@ -291,6 +300,109 @@ def test_gif_real_lzw_dictionary_growth():
            + pal.tobytes() + b"\x2C" + struct.pack("<HHHHB", 0, 0, 16, 6, 0)
            + bytes([2]) + sub + b"\x00\x3B")
     assert np.array_equal(MC.gif_decode(gif), pal[idx])
+
+
+def _gce(delay_cs: int, *, transp: int | None = None,
+         disposal: int = 0) -> bytes:
+    flags = (disposal << 2) | (1 if transp is not None else 0)
+    return (b"\x21\xF9\x04" + bytes([flags])
+            + struct.pack("<H", delay_cs)
+            + bytes([transp if transp is not None else 0]) + b"\x00")
+
+
+def _image_block(idx: np.ndarray, min_code: int, *,
+                 left: int = 0, top: int = 0) -> bytes:
+    h, w = idx.shape
+    lzw = _lzw_encode_trivial(min_code, idx.reshape(-1))
+    sub = b""
+    for i in range(0, len(lzw), 255):
+        sub += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+    return (b"\x2C" + struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes([min_code]) + sub + b"\x00")
+
+
+def build_animated_gif(screen_wh, pal: np.ndarray, frames) -> bytes:
+    """frames: list of (idx_2d, left, top, delay_cs, transp, disposal)."""
+    w, h = screen_wh
+    ncol = len(pal)
+    size_bits = max((ncol - 1).bit_length(), 1) - 1
+    min_code = max((ncol - 1).bit_length(), 2)
+    out = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+           + _pad_pal(pal, size_bits).astype(np.uint8).tobytes())
+    for idx, left, top, delay_cs, transp, disposal in frames:
+        out += _gce(delay_cs, transp=transp, disposal=disposal)
+        out += _image_block(idx, min_code, left=left, top=top)
+    return out + b"\x3B"
+
+
+def test_gif_animation_composition():
+    """Two frames: full-screen base, then a transparent-keyed
+    sub-rectangle painted over it — composition computed independently
+    with plain numpy."""
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   np.uint8)
+    base = np.full((4, 5), 1, np.uint8)
+    patch = np.array([[2, 0], [0, 3]], np.uint8)  # 0 = transparent key
+    gif = build_animated_gif(
+        (5, 4), pal,
+        [(base, 0, 0, 10, None, 0), (patch, 1, 2, 5, 0, 0)])
+    frames = MC.gif_frames(gif)
+    assert [d for d, _ in frames] == [100, 50]
+    exp0 = pal[base]
+    assert np.array_equal(frames[0][1], exp0)
+    exp1 = exp0.copy()
+    exp1[2, 1] = pal[2]          # opaque patch pixels painted
+    exp1[3, 2] = pal[3]
+    # transparent-keyed pixels keep the underlying canvas
+    assert np.array_equal(frames[1][1], exp1)
+
+
+def test_gif_disposal_restore_background_and_previous():
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0]], np.uint8)
+    base = np.full((3, 3), 1, np.uint8)
+    spot = np.array([[2]], np.uint8)
+    gif = build_animated_gif(
+        (3, 3), pal,
+        [(base, 0, 0, 10, None, 0),
+         (spot, 1, 1, 10, None, 2),   # restore-background after
+         (spot, 0, 0, 10, None, 3),   # restore-previous after
+         (np.full((1, 1), 1, np.uint8), 2, 2, 10, None, 0)])
+    frames = MC.gif_frames(gif)
+    f1 = pal[base]
+    assert np.array_equal(frames[0][1], f1)
+    f2 = f1.copy(); f2[1, 1] = pal[2]
+    assert np.array_equal(frames[1][1], f2)
+    # disposal 2 restored (1,1) to the BACKGROUND color (palette 0)
+    f3 = f1.copy(); f3[1, 1] = pal[0]; f3[0, 0] = pal[2]
+    assert np.array_equal(frames[2][1], f3)
+    # disposal 3 restored the canvas before frame 3
+    f4 = f1.copy(); f4[1, 1] = pal[0]; f4[2, 2] = pal[1]
+    assert np.array_equal(frames[3][1], f4)
+
+
+def test_frame_sample_real_gif(spark):
+    pal = np.array([[0, 0, 0], [50, 100, 150], [250, 200, 150]], np.uint8)
+    a = np.full((2, 2), 1, np.uint8)
+    b = np.full((2, 2), 2, np.uint8)
+    gif = build_animated_gif((2, 2), pal,
+                             [(a, 0, 0, 10, None, 0),    # 100 ms
+                              (b, 0, 0, 5, None, 0)])    # 50 ms
+    media = _media_df(spark, [gif])
+    rows = sorted(MM.frame_sample(media, every_ms=50, decode_stub=False)
+                  .collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_ts_ms"] for r in rows] == [0, 50, 100]
+    decoded = [MC.png_decode(bytes(r["frame"])) for r in rows]
+    assert np.array_equal(decoded[0], pal[a])
+    assert np.array_equal(decoded[1], pal[a])   # still inside [0,100)
+    assert np.array_equal(decoded[2], pal[b])
+    # still image (single frame, zero delay) → exactly one sample
+    still = build_gif(np.full((2, 3), 1, np.uint8), pal)
+    one = MM.frame_sample(_media_df(spark, [still]), every_ms=1000,
+                          decode_stub=False).collect()
+    assert len(one) == 1 and one[0]["frame_ts_ms"] == 0
+    with pytest.raises(Exception):  # non-GIF video: honest stub
+        MM.frame_sample(_media_df(spark, [b"\x00\x00\x00\x18ftypmp42"]),
+                        decode_stub=False).collect()
 
 
 # ---------------------------------------------------------------- WAV
