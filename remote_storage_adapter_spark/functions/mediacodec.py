@@ -88,9 +88,13 @@ def png_decode(p: bytes) -> np.ndarray:
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    # cap inflation at exactly the bytes the image can use — a crafted
+    # decompression-bomb IDAT must not allocate beyond the geometry
+    # the IHDR already promised (quarantine-friendly failure, no OOM)
+    raw = zlib.decompressobj().decompress(b"".join(idat), need)
+    if len(raw) < need:
         raise ValueError("PNG: truncated pixel data")
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.intp)
@@ -107,21 +111,24 @@ def png_decode(p: bytes) -> np.ndarray:
                 cur[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average: sequential in the left operand
-            cur = np.empty(stride, np.intp)
+        elif ftype == 3:  # Average: sequential in the left operand —
+            # plain-list loop (scalar ndarray indexing is far slower)
+            lin, up, acc = line.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = np.empty(stride, np.intp)
+                left = acc[x - ch] if x >= ch else 0
+                acc[x] = (lin[x] + (left + up[x]) // 2) & 0xFF
+            cur = np.asarray(acc, np.intp)
+        elif ftype == 4:  # Paeth — same list-loop rationale
+            lin, up, acc = line.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                ul = prev[x - ch] if x >= ch else 0
-                cur[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+                left = acc[x - ch] if x >= ch else 0
+                ul = up[x - ch] if x >= ch else 0
+                acc[x] = (lin[x] + _paeth(left, up[x], ul)) & 0xFF
+            cur = np.asarray(acc, np.intp)
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         out[y] = cur
-        prev = cur.astype(np.intp)
+        prev = cur  # every branch yields an intp array
     arr = out.reshape(h, w, ch)
     if color == 3:
         if plte is None:
@@ -149,9 +156,8 @@ def png_encode(arr: np.ndarray) -> bytes:
     if color is None:
         raise ValueError(f"png_encode: unsupported channel count {ch}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    lines = np.concatenate(
-        [np.hstack([np.zeros((h, 1), np.uint8), a.reshape(h, w * ch)])
-         .reshape(-1)]
+    lines = np.hstack(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * ch)]
     ).tobytes()
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(lines))
@@ -232,7 +238,7 @@ def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> np.ndarray:
     return out[:n]
 
 
-def gif_frames(p: bytes):
+def gif_frames(p: bytes, *, limit: int | None = None):
     """GIF87a/89a → list of ``(delay_ms, frame)`` with frames as uint8
     (screen_h, screen_w, 3) RGB, COMPOSITED per the GIF89a animation
     model: each image descriptor paints its (possibly sub-rectangle,
@@ -240,7 +246,9 @@ def gif_frames(p: bytes):
     logical-screen canvas; disposal method 2 restores the background
     after the frame, method 3 restores the previous canvas, 0/1 leave
     the canvas as painted. ``delay_ms`` comes from the preceding
-    Graphic Control Extension (0 when absent)."""
+    Graphic Control Extension (0 when absent). ``limit`` stops after
+    that many frames — a still-image caller must not pay LZW decode
+    for a 500-frame animation's tail."""
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw = int.from_bytes(p[6:8], "little")
@@ -316,6 +324,8 @@ def gif_frames(p: bytes):
                 painted = np.where(keep[:, :, None], region, painted)
             canvas[top:top + h, left:left + w] = painted
             frames.append((delay_ms, canvas.copy()))
+            if limit is not None and len(frames) >= limit:
+                return frames
             if disposal == 2:  # restore background in the frame rect
                 canvas[top:top + h, left:left + w] = bg_rgb
             elif disposal == 3 and before is not None:
@@ -333,8 +343,9 @@ def gif_frames(p: bytes):
 def gif_decode(p: bytes) -> np.ndarray:
     """GIF87a/89a first frame → uint8 (h, w, 3) RGB via LZW decode +
     palette lookup; interlaced images are de-interlaced (4-pass row
-    order per the spec). Animations: see :func:`gif_frames`."""
-    return gif_frames(p)[0][1]
+    order per the spec). Animations: see :func:`gif_frames` (this
+    stops after the first frame — no decode of the animation tail)."""
+    return gif_frames(p, limit=1)[0][1]
 
 
 # ---------------------------------------------------------------- WAV

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 from typing import Iterator
-from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -351,7 +350,10 @@ def _decode_one(p: bytes):
                 round(float(flat.mean()), 6) if flat.size else None,
                 round(float(flat.std()), 6) if flat.size else None,
                 None, None, None, None)
-    except (ValueError, NotImplementedError, zlib_error) as e:
+    except Exception as e:  # noqa: BLE001 — quarantine is the contract:
+        # hostile/truncated bytes raise IndexError/struct.error/
+        # MemoryError/… from arbitrary parse depths, and ANY of them
+        # must land in `err`, not abort a 100 TB stage.
         return (None, None, None, None, None, None, None, None, None,
                 f"{type(e).__name__}: {e}")
 
@@ -437,6 +439,8 @@ def frame_sample(media: DataFrame, *, every_ms: int = 1000,
     ``meta.duration_ms``, demonstrating the 1→N expansion shape
     without payload decode (no ``frame`` column).
     """
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     if decode_stub:
         frames = F.explode(
             F.sequence(

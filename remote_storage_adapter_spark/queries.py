@@ -72,6 +72,13 @@ def _prep(spark: SparkSession) -> SparkSession:
     return tune(spark)
 
 
+def _be_bytes(c, nibbles: int):
+    """Int column → fixed-width big-endian bytes (engine-portable:
+    the oracle mirrors it with ``unhex(lpad(hex(..)))``). One shared
+    recipe for every byte-planting query — never inline it again."""
+    return F.unhex(F.lpad(F.hex(c), nibbles, "0"))
+
+
 def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_from_events(load_table(_prep(spark), sf_dir, "events"))
 
@@ -2336,13 +2343,10 @@ def q_multimodal_sniff(spark, sf_dir):
     real format exactly."""
     docs = load_table(_prep(spark), sf_dir, "documents")
 
-    def be32(c):  # int → 4 big-endian bytes, engine-portable
-        return F.unhex(F.lpad(F.hex(c), 8, "0"))
-
     payload = F.concat(
         F.lit(bytes.fromhex("89504E470D0A1A0A0000000D49484452")),
-        be32(F.col("n_chars")),
-        be32(F.col("doc_id") % 256 + 1),
+        _be_bytes(F.col("n_chars"), 8),
+        _be_bytes(F.col("doc_id") % 256 + 1, 8),
         F.lit(bytes.fromhex("0806000000")),
     )
     media = docs.select(
@@ -2374,10 +2378,6 @@ def q_multimodal_decode(spark, sf_dir):
     Pixels: g1 = doc_id % 256, g2 = (doc_id·7 + 13) % 256; the filter
     byte stores d = (g2 − g1) mod 256."""
     docs = load_table(_prep(spark), sf_dir, "documents")
-
-    def be(c, nibbles):  # int column → fixed-width big-endian bytes
-        return F.unhex(F.lpad(F.hex(c), nibbles, "0"))
-
     g1 = F.col("doc_id") % 256
     g2 = (F.col("doc_id") * 7 + 13) % 256
     d = (g2 - g1 + 256) % 256
@@ -2389,7 +2389,7 @@ def q_multimodal_decode(spark, sf_dir):
             "0000000200000001" "0800000000" "00000000")),
         # IDAT(len 14): zlib hdr, stored-block hdr (LEN=3), Sub filter
         F.lit(bytes.fromhex("0000000E49444154" "7801" "010300FCFF" "01")),
-        be(g1, 2), be(d, 2), be(adler, 8),
+        _be_bytes(g1, 2), _be_bytes(d, 2), _be_bytes(adler, 8),
         # IDAT CRC (unchecked by the decoder) + IEND
         F.lit(bytes.fromhex("00000000" "0000000049454E44" "00000000")),
     )

@@ -454,6 +454,42 @@ def _media_df(spark, payloads):
     )
 
 
+def test_decode_media_quarantines_truncated_and_hostile(spark):
+    """Review regressions: exceptions from arbitrary parse depths
+    (IndexError from a truncated GIF header, struct.error from a short
+    IHDR/fmt chunk) must quarantine, and a decompression-bomb IDAT
+    must fail cheaply (output capped at the geometry IHDR promised),
+    not OOM the worker."""
+    short_ihdr = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", b"\x00\x01")
+                  + _chunk(b"IEND", b""))
+    short_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+                 + b"data" + struct.pack("<I", 0))
+    rows = {r["media_id"]: r for r in MM.decode_media(_media_df(
+        spark, [b"GIF89a", short_ihdr, short_fmt],
+    )).collect()}
+    for mid in rows:
+        assert rows[mid]["kind"] is None and rows[mid]["err"], mid
+
+
+def test_decode_media_bomb_is_bounded(spark):
+    """The 100 MB-inflating IDAT on a 2x2 IHDR decodes the first
+    need-bytes only — valid zero pixels, no allocation beyond 15
+    bytes. (Split from the quarantine test: this payload succeeds.)"""
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(bytes(100 * 1024 * 1024)))
+            + _chunk(b"IEND", b""))
+    px = MC.png_decode(bomb)
+    assert px.shape == (2, 2, 3) and int(px.max()) == 0
+
+
+def test_frame_sample_rejects_nonpositive_tick(spark):
+    with pytest.raises(ValueError, match="every_ms"):
+        MM.frame_sample(_media_df(spark, [b"GIF89a"]), every_ms=0,
+                        decode_stub=False)
+
+
 def test_decode_media_quarantines_per_row(spark):
     img = RNG.integers(0, 256, (4, 6, 3), dtype=np.uint8)
     sam = (RNG.integers(-3000, 3000, (50, 2))).astype("<i2")
