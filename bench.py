@@ -302,6 +302,7 @@ BENCH_QUERIES = {
     "sketch_hist_quantiles": Q.q_sketch_hist_quantiles,
     "sketch_bloom_membership": Q.q_sketch_bloom_membership,
     "multimodal_features": Q.q_multimodal_features,
+    "multimodal_decode": Q.q_multimodal_decode,
 }
 
 
