@@ -40,6 +40,7 @@ from remote_storage_adapter_spark.operators import similarity as S
 from remote_storage_adapter_spark.operators import sketch as SK
 from remote_storage_adapter_spark.operators import text as TX
 from remote_storage_adapter_spark.operators import multimodal as MM
+from remote_storage_adapter_spark.operators import classify as CL
 from remote_storage_adapter_spark.functions import graphite as G
 from remote_storage_adapter_spark.functions import influx as IX
 from remote_storage_adapter_spark.functions import opentsdb as OT
@@ -1898,6 +1899,44 @@ SELECT fs.doc_id, CAST(dl AS BIGINT) AS n_tokens,
        round(exp(round(-(logp1 + coalesce(lp_bi, 0.0))
                        / CAST(dl AS DOUBLE), 6)), 2) AS ppl2
 FROM fs LEFT JOIN bs USING (doc_id)
+"""
+
+
+def q_text_quality_score(spark, sf_dir):
+    """Hashed-linear quality-classifier SCORING path, oracle-gated
+    end to end with frozen analytic weights (`classify.lr_score`,
+    `rounded=True`): tokens → portable-hash bucket → per-(doc, bucket)
+    log(1+count) mass → broadcast dim-row weight join → per-doc
+    sigmoid. The trained path (`classify.lr_train`) shares this exact
+    scoring pipeline; training itself is iterative (non-SQL) and is
+    locked in pytest on separable planted data. Oracled orphan
+    (test_registry_locks), not a registry row."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    w = CL.frozen_weights(64)
+    return CL.lr_score(docs, w, 0.05, dim=64, rounded=True) \
+        .select("doc_id", "score")
+
+
+O_text_quality_score = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split({NORM_SQL}, ' '), t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST({_ph_sql('tok')} % 64 AS INTEGER) AS bucket,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+), dots AS (
+  SELECT doc_id,
+         sum(round(((bucket * 2654435761) % 2000 / 1000.0 - 1.0)
+                   * ln(1.0 + c), 9)) AS dot
+  FROM counts GROUP BY 1
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-round(coalesce(dot, 0.0) + 0.05, 9))),
+             6) AS score
+FROM documents d LEFT JOIN dots USING (doc_id)
 """
 
 

@@ -92,6 +92,7 @@ _ORACLED_ORPHANS = [
     "emb_quantize",
     "text_lm_ref",
     "text_manifest",
+    "text_quality_score",
 ]
 
 
