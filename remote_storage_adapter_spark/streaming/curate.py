@@ -43,6 +43,9 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        minhash_kwargs: dict | None = None,
                        min_q_score: float = 0.5,
                        max_ppl: float | None = None,
+                       model=None,
+                       min_model_score: float | None = None,
+                       model_dim: int = 256,
                        buckets: int = 16,
                        index_buckets: int = 64,
                        id_col: str = "doc_id",
@@ -92,6 +95,18 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     batch + committed state. ``minhash_kwargs`` (num_hashes, bands,
     shingle_n, mode, buckets) must stay constant across the index's
     lifetime.
+
+    ``model=(weights, bias)`` with ``min_model_score`` arms the
+    TRAINED-CLASSIFIER gate (`operators.classify.lr_score` — the
+    CCNet-style filter): docs scoring below the threshold get status
+    ``low_model``, evaluated after the rule-quality gate and before
+    the LM gate. The score is a pure function of the batch text and
+    the given frozen weights, so the decide-once protocol is
+    untouched; a ``model_score`` column is added to the curated table
+    — arm the gate from the FIRST batch of an ``out_dir`` (mixing
+    armed and unarmed batches changes the parquet schema mid-corpus).
+    ``model_dim`` must match the dimension the weights were trained
+    at.
     """
     from remote_storage_adapter_spark.operators.dedup import (
         cache_scope,
@@ -152,10 +167,26 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
             else:
                 scored = scored.withColumn("ppl", F.lit(None)
                                            .cast("double"))
+            model_live = model is not None and min_model_score is not None
+            if model_live:
+                from remote_storage_adapter_spark.operators.classify import (
+                    lr_score,
+                )
+
+                mw, mb = model
+                ms = lr_score(clean, mw, mb, dim=model_dim,
+                              id_col=id_col, text_col=text_col,
+                              out_col="model_score")
+                scored = scored.join(ms, id_col, "left")
             scored = scored.withColumn("_status0", (
                 F.when(F.col("_seen_fp").isNotNull(), "dup_seen")
                 .when(F.col(id_col) != F.col("_first_id"), "dup_batch")
                 .when(F.col("q_score") < min_q_score, "low_quality")
+                .when(
+                    F.lit(model_live)
+                    & (F.col("model_score") < min_model_score
+                       if model_live else F.lit(False)),
+                    "low_model")
                 .when(
                     F.lit(lm_live) & (F.col("ppl") > max_ppl
                                       if max_ppl is not None
@@ -175,8 +206,11 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                     "near_dup").otherwise(F.col("_status0"))
             else:
                 status = F.col("_status0")
+            out_cols = [id_col, text_col, "q_score", "ppl"]
+            if model_live:
+                out_cols.append("model_score")
             curated = scored.select(
-                id_col, text_col, "q_score", "ppl",
+                *out_cols,
                 status.alias("status"), "fp",
                 F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                        F.lit(buckets)).alias("b"),
@@ -335,6 +369,9 @@ def stream_curate_maintain(
     minhash_kwargs: dict | None = None,
     min_q_score: float = 0.5,
     max_ppl: float | None = None,
+    model=None,
+    min_model_score: float | None = None,
+    model_dim: int = 256,
     buckets: int = 16,
     index_buckets: int = 64,
     id_col: str = "doc_id",
@@ -348,9 +385,10 @@ def stream_curate_maintain(
     consumers filter ``status = 'kept'``. When ``index_path`` /
     ``lm_state`` / ``minhash_prefix`` are given, kept docs also
     maintain the BM25 index, the reference LM, and the MinHash
-    near-dup index (which arms the ``near_dup`` gate) — the full
-    ingest-to-artifacts pipeline in one exactly-once batch apply
-    (see :func:`apply_curate_batch`).
+    near-dup index (which arms the ``near_dup`` gate); ``model`` +
+    ``min_model_score`` arm the trained-classifier gate
+    (``low_model`` status) — the full ingest-to-artifacts pipeline in
+    one exactly-once batch apply (see :func:`apply_curate_batch`).
 
     Replay ledgers key on the MICRO-BATCH ID, which is stable only
     under deterministic re-batching: a fresh-checkpoint reprocess must
@@ -374,6 +412,8 @@ def stream_curate_maintain(
             near_dup_threshold=near_dup_threshold,
             minhash_kwargs=minhash_kwargs,
             min_q_score=min_q_score, max_ppl=max_ppl,
+            model=model, min_model_score=min_model_score,
+            model_dim=model_dim,
             buckets=buckets, index_buckets=index_buckets,
             id_col=id_col, text_col=text_col))
         .option("checkpointLocation", checkpoint_dir)

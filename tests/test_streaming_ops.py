@@ -1498,3 +1498,58 @@ def test_curation_near_dup_gate(spark, tmp_path, monkeypatch):
     D.reset_managed_tables(
         spark, *[f"{prefix}_{t}"
                  for t in ("banded", "sigs", "counts", "applied")])
+
+
+def test_curation_model_gate_low_model_status(spark, tmp_path):
+    """The trained-classifier gate (r7): a gibberish doc that PASSES
+    the rule-quality gate (has stopwords, sane word lengths) is
+    rejected by the hashed-linear model with status ``low_model``;
+    the decide-once replay contract holds (re-apply is a no-op with
+    identical statuses and scores)."""
+    from remote_storage_adapter_spark.operators import classify as CL
+    from remote_storage_adapter_spark.streaming.curate import (
+        apply_curate_batch,
+    )
+
+    good = ["the quick brown fox jumps over the lazy dog",
+            "a stitch in time saves nine and more",
+            "to be or not to be that is the question",
+            "all that glitters is not gold my friend"]
+    junk = ["zzqx wvvk the jjpq xxrr qqzz",
+            "kkxw qzzv of rrjj ppxx wwqq",
+            "xjqk zwpv and qrxz jkpw vvxq",
+            "qpw zxj to kvv rqz jxp"]
+    rows, i = [], 0
+    for c in range(4):
+        for t in good:
+            rows.append((i, f"{t} variant {c}", 1)); i += 1
+        for t in junk:
+            rows.append((i, f"{t} zq{c}", 0)); i += 1
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    feats = CL.hashed_features(train.select("doc_id", "text"), dim=64) \
+        .join(train.select("doc_id", "label"), "doc_id").cache()
+    try:
+        w, b, _ = CL.lr_train(feats, dim=64, iters=20, lr=2.0)
+    finally:
+        feats.unpersist()
+
+    out, seen = str(tmp_path / "curated"), str(tmp_path / "seen")
+    batch = spark.createDataFrame(
+        [(101, good[0] + " once more"),          # reference-like: kept
+         (102, junk[0] + " again and again")],   # passes rules, junk vocab
+        "doc_id long, text string")
+    kwargs = dict(out_dir=out, seen_state=seen, min_q_score=0.5,
+                  model=(w, b), min_model_score=0.5, model_dim=64,
+                  buckets=2)
+    assert apply_curate_batch(batch, 0, **kwargs) is True
+    rows0 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows0[101]["status"] == "kept"
+    assert rows0[102]["status"] == "low_model"
+    # the score that drove the decision is committed with the batch
+    assert rows0[101]["model_score"] >= 0.5
+    assert rows0[102]["model_score"] < 0.5
+    # decide-once replay: no-op, identical rows
+    assert apply_curate_batch(batch, 0, **kwargs) is False
+    rows1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert {k: (v["status"], v["model_score"]) for k, v in rows0.items()} \
+        == {k: (v["status"], v["model_score"]) for k, v in rows1.items()}
