@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import normalized, portable_hash64, portable_hash64_py
+from .dedup import portable_hash64, portable_hash64_py
 from .text import tokens
 
 
@@ -76,10 +76,11 @@ def hashed_features(docs: DataFrame, *, dim: int = 256,
     vector (every doc keeps a row — full-coverage contract).
     """
     id_field = docs.schema[id_col]
+    # the ONE tokenization recipe — identical to lr_score's, so the
+    # training features and the deployment scorer cannot diverge
     norm = docs.select(
         F.col(id_col),
-        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))),
-                " ").alias("toks"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,6 +186,11 @@ def lr_score(docs: DataFrame, weights: Sequence[float], bias: float,
     Docs with no tokens still score (``sigmoid(bias)``) — full
     per-doc coverage, NULL text treated as empty.
     """
+    if len(weights) != dim:
+        raise ValueError(
+            f"lr_score: {len(weights)} weights for dim={dim} — a "
+            "mismatch would silently drop token mass at the bucket "
+            "join; pass the dim the model was trained at")
     spark = docs.sparkSession
     wtab = F.broadcast(spark.createDataFrame(
         [(k, float(v)) for k, v in enumerate(weights)], "bucket int, w double"

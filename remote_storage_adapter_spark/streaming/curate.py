@@ -102,11 +102,13 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     ``low_model``, evaluated after the rule-quality gate and before
     the LM gate. The score is a pure function of the batch text and
     the given frozen weights, so the decide-once protocol is
-    untouched; a ``model_score`` column is added to the curated table
-    — arm the gate from the FIRST batch of an ``out_dir`` (mixing
-    armed and unarmed batches changes the parquet schema mid-corpus).
+    untouched, and scores use the 9-dp-rounded deterministic path so
+    a reprocess cannot flip a threshold-straddling decision. The
+    ``model_score`` column is ALWAYS present in the curated table
+    (NULL when the gate is unarmed — same convention as ``ppl``), so
+    arming the gate mid-corpus does not change the parquet schema.
     ``model_dim`` must match the dimension the weights were trained
-    at.
+    at (`lr_score` validates the weight count).
     """
     from remote_storage_adapter_spark.operators.dedup import (
         cache_scope,
@@ -174,10 +176,20 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                 )
 
                 mw, mb = model
+                # rounded=True: the committed decision input must be
+                # run-reproducible (float-sum order is not), or a
+                # threshold-straddling doc could flip status between
+                # a run and its fresh-checkpoint reprocess
                 ms = lr_score(clean, mw, mb, dim=model_dim,
                               id_col=id_col, text_col=text_col,
-                              out_col="model_score")
+                              out_col="model_score", rounded=True)
                 scored = scored.join(ms, id_col, "left")
+            else:
+                # column always present (the ppl convention) — the
+                # curated table's parquet schema must not change when
+                # the gate is armed mid-corpus
+                scored = scored.withColumn(
+                    "model_score", F.lit(None).cast("double"))
             scored = scored.withColumn("_status0", (
                 F.when(F.col("_seen_fp").isNotNull(), "dup_seen")
                 .when(F.col(id_col) != F.col("_first_id"), "dup_batch")
@@ -206,11 +218,8 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                     "near_dup").otherwise(F.col("_status0"))
             else:
                 status = F.col("_status0")
-            out_cols = [id_col, text_col, "q_score", "ppl"]
-            if model_live:
-                out_cols.append("model_score")
             curated = scored.select(
-                *out_cols,
+                id_col, text_col, "q_score", "ppl", "model_score",
                 status.alias("status"), "fp",
                 F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                        F.lit(buckets)).alias("b"),
@@ -442,6 +451,9 @@ def curation_report(spark, out_dir: str, *,
             .alias("n_tokens"),
             F.round(F.avg("q_score"), 6).alias("mean_q_score"),
             F.round(F.avg("ppl"), 6).alias("mean_ppl"),
+            # NULL-tolerant like ppl: rows from unarmed-gate batches
+            # (model_score NULL) average over the scored subset only
+            F.round(F.avg("model_score"), 6).alias("mean_model_score"),
         )
         .orderBy("status")
     )
