@@ -41,6 +41,17 @@ def bench_ingest_transform(spark, sf_dir):
     return to_metrics(samples)
 
 
+def bench_quality_score(spark, sf_dir):
+    """Hashed-linear classifier scoring (r7): the deployment path
+    (explode → bucket count → broadcast weight join → sigmoid) over
+    every document. Reduced to a 1-row aggregate because the
+    harness's ``count()`` on the raw result would let Catalyst
+    eliminate the unique-key left join and skip the scoring work."""
+    return Q.q_text_quality_score(spark, sf_dir).agg(
+        F.sum("score").alias("sum_score"),
+        F.count(F.lit(1)).alias("n"))
+
+
 def bench_write_metrics(spark, sf_dir):
     """K1 sort + date-partitioned fan-out write (VERDICT r5 next #2).
 
@@ -303,6 +314,7 @@ BENCH_QUERIES = {
     "sketch_bloom_membership": Q.q_sketch_bloom_membership,
     "multimodal_features": Q.q_multimodal_features,
     "multimodal_decode": Q.q_multimodal_decode,
+    "text_quality_score": bench_quality_score,
 }
 
 
