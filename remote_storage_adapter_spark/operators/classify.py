@@ -177,11 +177,16 @@ def lr_score(docs: DataFrame, weights: Sequence[float], bias: float,
     bucket → per-(doc, bucket) count → broadcast-join the ``dim``-row
     weight table → per-doc ``sigmoid(Σ w_k·log(1+c_k) + b)``.
 
-    Shuffles only (id, bucket) count rows; the weight join is an
-    explicit broadcast (dim rows). ``rounded=True`` applies the
-    oracle-discipline rounding (9-dp contributions before the sum,
-    9-dp margin before the sigmoid, 6-dp output) so the result is
-    engine-reproducible; leave False for raw scores.
+    Shuffles only (id, bucket) count rows — never the text, never the
+    doc table; the weight join is an explicit broadcast (dim rows),
+    LEFT so the ``explode_outer`` placeholder row of a token-free doc
+    survives to the per-doc aggregate (full coverage with NO
+    doc-table back-join — the whole plan is scan → two bounded-width
+    hash aggregates → broadcast join, plan-locked in test_scale).
+    ``rounded=True`` applies the oracle-discipline rounding (9-dp
+    contributions before the sum, 9-dp margin before the sigmoid,
+    6-dp output) so the result is engine-reproducible; leave False
+    for raw scores.
 
     Docs with no tokens still score (``sigmoid(bias)``) — full
     per-doc coverage, NULL text treated as empty.
@@ -209,7 +214,10 @@ def lr_score(docs: DataFrame, weights: Sequence[float], bias: float,
     contrib = F.col("w") * F.log(F.lit(1.0) + F.col("c"))
     if rounded:
         contrib = F.round(contrib, 9)
-    dots = counts.join(wtab, "bucket").groupBy(id_col).agg(
+    # LEFT: a token-free doc's NULL-bucket placeholder row finds no
+    # weight, its NULL contribution vanishes in the sum, and the doc
+    # still gets a group — sigmoid(bias) without re-joining docs
+    dots = counts.join(wtab, "bucket", "left").groupBy(id_col).agg(
         F.sum(contrib).alias("dot"))
     margin = F.coalesce(F.col("dot"), F.lit(0.0)) + F.lit(float(bias))
     if rounded:
@@ -217,9 +225,7 @@ def lr_score(docs: DataFrame, weights: Sequence[float], bias: float,
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     if rounded:
         score = F.round(score, 6)
-    # left join back to every doc: token-free docs score sigmoid(bias)
-    return docs.select(id_col).join(dots, id_col, "left") \
-        .select(F.col(id_col), score.alias(out_col))
+    return dots.select(F.col(id_col), score.alias(out_col))
 
 
 def frozen_weights(dim: int = 256, *, seed: int = 2654435761) -> list:

@@ -1014,3 +1014,20 @@ def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir):
     D.unpersist_pinned()
     D.reset_managed_tables(spark, table, f"{table}_applied",
                            t_inc, f"{t_inc}_applied")
+
+
+def test_classifier_score_plan_shape(spark, sf_dir):
+    """Scale-posture lock for the r7 classifier scoring path: the
+    dim-row weight table joins as an explicit broadcast (never a
+    sort-merge join), aggregates stay hash-based, and the only wide
+    exchanges key on (doc, bucket)/(doc) — shuffle width is capped at
+    dim rows per doc regardless of document length."""
+    from remote_storage_adapter_spark.operators import classify as CL
+    from remote_storage_adapter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _spark_plan(CL.lr_score(docs, CL.frozen_weights(64), 0.0,
+                                   dim=64))
+    assert "BroadcastHashJoin" in plan     # the weight join
+    assert "SortMergeJoin" not in plan
+    assert "SortAggregate" not in plan
