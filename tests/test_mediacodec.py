@@ -433,6 +433,88 @@ def test_wav_rejects_non_pcm():
         MC.wav_decode(wav)
 
 
+def test_png_roundtrip_property():
+    """Property fuzz: encode→decode is the identity for ANY uint8
+    array in the supported profile (all sizes, all channel counts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.sampled_from([1, 2, 3, 4]), st.integers(0, 2 ** 32 - 1))
+    def roundtrip(h, w, ch, seed):
+        a = np.random.default_rng(seed).integers(
+            0, 256, (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(MC.png_decode(MC.png_encode(a)), a)
+
+    roundtrip()
+
+
+def test_png_all_filters_property():
+    """Property fuzz: spec-faithful filtering with ARBITRARY per-row
+    filter choices always reconstructs — the cross-row filter
+    interactions (Up/Average/Paeth read the previous RECONSTRUCTED
+    row) are the part a fixed test matrix can miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 8), st.integers(1, 6),
+           st.sampled_from([1, 3]), st.integers(0, 2 ** 32 - 1),
+           st.data())
+    def reconstructs(h, w, ch, seed, data):
+        fts = data.draw(st.lists(st.integers(0, 4),
+                                 min_size=h, max_size=h))
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, ch), dtype=np.uint8)
+        color = {1: 0, 3: 2}[ch]
+        assert np.array_equal(
+            MC.png_decode(build_png(px, fts, color)), px)
+
+    reconstructs()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 200), st.sampled_from([1, 2]),
+           st.integers(0, 2 ** 32 - 1))
+    def roundtrip(n, ch, seed):
+        sam = np.random.default_rng(seed).integers(
+            -32768, 32768, (n, ch)).astype("<i2")
+        s, sr = MC.wav_decode(build_wav(sam, 8000))
+        assert sr == 8000 and s.shape == (n, ch)
+        assert np.array_equal(
+            (s * 32768.0).astype("<i2"), sam)
+
+    roundtrip()
+
+
+def test_hostile_bytes_never_hang_or_crash_decode_one():
+    """Fuzz the quarantine contract directly: arbitrary byte strings
+    through the worker-side _decode_one must return a row (ok or
+    err), never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from remote_storage_adapter_spark.operators.multimodal import (
+        _decode_one,
+    )
+
+    sigs = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"RIFF",
+            b"\xff\xd8"]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.sampled_from(sigs), st.binary(max_size=120))
+    def never_raises(sig, tail):
+        row = _decode_one(sig + tail)
+        assert len(row) == 10
+
+    never_raises()
+
+
 # ------------------------------------------------------- dispatch
 
 def test_decode_pixels_dispatch_and_honest_jpeg_stub():
