@@ -70,6 +70,10 @@ def png_decode(p: bytes) -> np.ndarray:
         ctype = p[i + 4:i + 8]
         data = p[i + 8:i + 8 + clen]
         if ctype == b"IHDR":
+            # a lying chunk length (truncated IHDR) must surface as
+            # the documented ValueError, not struct.error (r7 ADVICE)
+            if len(data) < 13:
+                raise ValueError("PNG: truncated IHDR")
             ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
@@ -248,9 +252,19 @@ def gif_frames(p: bytes, *, limit: int | None = None):
     the canvas as painted. ``delay_ms`` comes from the preceding
     Graphic Control Extension (0 when absent). ``limit`` stops after
     that many frames — a still-image caller must not pay LZW decode
-    for a 500-frame animation's tail."""
+    for a 500-frame animation's tail.
+
+    Known deviation (r7 ADVICE): when disposal method 2 combines with
+    a declared transparency index, this sampler restores the frame
+    rectangle to the global background COLOR; common renderers treat
+    such regions as transparent (the prior composited content shows
+    through). An RGB canvas has no alpha to carry "transparent", so
+    ticks landing right after such a frame can show background-colored
+    rectangles where a browser would show the earlier frame."""
     if p[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(p) < 13:  # header + logical screen descriptor
+        raise ValueError("GIF: truncated header")
     sw = int.from_bytes(p[6:8], "little")
     sh = int.from_bytes(p[8:10], "little")
     flags = p[10]
@@ -361,6 +375,10 @@ def wav_decode(p: bytes):
         clen = int.from_bytes(p[i + 4:i + 8], "little")
         body = p[i + 8:i + 8 + clen]
         if cid == b"fmt ":
+            # same ValueError contract as the PNG IHDR guard: a fmt
+            # chunk declaring < 16 bytes must not leak struct.error
+            if len(body) < 16:
+                raise ValueError("WAV: fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -833,7 +833,7 @@ def bm25_search_indexed(spark, path: str, query: str, *, k: int = 10,
     if not qterms:
         raise ValueError("query has no terms after normalization")
     tbs = sorted({term_bucket_of(t, buckets) for t in qterms})
-    sdf = spark.read.parquet(f"{path}/_stats")
+    sdf = _read_stats(spark, path)
     _check_index_buckets(sdf, buckets, path)
     st = sdf.agg(F.sum("n_docs").alias("n"),
                  F.sum("total_dl").alias("tot")).first()
@@ -951,15 +951,42 @@ def _postings(docs: DataFrame, buckets: int, id_col: str,
     return postings, stats
 
 
+def _read_stats(spark, path: str) -> DataFrame:
+    """Read ``<path>/_stats`` with schema merging ON: a mixed
+    directory (legacy pre-guard rows without the ``buckets`` column
+    plus post-guard rows carrying it) must surface the column — plain
+    schema inference picks one file's schema at random and can hide
+    the recorded modulus, turning the bucket-mismatch guard back into
+    the silent failure it exists to prevent (r7 ADVICE)."""
+    return spark.read.option("mergeSchema", "true") \
+        .parquet(f"{path}/_stats")
+
+
 def _check_index_buckets(stats_df: DataFrame, buckets: int,
                          path: str) -> None:
     """Raise if the index's recorded term-bucket modulus differs from
     the caller's ``buckets`` — the failure is otherwise SILENT (the
     ``tb`` filter prunes to partitions the postings aren't in and the
-    probe just misses documents). Stats written before the guard
-    (no ``buckets`` column) are tolerated."""
+    probe just misses documents).
+
+    A legacy index (no ``buckets`` column in any stats row — built
+    before the modulus was recorded) is a hard error, not a silent
+    pass (r7 ADVICE): the caller's modulus CANNOT be verified, and an
+    append at the wrong modulus lands postings in partitions probes
+    never read — silent document invisibility. Declare the build's
+    true modulus once with :func:`declare_index_buckets`, after which
+    this guard works normally (rows that predate the declaration read
+    as NULL under the merged schema and are skipped)."""
     if "buckets" not in stats_df.columns:
-        return
+        raise ValueError(
+            f"text index at {path} predates term-bucket modulus "
+            f"recording (no 'buckets' column in _stats), so the "
+            f"caller's buckets={buckets} cannot be verified — a "
+            f"mismatch silently prunes probes to wrong tb partitions "
+            f"and strands appended postings. Declare the modulus the "
+            f"index was BUILT with (once) via "
+            f"declare_index_buckets(spark, path, <built_buckets>), "
+            f"then retry")
     seen = {r["b"] for r in
             stats_df.select(F.col("buckets").alias("b"))
             .distinct().collect() if r["b"] is not None}
@@ -969,6 +996,41 @@ def _check_index_buckets(stats_df: DataFrame, buckets: int,
             f"term-bucket count(s) {sorted(seen)} but called with "
             f"buckets={buckets} — tb pruning would read the wrong "
             f"partitions; pass the build's bucket count")
+
+
+def declare_index_buckets(spark, path: str, buckets: int) -> None:
+    """One-time migration for a LEGACY :func:`build_text_index` whose
+    ``_stats`` rows predate modulus recording: append a zero-mass
+    stats row (n_docs=0, total_dl=0) carrying ``buckets``. Probes SUM
+    stats rows, so the zero row changes no score, while the recorded
+    modulus re-arms the mismatch guard — future appends/probes at a
+    different count fail loudly instead of silently losing documents.
+
+    ``buckets`` must be the count the index was actually BUILT with
+    (count the ``tb=*`` partition dirs if unsure — it is ≥ the
+    largest ``tb`` value present). Declaring a wrong modulus makes
+    correct callers fail and wrong callers pass; this cannot be
+    detected after the fact, which is why the declaration is manual.
+    Raises if the index already records a different modulus."""
+    sdf = _read_stats(spark, path)
+    if "buckets" in sdf.columns:
+        seen = {r["b"] for r in
+                sdf.select(F.col("buckets").alias("b"))
+                .distinct().collect() if r["b"] is not None}
+        if seen and seen != {buckets}:
+            raise ValueError(
+                f"text index at {path} already records term-bucket "
+                f"count(s) {sorted(seen)}; cannot declare {buckets}")
+        if seen == {buckets}:
+            return  # already declared — idempotent
+    (
+        spark.createDataFrame(
+            [(0, 0, buckets)],
+            "n_docs long, total_dl long, buckets int")
+        .withColumn("part", F.lit(0)).coalesce(1)
+        .write.mode("append").partitionBy("part")
+        .parquet(f"{path}/_stats")
+    )
 
 
 def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
@@ -985,8 +1047,7 @@ def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
     partitions probes never read. New doc ids must be unseen."""
     spark = docs.sparkSession
     try:
-        _check_index_buckets(
-            spark.read.parquet(f"{path}/_stats"), buckets, path)
+        _check_index_buckets(_read_stats(spark, path), buckets, path)
     except AnalysisException:
         pass  # no index yet — this append bootstraps it
     postings, stats = _postings(docs, buckets, id_col, text_col)
@@ -1185,7 +1246,7 @@ def bm25_search_batch_indexed(spark, path: str, queries: DataFrame, *,
     if not term_list:
         raise ValueError("query batch has no terms after normalization")
     tbs = sorted({term_bucket_of(t, buckets) for t in term_list})
-    sdf = spark.read.parquet(f"{path}/_stats")
+    sdf = _read_stats(spark, path)
     _check_index_buckets(sdf, buckets, path)
     st = sdf.agg(F.sum("n_docs").alias("n"),
                  F.sum("total_dl").alias("tot")).first()

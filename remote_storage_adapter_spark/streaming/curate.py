@@ -59,6 +59,15 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     (``bm25_search_indexed`` defaults to 64 — a mismatched probe
     silently prunes to wrong ``tb`` partitions).
 
+    MIGRATION (r7 → r8): before ``index_buckets`` existed, the BM25
+    index inherited ``buckets`` (default 16); it now defaults to 64.
+    A pipeline resuming over an index built by the old code MUST pass
+    ``index_buckets=<the old build's count>`` (16 unless overridden).
+    This is no longer a silent hazard: indexes record their modulus
+    in ``_stats`` and every append/probe verifies it, and a legacy
+    index with no recorded modulus HARD-FAILS until declared via
+    ``operators.text.declare_index_buckets`` (r7 ADVICE).
+
     Steps (each independently markered/idempotent):
 
     1. decisions — IF the curated-table marker is absent: exact-dedup
@@ -442,8 +451,15 @@ def curation_report(spark, out_dir: str, *,
     aggregate; read it any time, including mid-stream."""
     from remote_storage_adapter_spark.operators.text import token_count
 
+    df = spark.read.parquet(out_dir)
+    # a directory written ENTIRELY by pre-model-gate code has no
+    # model_score column at all (mixed dirs are fine — missing
+    # per-file columns read as NULL); emit a typed NULL so the report
+    # schema is stable either way (r7 ADVICE)
+    model_score = (F.col("model_score") if "model_score" in df.columns
+                   else F.lit(None).cast("double"))
     return (
-        spark.read.parquet(out_dir)
+        df
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -453,7 +469,7 @@ def curation_report(spark, out_dir: str, *,
             F.round(F.avg("ppl"), 6).alias("mean_ppl"),
             # NULL-tolerant like ppl: rows from unarmed-gate batches
             # (model_score NULL) average over the scored subset only
-            F.round(F.avg("model_score"), 6).alias("mean_model_score"),
+            F.round(F.avg(model_score), 6).alias("mean_model_score"),
         )
         .orderBy("status")
     )

@@ -52,6 +52,7 @@ def apply_text_index_batch(batch_df: DataFrame, batch_id: int,
     from remote_storage_adapter_spark.operators.text import (
         _check_index_buckets,
         _postings,
+        _read_stats,
     )
 
     spark = batch_df.sparkSession
@@ -60,8 +61,7 @@ def apply_text_index_batch(batch_df: DataFrame, batch_id: int,
                        ledger_dir="_text_ledger"):
         return False
     try:
-        _check_index_buckets(spark.read.parquet(stats_path), buckets,
-                             path)
+        _check_index_buckets(_read_stats(spark, path), buckets, path)
     except AnalysisException:
         pass  # no stats yet — this batch bootstraps the index
     postings, stats = _postings(batch_df, buckets, id_col, text_col)

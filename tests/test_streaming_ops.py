@@ -1553,3 +1553,25 @@ def test_curation_model_gate_low_model_status(spark, tmp_path):
     rows1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert {k: (v["status"], v["model_score"]) for k, v in rows0.items()} \
         == {k: (v["status"], v["model_score"]) for k, v in rows1.items()}
+
+
+def test_curation_report_pre_model_gate_directory(spark, tmp_path):
+    """r7 ADVICE: a curated directory written ENTIRELY by
+    pre-model-gate code has no model_score column at all; the report
+    must still run, emitting a typed-NULL mean_model_score (mixed
+    dirs already worked — missing per-file columns read as NULL)."""
+    from remote_storage_adapter_spark.streaming.curate import (
+        curation_report,
+    )
+
+    out = str(tmp_path / "curated_legacy")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", 0.9, None, "kept"),
+         (2, "zz", 0.2, None, "low_quality")],
+        "doc_id long, text string, q_score double, ppl double, "
+        "status string",
+    ).write.parquet(out)
+    rep = {r["status"]: r for r in curation_report(spark, out).collect()}
+    assert rep["kept"]["n_docs"] == 1
+    assert rep["kept"]["mean_model_score"] is None
+    assert rep["low_quality"]["mean_model_score"] is None
