@@ -1194,33 +1194,54 @@ def simhash_fingerprints(docs: DataFrame, *, bits: int = 64,
     oracle-checked variant. Portable hashes are < 2**60, so fp bits
     60-63 always vote negative and stay 0 on both engines.
     """
+    if bits != 64:
+        raise ValueError(
+            f"simhash_fingerprints supports bits=64 only (got {bits}) "
+            f"— the lane packing below pairs bit j with bit j+32; use "
+            f"the simhash() column expression for narrower widths")
     token_hash = (portable_hash64(F.col("w")) if hash_mode == "portable"
                   else F.xxhash64("w"))
     words = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("w"),
     ).select("id", token_hash.alias("h"))
-    # branch-free votes: bit b's ±1 sum over n tokens is 2·Σbit − n,
-    # so bit set ⟺ 2·Σbit > n — same values (ties included: 2s = n ⟺
-    # sum = 0 ⟺ bit clear on both forms), ~15% cheaper per row than
-    # the conditional mask-AND sum it replaces
+    # branch-free votes, SWAR-packed (r8): bit b's ±1 sum over n
+    # tokens is 2·Σbit − n, so bit set ⟺ 2·Σbit > n. Lanes: one sum
+    # per bit PAIR — ``(h >> j) & 0x0000000100000001`` accumulates
+    # bit j in the low 32-bit lane and bit j+32 in the high lane of a
+    # single long, halving the aggregate count. Lane overflow needs
+    # 2^31 tokens in ONE document (≥ 4 GiB of text — Spark's 2 GiB
+    # string cap is hit first), so the packing is exact.
+    lane = F.lit((1 << 32) | 1).cast("long")
     aggs = [
-        F.sum(
-            F.shiftrightunsigned(F.col("h"), b)
-            .bitwiseAND(F.lit(1).cast("long"))
-        ).alias(f"_b{b}")
-        for b in range(bits)
+        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(lane))
+        .alias(f"_s{j}")
+        for j in range(bits // 2)
     ] + [F.count(F.lit(1)).alias("_n")]
     voted = words.groupBy("id").agg(*aggs)
-    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    fp = F.lit(0).cast("long")
-    for b, m in enumerate(mask_vals):
-        fp = fp.bitwiseOR(
-            F.when(2 * F.col(f"_b{b}") > F.col("_n"),
-                   F.lit(m).cast("long"))
+    # fingerprint assembly as a SECOND tiny aggregation over exploded
+    # (id, bit, count) rows instead of a 64-term nested OR-of-whens
+    # projection: the giant expression tree cost ~1 s of driver-side
+    # analysis/codegen per ACTION (3× the distributed work at bench
+    # scale). posexplode preserves the first aggregate's id
+    # partitioning, so the re-group adds no Exchange; a sum of
+    # distinct powers of two IS the bitwise OR (bit 63 wraps to the
+    # sign bit — two's complement keeps the value exact).
+    cnts = F.array(*[
+        (F.col(f"_s{b % (bits // 2)}")
+         .bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+         if b < bits // 2
+         else F.shiftrightunsigned(F.col(f"_s{b - bits // 2}"), 32))
+        for b in range(bits)
+    ])
+    per_bit = voted.select(
+        "id", "_n", F.posexplode(cnts).alias("b", "c"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(2 * F.col("c") > F.col("_n"),
+                   F.expr("shiftleft(cast(1 as bigint), b)"))
             .otherwise(F.lit(0).cast("long"))
-        )
-    return voted.select("id", fp.alias("fp"))
+        ).alias("fp"))
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
@@ -1245,6 +1266,9 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     banded = _simhash_banded(fp, max_hamming, 1) \
         .select("id", "fp", "chunk", "key")
     a, b = banded.alias("a"), banded.alias("b")
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
     return (
         a.join(
             b,
@@ -1252,15 +1276,17 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        # lowest-agreeing-chunk emit (see _first_agree_only): the
+        # per-pair dedup shuffle drops from all candidates to the
+        # verified pairs
+        .filter(_first_agree_only(F.col("a.chunk"), xor, chunks, width))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1643,6 +1669,24 @@ def _simhash_banded(fp_df: DataFrame, max_hamming: int,
          + F.pmod(F.col("key"), F.lit(buckets))).cast("int"))
 
 
+def _first_agree_only(chunk_col, xor_col, chunks: int, width: int):
+    """Filter that emits each candidate pair only from its LOWEST
+    agreeing chunk. Key equality at chunk c means chunk c of the
+    fingerprint XOR is zero, so a pair joins once per agreeing chunk;
+    requiring every LOWER chunk of the XOR to be nonzero makes
+    exactly one chunk's row survive — the pair set is identical, but
+    the per-pair dedup no longer has to shuffle every candidate
+    (r8: the dropDuplicates exchange was the simhash probes' largest
+    post-join cost; it now touches only verified pairs)."""
+    mask = F.lit((1 << width) - 1).cast("long")
+    cond = F.lit(True)
+    for cp in range(chunks - 1):
+        nz = F.shiftrightunsigned(xor_col, cp * width) \
+            .bitwiseAND(mask) != F.lit(0)
+        cond = cond & ((chunk_col <= F.lit(cp)) | nz)
+    return cond
+
+
 def reset_managed_tables(spark, *tables: str) -> None:
     """Drop catalog tables AND their managed warehouse directories.
     A previous session's warehouse dirs outlive the in-memory
@@ -1836,6 +1880,9 @@ def simhash_join_indexed(spark, table: str, incoming: DataFrame, *,
                      for r in bq.select("ck").distinct().collect())
         idx = idx.filter(F.col("ck").isin(cks))
     bq, idx = bq.alias("q"), idx.alias("r")
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    xor = F.col("q.fp").bitwiseXOR(F.col("r.fp"))
     return (
         bq.join(
             idx,
@@ -1843,15 +1890,19 @@ def simhash_join_indexed(spark, table: str, incoming: DataFrame, *,
             & (F.col("q.key") == F.col("r.key"))
             & (F.col("q.id") != F.col("r.id")),
         )
+        # emit each pair from its lowest agreeing chunk only — the
+        # join stage itself dedups the multi-chunk fan-out, so the
+        # dropDuplicates below (kept for the double-applied-append
+        # idempotence contract) shuffles verified pairs, not every
+        # candidate
+        .filter(_first_agree_only(F.col("q.chunk"), xor, chunks, width))
         .select(
             F.col("q.id").alias("id_in"),
             F.col("r.id").alias("id_ref"),
-            F.bit_count(
-                F.col("q.fp").bitwiseXOR(F.col("r.fp"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["id_in", "id_ref"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_in", "id_ref"])
     )
 
 

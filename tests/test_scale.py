@@ -970,6 +970,17 @@ def test_simhash_index_matches_pairs_and_prunes(spark, sf_dir):
         assert "SelectedBucketsCount" in jplan
         dplan = _spark_plan(D.simhash_pairs(docs, max_hamming=3))
         assert jplan.count("Exchange") < dplan.count("Exchange")
+        # r8 lock: the batch side pays exactly ONE pre-join Exchange
+        # (the repartition onto the table's (chunk, key) bucketing) —
+        # the probe's only join-key shuffle
+        assert jplan.count("Exchange hashpartitioning(chunk") == 1, \
+            jplan[:2000]
+        # r8 lock: the Hamming verify and the lowest-agreeing-chunk
+        # emit live INSIDE the join condition, so the pair-dedup
+        # exchange above the join shuffles only verified pairs, not
+        # every banded candidate
+        smj_cond = jplan.split("SortMergeJoin", 1)[1].split("\n", 1)[0]
+        assert "bit_count" in smj_cond, smj_cond
         # small batch: the reference scan partition-prunes to the
         # batch's banded ck values
         small = docs.limit(2)
