@@ -2451,6 +2451,94 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """REAL animated-GIF frame sampling, oracle-gated end to end (r7
+    verdict #5): plant a COMPLETE valid 2-frame 2×1 GIF89a per
+    document — the LZW streams for fixed pixel indices are closed-form
+    (3-bit codes CLEAR,p0,p1,EOI pack into two bytes), and the pixel
+    VALUES ride the 4-entry global color table, whose 12 bytes are the
+    only doc-dependent part. Each frame carries a 100 ms Graphic
+    Control Extension delay; ``frame_sample(every_ms=100,
+    decode_stub=False)`` must therefore run the real LZW decode,
+    palette lookup, GCE timeline, and canvas composition
+    (`functions/mediacodec.gif_frames`) to emit exactly two sampled
+    frames whose per-frame pixel statistics the oracle knows
+    analytically (exact halves, IEEE-exact — a tick mapped to the
+    wrong frame flips the stats). Sampled frames round-trip through
+    `png_encode` → `decode_media`, exercising the PNG path on
+    GIF-composited content.
+
+    Frame pixels (gray GCT entries): frame 0 paints palette indices
+    (0, 1), frame 1 paints (2, 3), with g0 = doc_id % 256,
+    g1 = (7·doc_id+13) % 256, g2 = (11·doc_id+29) % 256,
+    g3 = (3·doc_id+5) % 256."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    grays = [
+        F.col("doc_id") % 256,
+        (F.col("doc_id") * 7 + 13) % 256,
+        (F.col("doc_id") * 11 + 29) % 256,
+        (F.col("doc_id") * 3 + 5) % 256,
+    ]
+    gct = F.concat(*[_be_bytes(g, 2) for g in grays for _ in range(3)])
+
+    def gif_frame(px_block_hex: str):
+        # GCE(delay 10 cs) + image descriptor (0,0,2,1, no local
+        # table) + LZW min code 2 + the closed-form 2-byte code stream
+        return F.lit(bytes.fromhex(
+            "21F904000A000000" "2C000000000200010000" "02"
+            + px_block_hex))
+
+    payload = F.concat(
+        # header + logical screen 2×1 + GCT flag (4 entries) + bg 0
+        F.lit(bytes.fromhex("474946383961" "02000100" "810000")),
+        gct,
+        gif_frame("02440A00"),   # codes CLEAR,0,1,EOI → pixels g0,g1
+        gif_frame("02D40A00"),   # codes CLEAR,2,3,EOI → pixels g2,g3
+        F.lit(b"\x3b"),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    frames = MM.frame_sample(media, every_ms=100, decode_stub=False)
+    # composite id (frame_idx < 10 by construction) so the per-frame
+    # stats survive decode_media's (id, payload) contract
+    dec = MM.decode_media(frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("payload")))
+    per = dec.select(
+        F.floor(F.col("media_id") / 10).cast("long").alias("media_id"),
+        F.pmod(F.col("media_id"), F.lit(10)).cast("int").alias("k"),
+        "height", "width", "channels", "px_mean", "px_std")
+    return per.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.max("height").alias("fr_h"),
+        F.max("width").alias("fr_w"),
+        F.max("channels").alias("fr_c"),
+        F.max(F.when(F.col("k") == 0, F.col("px_mean"))).alias("fr0_mean"),
+        F.max(F.when(F.col("k") == 0, F.col("px_std"))).alias("fr0_std"),
+        F.max(F.when(F.col("k") == 1, F.col("px_mean"))).alias("fr1_mean"),
+        F.max(F.when(F.col("k") == 1, F.col("px_std"))).alias("fr1_std"),
+    )
+
+
+O_multimodal_frames = """
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 256 AS g0,
+         (doc_id * 7 + 13) % 256 AS g1,
+         (doc_id * 11 + 29) % 256 AS g2,
+         (doc_id * 3 + 5) % 256 AS g3
+  FROM documents
+)
+SELECT doc_id AS media_id, 2 AS n_frames,
+       1 AS fr_h, 2 AS fr_w, 3 AS fr_c,
+       round((g0 + g1) / 2.0, 6) AS fr0_mean,
+       round(abs(g0 - g1) / 2.0, 6) AS fr0_std,
+       round((g2 + g3) / 2.0, 6) AS fr1_mean,
+       round(abs(g2 - g3) / 2.0, 6) AS fr1_std
+FROM g
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition-quality signals (top-2-gram fraction,
     duplicated-5-gram fraction, combined flag)."""
@@ -3153,12 +3241,18 @@ FROM u JOIN qz USING (vec_id) JOIN rp USING (vec_id)
 
 
 def q_text_profile(spark, sf_dir):
-    """Single-scan per-doc text profile: quality features + lang-id +
-    token stats as one projection (one parquet scan, zero shuffles —
-    the shape this runs at 100 TB, vs. three separate scans)."""
+    """Per-doc text profile: quality features + lang-id + token stats
+    as one projection (one parquet scan, zero shuffles for these
+    columns — the shape this runs at 100 TB, vs. three separate
+    scans), joined with the trained-classifier SCORING leg
+    (`q_text_quality_score` — frozen analytic weights through
+    `classify.lr_score`'s full explode → bucket → broadcast-weight
+    pipeline; promoted from oracled orphan to this registry row per
+    r7 verdict #6, so the classifier family sits inside the 50-row
+    driver gate)."""
     docs = load_table(_prep(spark), sf_dir, "documents")
     feats = TX.quality_features(docs)
-    return feats.select(
+    prof = feats.select(
         "doc_id",
         F.col("q_n_chars").cast("long").alias("q_n_chars"),
         F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
@@ -3168,13 +3262,17 @@ def q_text_profile(spark, sf_dir):
         F.size(TX.bpe_ish_tokens(F.col("text"))).cast("long")
         .alias("n_bpe_tokens"),
     )
+    score = q_text_quality_score(spark, sf_dir) \
+        .withColumnRenamed("score", "model_score")
+    return prof.join(score, "doc_id")
 
 
 O_text_profile = f"""
 WITH a AS ({O_text_quality}), b AS ({O_text_lang_id}),
-c AS ({O_text_token_stats})
-SELECT a.*, b.lang_pred, c.n_ws_tokens, c.n_bpe_tokens
-FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+c AS ({O_text_token_stats}), m AS ({O_text_quality_score})
+SELECT a.*, b.lang_pred, c.n_ws_tokens, c.n_bpe_tokens,
+       m.score AS model_score
+FROM a JOIN b USING (doc_id) JOIN c USING (doc_id) JOIN m USING (doc_id)
 """
 
 
@@ -3436,25 +3534,32 @@ FROM bloom
 def q_multimodal_profile(spark, sf_dir):
     """Multimodal plumbing in one row: opaque-payload byte accounting,
     Arrow-batched stub feature extraction, the REAL PNG container
-    parser recovering planted dimensions, and the REAL pixel decoder
+    parser recovering planted dimensions, the REAL pixel decoder
     (zlib inflate + Sub-filter reconstruction) recovering planted
-    pixel statistics (media_id join)."""
+    pixel statistics, and REAL animated-GIF frame sampling (LZW +
+    GCE timeline + composition) recovering planted per-frame
+    statistics (media_id join)."""
     b = q_multimodal_bytes(spark, sf_dir)
     f_ = q_multimodal_features(spark, sf_dir).select(
         "media_id", "sha256", "f0")
     s = q_multimodal_sniff(spark, sf_dir)
     px = q_multimodal_decode(spark, sf_dir)
-    return b.join(f_, "media_id").join(s, "media_id").join(px, "media_id")
+    fr = q_multimodal_frames(spark, sf_dir)
+    return (b.join(f_, "media_id").join(s, "media_id")
+            .join(px, "media_id").join(fr, "media_id"))
 
 
 O_multimodal_profile = f"""
 WITH b AS ({O_multimodal_bytes}), f AS ({O_multimodal_features}),
-s AS ({O_multimodal_sniff}), px AS ({O_multimodal_decode})
+s AS ({O_multimodal_sniff}), px AS ({O_multimodal_decode}),
+fr AS ({O_multimodal_frames})
 SELECT b.media_id, b.byte_len, b.payload_md5, b.media_type,
        f.sha256, f.f0, s.format, s.width, s.height,
-       px.decode_kind, px.px_h, px.px_w, px.px_c, px.px_mean, px.px_std
+       px.decode_kind, px.px_h, px.px_w, px.px_c, px.px_mean, px.px_std,
+       fr.n_frames, fr.fr_h, fr.fr_w, fr.fr_c,
+       fr.fr0_mean, fr.fr0_std, fr.fr1_mean, fr.fr1_std
 FROM b JOIN f USING (media_id) JOIN s USING (media_id)
-JOIN px USING (media_id)
+JOIN px USING (media_id) JOIN fr USING (media_id)
 """
 
 
