@@ -3077,8 +3077,132 @@ def q_pipeline_curation(spark, sf_dir):
         budget=2000, order_col="doc_id", weight_col="n_tok")
     rest = (split.filter(F.col("split") != "train")
             .withColumn("shard", F.lit(-1).cast("long")))
-    return (train.unionByName(rest)
-            .select("doc_id", "lang", "split", "shard"))
+    batch_leg = (train.unionByName(rest)
+                 .select("doc_id", "lang", "split", "shard")
+                 .withColumn("leg", F.lit("batch"))
+                 .withColumn("status", F.lit("")))
+    # r8: the STREAMED curation statuses join the row as a tagged leg
+    # (see q_curation_stream_statuses) — the driver gate now checks
+    # the multi-batch decide-once cascade against its analytic oracle
+    stream_leg = q_curation_stream_statuses(spark, sf_dir).select(
+        "doc_id", F.lit("").alias("lang"), F.lit("").alias("split"),
+        F.lit(-2).cast("long").alias("shard"),
+        F.lit("stream").alias("leg"), "status")
+    return batch_leg.unionByName(stream_leg)
+
+
+def q_curation_stream_statuses(spark, sf_dir):
+    """Streamed curation-on-ingest statuses, oracle-checked (r7
+    verdict #1): feed the documents table through
+    ``streaming.curate.apply_curate_batch`` in 4 deterministic batches
+    (batch = doc_id % 4, applied in batch order) with the exact-dup,
+    quality, and trained-model gates armed, then read back every
+    committed per-doc status. These three gates make the multi-batch
+    decision sequence CLOSED-FORM: a doc whose fingerprint was KEPT
+    in an earlier batch commits 'dup_seen' (the seen-state check
+    outranks everything — and it holds kept fingerprints only);
+    otherwise, within a batch only the smallest id of a fingerprint
+    group is a candidate (the rest commit 'dup_batch' regardless of
+    their own gates); the first candidate that passes quality+model
+    is kept; a candidate with no earlier kept copy falls through to
+    its own quality-then-model verdict. The DuckDB oracle replays exactly that cascade with
+    window functions over (md5 fingerprint, batch, id) — the
+    maintainer's decide-once replay protocol must land on the
+    analytic answer. The LM and near-dup gates stay OUT of this leg
+    by design: their decision inputs are maintained state (reference
+    LM counts, MinHash index), non-SQL-expressible — locked by the
+    crash-injected pytest e2e instead (test_streaming_ops)."""
+    import shutil
+    import tempfile
+
+    from remote_storage_adapter_spark.streaming.curate import (
+        apply_curate_batch,
+    )
+
+    spark = _prep(spark)
+    base = _scratch_index_path("curate", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    out, seen = f"{base}/curated", f"{base}/seen"
+    docs = load_table(spark, sf_dir, "documents")
+    # the synthetic corpus has no exact duplicates and no junk, so
+    # those cascade branches would go unexercised — plant both
+    # deterministically (mirrored in the oracle): every doc_id ≡ 7
+    # (mod 10) becomes one shared passage (within-batch dup_batch +
+    # cross-batch dup_seen once the first candidate is kept), every
+    # doc_id ≡ 3 (mod 10) becomes junk (its per-batch candidate fails
+    # quality — and, because failed candidates never enter the
+    # seen-state, later batches' junk candidates must fail on their
+    # OWN gates, not as dup_seen)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 7, F.lit(_CUR_DUP))
+        .when(F.pmod(F.col("doc_id"), F.lit(10)) == 3, F.lit(_CUR_JUNK))
+        .otherwise(F.col("text")).alias("text"))
+    w = CL.frozen_weights(64)
+    for b in range(4):
+        batch = planted.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+        apply_curate_batch(batch, b, out_dir=out, seen_state=seen,
+                           min_q_score=0.5,
+                           model=(w, 0.05), min_model_score=0.5,
+                           model_dim=64, buckets=4)
+    return spark.read.parquet(out).select("doc_id", "status")
+
+
+#: planted shared passage / junk for the curation-stream leg — must
+#: pass (resp. fail) the quality gate AND pass the frozen-weight model
+#: gate on both engines (checked by the leg's own oracle row-for-row)
+#: (frozen-weight model score 0.861 — the shared passage must be KEPT
+#: on first sight so later copies exercise the dup_seen branch)
+_CUR_DUP = ("the quick brown fox jumps over the lazy dog near the "
+            "quiet river bank today")
+_CUR_JUNK = "!!!"
+
+O_curation_stream_statuses = f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN '{_CUR_DUP}'
+              WHEN doc_id % 10 = 3 THEN '{_CUR_JUNK}'
+              ELSE text END AS text
+  FROM documents
+),
+q AS ({O_text_quality.replace("FROM documents", "FROM pdocs")}),
+m AS ({O_text_quality_score.replace("FROM documents", "FROM pdocs")}),
+fp AS (
+  SELECT doc_id, md5({NORM_SQL}) AS fp, doc_id % 4 AS b
+  FROM pdocs
+), rk AS (
+  SELECT doc_id, fp, b,
+         row_number() OVER (PARTITION BY fp, b ORDER BY doc_id) AS rk
+  FROM fp
+), cand AS (
+  SELECT rk.doc_id, rk.fp, rk.b,
+         q.q_score >= 0.5 AS pass_q, m.score >= 0.5 AS pass_m
+  FROM rk JOIN q USING (doc_id) JOIN m USING (doc_id)
+  WHERE rk.rk = 1
+), prior AS (
+  -- per (fp, batch): was any EARLIER batch's candidate kept? (the
+  -- first passing candidate is the kept one, so existence of an
+  -- earlier passing candidate == existence of an earlier kept copy)
+  SELECT fp, b,
+         coalesce(sum(CASE WHEN pass_q AND pass_m THEN 1 ELSE 0 END)
+             OVER (PARTITION BY fp ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) > 0 AS prior_kept
+  FROM cand
+)
+SELECT rk.doc_id,
+       -- dup_seen OUTRANKS dup_batch (the maintainer checks the
+       -- committed seen-state first): once the fingerprint is kept,
+       -- EVERY later copy lands dup_seen, minimal id or not
+       CASE WHEN p.prior_kept THEN 'dup_seen'
+            WHEN rk.rk > 1 THEN 'dup_batch'
+            WHEN NOT c.pass_q THEN 'low_quality'
+            WHEN NOT c.pass_m THEN 'low_model'
+            ELSE 'kept' END AS status
+FROM rk
+LEFT JOIN prior p ON p.fp = rk.fp AND p.b = rk.b
+LEFT JOIN cand c ON c.doc_id = rk.doc_id
+"""
 
 
 O_pipeline_curation = _CLUSTER_CTE + f"""
@@ -3113,10 +3237,15 @@ O_pipeline_curation = _CLUSTER_CTE + f"""
                - n_tok) // 2000 AS BIGINT) AS shard
   FROM sp WHERE split = 'train'
 )
-SELECT doc_id, lang, split, shard FROM tr
+SELECT doc_id, lang, split, shard, 'batch' AS leg, '' AS status FROM tr
 UNION ALL
-SELECT doc_id, lang, split, CAST(-1 AS BIGINT) AS shard
+SELECT doc_id, lang, split, CAST(-1 AS BIGINT) AS shard,
+       'batch' AS leg, '' AS status
 FROM sp WHERE split != 'train'
+UNION ALL
+SELECT doc_id, '' AS lang, '' AS split, CAST(-2 AS BIGINT) AS shard,
+       'stream' AS leg, status
+FROM ({O_curation_stream_statuses}) strm
 """
 
 
