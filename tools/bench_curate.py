@@ -1,0 +1,167 @@
+"""Composed curation-capstone throughput (VERDICT r7 next #1).
+
+Every gate of the curation-on-ingest pipeline is benched in isolation
+by bench.py; the PRODUCT is the composed flow. This tool feeds the
+documents table through ``streaming.curate.apply_curate_batch`` in
+order — the exact per-batch body ``stream_curate_maintain`` runs under
+``foreachBatch`` — across a ladder of gate configurations, so both
+the end-to-end docs/s and the MARGINAL cost of each gate are
+measured:
+
+  quality    exact-dup + rule-quality gates, seen-state maintenance
+  +model     … + trained-classifier gate (frozen 64-dim weights)
+  +lm        … + reference-LM perplexity gate + LM-state maintenance
+  +neardup   … + MinHash near-dup gate + MinHash-index maintenance
+  +bm25      … + BM25 inverted-index maintenance (the full flow)
+
+Each config starts from clean state (fresh dirs, dropped catalog
+tables). The full-config run ends with the curated-table status
+histogram and two invariants: statuses partition the corpus exactly,
+and a FULL REPLAY of every batch is a no-op (the exactly-once ledgers
+absorb it) that leaves the histogram byte-identical.
+
+Usage::
+
+    python tools/bench_curate.py [sf_dir] [n_batches]
+    # defaults: /root/testdata/sf0.1, 5 batches
+
+Prints one JSON line per config:
+``{"config", "sf_dir", "docs", "batches", "wall_s", "docs_per_s",
+"batch_walls", "histogram"}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from remote_storage_adapter_spark.operators.classify import (  # noqa: E402
+    frozen_weights,
+)
+from remote_storage_adapter_spark.operators.dedup import (  # noqa: E402
+    reset_managed_tables,
+    unpersist_pinned,
+)
+from remote_storage_adapter_spark.session import get_spark  # noqa: E402
+from remote_storage_adapter_spark.sources.tables import load_table  # noqa: E402
+from remote_storage_adapter_spark.streaming.curate import (  # noqa: E402
+    apply_curate_batch,
+    curation_report,
+)
+
+#: gate ladder — each entry extends the previous with one component
+CONFIGS = ["quality", "+model", "+lm", "+neardup", "+bm25"]
+
+MINHASH_KW = dict(num_hashes=64, bands=16, shingle_n=3)
+
+
+def run_config(spark, docs, cfg: str, base: str, n_batches: int):
+    """Apply every batch under ``cfg``'s gate set from clean state;
+    returns (wall_s, [batch walls], histogram dict)."""
+    shutil.rmtree(base, ignore_errors=True)
+    out, seen, lm = f"{base}/curated", f"{base}/seen", f"{base}/lm"
+    idx = f"{base}/bm25"
+    prefix = "bench_curate_mh"
+    level = CONFIGS.index(cfg)
+    kwargs: dict = dict(min_q_score=0.5, buckets=16, index_buckets=16)
+    if level >= 1:
+        kwargs.update(model=(frozen_weights(64), 0.05),
+                      min_model_score=0.5, model_dim=64)
+    if level >= 2:
+        kwargs.update(lm_state=lm, max_ppl=5000.0)
+    if level >= 3:
+        reset_managed_tables(
+            spark, *[f"{prefix}_{t}"
+                     for t in ("banded", "sigs", "counts", "applied")])
+        kwargs.update(minhash_prefix=prefix, near_dup_threshold=0.2,
+                      minhash_kwargs=MINHASH_KW)
+    if level >= 4:
+        kwargs.update(index_path=idx)
+
+    batch_walls = []
+    t0 = time.time()
+    for b in range(n_batches):
+        bt = time.time()
+        batch = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+        apply_curate_batch(batch, b, out_dir=out, seen_state=seen,
+                           **kwargs)
+        unpersist_pinned(blocking=True)
+        batch_walls.append(round(time.time() - bt, 3))
+    wall = time.time() - t0
+    hist = {r["status"]: r["n_docs"]
+            for r in curation_report(spark, out).collect()}
+    return wall, batch_walls, hist
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("bench_curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join("scratch", f"curate_bench_{tag}")
+
+    for cfg in CONFIGS:
+        base = os.path.join(root, cfg.lstrip("+"))
+        wall, walls, hist = run_config(spark, docs, cfg, base, n_batches)
+        print(json.dumps({
+            "config": cfg, "sf_dir": sf_dir, "docs": n_docs,
+            "batches": n_batches, "wall_s": round(wall, 2),
+            "docs_per_s": round(n_docs / wall, 1),
+            "batch_walls": walls,
+            "histogram": dict(sorted(hist.items())),
+        }))
+        sys.stdout.flush()
+
+    # invariants on the full-config run: statuses partition the
+    # corpus; a complete replay is a no-op with an identical histogram
+    base = os.path.join(root, CONFIGS[-1].lstrip("+"))
+    full_hist = {r["status"]: r["n_docs"] for r in
+                 curation_report(spark, base + "/curated").collect()}
+    assert sum(full_hist.values()) == n_docs, (full_hist, n_docs)
+    t0 = time.time()
+    _, _, hist2 = run_replay(spark, docs, base, n_batches)
+    assert hist2 == full_hist, (hist2, full_hist)
+    print(json.dumps({"config": "replay_noop", "sf_dir": sf_dir,
+                      "wall_s": round(time.time() - t0, 2),
+                      "histogram_stable": True}))
+    spark.stop()
+
+
+def run_replay(spark, docs, base: str, n_batches: int):
+    """Re-apply every batch of the FULL config over committed state —
+    must be ledger-absorbed (did_work False per batch)."""
+    out, seen, lm = f"{base}/curated", f"{base}/seen", f"{base}/lm"
+    kwargs = dict(min_q_score=0.5, buckets=16, index_buckets=16,
+                  model=(frozen_weights(64), 0.05), min_model_score=0.5,
+                  model_dim=64, lm_state=lm, max_ppl=5000.0,
+                  minhash_prefix="bench_curate_mh",
+                  near_dup_threshold=0.2, minhash_kwargs=MINHASH_KW,
+                  index_path=f"{base}/bm25")
+    walls = []
+    t0 = time.time()
+    for b in range(n_batches):
+        batch = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+        did = apply_curate_batch(batch, b, out_dir=out, seen_state=seen,
+                                 **kwargs)
+        unpersist_pinned(blocking=True)
+        assert not did, f"replay of batch {b} did work"
+    hist = {r["status"]: r["n_docs"]
+            for r in curation_report(spark, out).collect()}
+    return time.time() - t0, walls, hist
+
+
+if __name__ == "__main__":
+    main()
