@@ -144,15 +144,25 @@ def lr_train(feats: DataFrame, *, label_col: str = "label",
         from .sampling import sample_exact_n, uniform_unit
 
         key = sample_key or next(
-            c for c in feats.columns if c not in ("features", label_col))
+            (c for c in feats.columns
+             if c not in ("features", label_col)), None)
+        if key is None:
+            raise ValueError(
+                "lr_train: sampling needs a key column but the frame "
+                "has none besides features/label — pass sample_key")
         if sample_frac is not None:
             train = train.where(
                 uniform_unit(F.col(key), salt) < F.lit(float(sample_frac)))
         if max_rows is not None:
             train = sample_exact_n(train, int(max_rows), key=key,
                                    salt=f"{salt}-n")
-    if cache:
+    # only unpersist what WE persisted: with no sampling, `train` IS
+    # the caller's frame, and evicting a caller-pinned cache behind
+    # their back would silently re-run the featurizer downstream
+    owned = None
+    if cache and not train.is_cached:
         train = train.persist()
+        owned = train
     try:
         stats = train.agg(
             F.count(F.lit(1)).alias("n"),
@@ -170,8 +180,8 @@ def lr_train(feats: DataFrame, *, label_col: str = "label",
                 f"the training dim")
         return _lr_iterate(train, label_col, dim, iters, lr, reg, n)
     finally:
-        if cache:
-            train.unpersist()
+        if owned is not None:
+            owned.unpersist()
 
 
 def _lr_iterate(feats, label_col, dim, iters, lr, reg, n):

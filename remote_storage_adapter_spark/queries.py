@@ -3379,9 +3379,21 @@ def q_text_profile(spark, sf_dir):
     pipeline; promoted from oracled orphan to this registry row per
     r7 verdict #6, so the classifier family sits inside the 50-row
     driver gate)."""
+    prof = _text_profile_base(spark, sf_dir)
+    score = q_text_quality_score(spark, sf_dir) \
+        .withColumnRenamed("score", "model_score")
+    return prof.join(score, "doc_id")
+
+
+def _text_profile_base(spark, sf_dir):
+    """The fused per-doc profile PROJECTION — one parquet scan, zero
+    shuffles (plan-locked in test_scale): this is the shape the
+    heuristic columns run at 100 TB. The registry row joins the
+    classifier leg on top; that leg's own bounded-width shuffles are
+    locked separately."""
     docs = load_table(_prep(spark), sf_dir, "documents")
     feats = TX.quality_features(docs)
-    prof = feats.select(
+    return feats.select(
         "doc_id",
         F.col("q_n_chars").cast("long").alias("q_n_chars"),
         F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
@@ -3391,9 +3403,6 @@ def q_text_profile(spark, sf_dir):
         F.size(TX.bpe_ish_tokens(F.col("text"))).cast("long")
         .alias("n_bpe_tokens"),
     )
-    score = q_text_quality_score(spark, sf_dir) \
-        .withColumnRenamed("score", "model_score")
-    return prof.join(score, "doc_id")
 
 
 O_text_profile = f"""

@@ -450,13 +450,25 @@ def test_merged_profile_queries_keep_scale_shape(spark, sf_dir):
     this is one map stage, not three scans), and sketch_profile stays
     window-free (every sketch leg is a bounded hash aggregate)."""
     from remote_storage_adapter_spark.queries import (
+        _text_profile_base,
         q_sketch_profile,
         q_text_profile,
     )
 
-    tp = _spark_plan(q_text_profile(spark, sf_dir))
+    tp = _spark_plan(_text_profile_base(spark, sf_dir))
     assert "Exchange" not in tp
     assert tp.count("Scan parquet") == 1
+
+    # the registry row (r8) joins the classifier scoring leg on top:
+    # one extra documents scan plus ONLY bounded-width exchanges —
+    # the (doc, bucket) count agg, the per-doc dot agg, the profile
+    # side of the doc_id join — and the dim-row weight table stays a
+    # broadcast (never a shuffle join against the corpus)
+    full = _spark_plan(q_text_profile(spark, sf_dir))
+    assert full.count("Scan parquet") == 2
+    assert "BroadcastExchange" in full
+    n_shuffles = full.count("Exchange hashpartitioning")
+    assert n_shuffles <= 4, f"{n_shuffles} shuffles:\n{full[:2000]}"
 
     # sketch legs may window only over SKETCH-sized frames (the hist
     # cumulative sum runs per event_type over ≤250 bins) — never a

@@ -112,9 +112,11 @@ def main():
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     root = os.path.join("scratch", f"curate_bench_{tag}")
 
+    full_hist = None
     for cfg in CONFIGS:
         base = os.path.join(root, cfg.lstrip("+"))
         wall, walls, hist = run_config(spark, docs, cfg, base, n_batches)
+        full_hist = hist  # last iteration == the full config
         print(json.dumps({
             "config": cfg, "sf_dir": sf_dir, "docs": n_docs,
             "batches": n_batches, "wall_s": round(wall, 2),
@@ -127,11 +129,9 @@ def main():
     # invariants on the full-config run: statuses partition the
     # corpus; a complete replay is a no-op with an identical histogram
     base = os.path.join(root, CONFIGS[-1].lstrip("+"))
-    full_hist = {r["status"]: r["n_docs"] for r in
-                 curation_report(spark, base + "/curated").collect()}
     assert sum(full_hist.values()) == n_docs, (full_hist, n_docs)
     t0 = time.time()
-    _, _, hist2 = run_replay(spark, docs, base, n_batches)
+    hist2 = run_replay(spark, docs, base, n_batches)
     assert hist2 == full_hist, (hist2, full_hist)
     print(json.dumps({"config": "replay_noop", "sf_dir": sf_dir,
                       "wall_s": round(time.time() - t0, 2),
@@ -139,9 +139,10 @@ def main():
     spark.stop()
 
 
-def run_replay(spark, docs, base: str, n_batches: int):
+def run_replay(spark, docs, base: str, n_batches: int) -> dict:
     """Re-apply every batch of the FULL config over committed state —
-    must be ledger-absorbed (did_work False per batch)."""
+    must be ledger-absorbed (did_work False per batch). Returns the
+    post-replay histogram."""
     out, seen, lm = f"{base}/curated", f"{base}/seen", f"{base}/lm"
     kwargs = dict(min_q_score=0.5, buckets=16, index_buckets=16,
                   model=(frozen_weights(64), 0.05), min_model_score=0.5,
@@ -149,8 +150,6 @@ def run_replay(spark, docs, base: str, n_batches: int):
                   minhash_prefix="bench_curate_mh",
                   near_dup_threshold=0.2, minhash_kwargs=MINHASH_KW,
                   index_path=f"{base}/bm25")
-    walls = []
-    t0 = time.time()
     for b in range(n_batches):
         batch = docs.filter(
             F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
@@ -158,9 +157,8 @@ def run_replay(spark, docs, base: str, n_batches: int):
                                  **kwargs)
         unpersist_pinned(blocking=True)
         assert not did, f"replay of batch {b} did work"
-    hist = {r["status"]: r["n_docs"]
+    return {r["status"]: r["n_docs"]
             for r in curation_report(spark, out).collect()}
-    return time.time() - t0, walls, hist
 
 
 if __name__ == "__main__":
