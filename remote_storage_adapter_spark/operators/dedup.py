@@ -724,9 +724,13 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
       so only the (small) incoming side shuffles.
     - ``{prefix}_sigs``: (id, sig), bucketed by id — the signature
       join-back for Jaccard estimation.
-    - ``{prefix}_counts``: (band, bucket, _n) bucket populations,
-      aggregated once here — join-time capping broadcasts the tiny
-      over-cap list instead of re-counting the corpus per batch.
+    - ``{prefix}_counts``: (band, bucket, _n, batch_id) bucket
+      populations as MERGEABLE per-batch delta rows (batch_id −1 for
+      the build; consumers SUM per bucket) — join-time capping
+      broadcasts the tiny over-cap list instead of re-counting the
+      corpus per batch, and appends stay O(batch) instead of
+      re-aggregating the whole banded table (r8 — the full refresh
+      was the one per-batch cost that grew with the corpus).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -743,6 +747,7 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
      .saveAsTable(f"{table_prefix}_sigs"))
     (banded.groupBy("band", "bucket")
      .agg(F.count(F.lit(1)).alias("_n"))
+     .withColumn("batch_id", F.lit(-1).cast("long"))
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
 
 
@@ -752,28 +757,41 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                          id_col: str = "doc_id", text_col: str = "text",
                          buckets: int = 32,
                          skip_tables: frozenset = frozenset(),
-                         on_step=None) -> None:
+                         on_step=None,
+                         counts_batch_key: int | None = None) -> None:
     """Fold a new batch of reference docs into an existing
     :func:`minhash_index` without re-signing the corpus: sign ONLY
     the batch, append its postings/signatures into the bucketed
-    tables (bucket spec must match the build), and refresh the
-    bucket-counts table. The counts refresh aggregates the banded
-    table — bucketed by (band, bucket), so that groupBy is
-    exchange-free regardless of corpus size. Caller owns id
-    uniqueness across appends (duplicate ids would double-count
-    themselves as candidate pairs).
+    tables (bucket spec must match the build), and append the BATCH's
+    per-bucket count deltas to the counts table (consumers SUM per
+    bucket). r8: the previous counts maintenance re-aggregated the
+    whole banded table per batch — the one per-batch cost that grew
+    with the corpus; the delta append is O(batch), and the narrow
+    sum-on-probe costs what the old filter-on-probe already paid.
+    Caller owns id uniqueness across appends (duplicate ids would
+    double-count themselves as candidate pairs).
 
     ``skip_tables`` / ``on_step`` are the crash-replay hooks for the
     streaming maintainer: each ``saveAsTable`` append is job-atomic
     (the Hadoop commit protocol publishes nothing on a mid-job
-    crash), so the only residual window is BETWEEN the two appends.
+    crash), so the only residual windows are BETWEEN the appends.
     The maintainer records each completed append in its per-table
     ledger via ``on_step(table)`` and replays with the completed set
-    as ``skip_tables`` — only the missing table is appended, never a
-    duplicate. The counts table is a pure overwrite-derivation of
-    banded, refreshed after the appends and reported to ``on_step``
-    as the third ledger step (``"counts"``) — a batch whose ledger
-    shows all three replays write-free."""
+    as ``skip_tables`` — only the missing tables are appended, never
+    a duplicate. Unlike banded/sigs (where duplicate rows are
+    RESULT-idempotent through the pair joins' dropDuplicates), a
+    double-appended counts delta would inflate bucket populations, so
+    the counts step carries its own data-level backstop:
+    ``counts_batch_key`` (the maintainer's batch id; −1 is reserved
+    for builds, −2 for keyless appends) rides every delta row, and
+    the append self-skips when rows with that key already exist —
+    closing the append-then-crash-before-ledger window the way the
+    SimHash prebuild marker does.
+
+    Legacy compatibility: a counts table built before delta rows
+    (no ``batch_id`` column) cannot take column-extended appends —
+    for those the old full overwrite refresh runs instead (correct,
+    O(corpus)); rebuild the index to get the delta path."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     spark = docs.sparkSession
@@ -782,10 +800,10 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                        shingle_n=shingle_n, id_col=id_col,
                        text_col=text_col))
     sigs.count()
+    banded = _band_frame(sigs, bands=bands,
+                         rows_per_band=num_hashes // bands,
+                         mode=mode)
     if "banded" not in skip_tables:
-        banded = _band_frame(sigs, bands=bands,
-                             rows_per_band=num_hashes // bands,
-                             mode=mode)
         (banded.write.mode("append")
          .bucketBy(buckets, "band", "bucket")
          .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
@@ -796,12 +814,29 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
          .saveAsTable(f"{table_prefix}_sigs"))
         if on_step is not None:
             on_step("sigs")
-    (spark.table(f"{table_prefix}_banded")
-     .groupBy("band", "bucket")
-     .agg(F.count(F.lit(1)).alias("_n"))
-     .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
-    if on_step is not None:
-        on_step("counts")
+    if "counts" not in skip_tables:
+        ctab = f"{table_prefix}_counts"
+        if "batch_id" not in spark.table(ctab).columns:
+            # legacy pre-delta table: the old full refresh (O(corpus),
+            # but exchange-free on the bucketed banded scan)
+            (spark.table(f"{table_prefix}_banded")
+             .groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .write.mode("overwrite").saveAsTable(ctab))
+        else:
+            key = -2 if counts_batch_key is None else int(counts_batch_key)
+            already = (
+                counts_batch_key is not None
+                and spark.table(ctab)
+                .filter(F.col("batch_id") == key).limit(1).count() > 0
+            )
+            if not already:
+                (banded.groupBy("band", "bucket")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .withColumn("batch_id", F.lit(key).cast("long"))
+                 .write.mode("append").saveAsTable(ctab))
+        if on_step is not None:
+            on_step("counts")
 
 
 def minhash_lsh_join_indexed(spark, table_prefix: str,
@@ -841,7 +876,13 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     if max_bucket_size is not None:
         counts_l = lb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_n"))
-        rcounts = spark.table(f"{table_prefix}_counts")
+        # counts rows are per-batch DELTAS (r8) — sum per bucket; a
+        # legacy single-row-per-bucket table sums to itself
+        rcounts = (
+            spark.table(f"{table_prefix}_counts")
+            .groupBy("band", "bucket")
+            .agg(F.sum("_n").alias("_n"))
+        )
         if caps_stats is not None:
             caps_stats.update(_cap_stats(
                 counts_l, "_n", max_bucket_size,

@@ -101,42 +101,55 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
             .filter(F.col("batch_id") == batch_id).collect()}
     if {"banded", "sigs", "counts"} <= done:
         return False
+    def derive_kept():
+        """The appended subset — deterministic on replay even against
+        partially-applied state: the cross join discards id_l == id_r
+        (a crashed attempt's own copy), and within-batch survivors
+        are mutually below threshold, so re-derivation lands on the
+        identical kept set."""
+        kept = batch_df
+        if dedup_threshold is not None:
+            from remote_storage_adapter_spark.operators.dedup import (
+                minhash_lsh_join_indexed,
+            )
+
+            with cache_scope():
+                kept = _drop_within_batch(batch_df, dedup_threshold,
+                                          id_col, join_kwargs)
+                cross = minhash_lsh_join_indexed(
+                    spark, table_prefix, kept,
+                    threshold=dedup_threshold, **join_kwargs)
+                cross_ids = spark.createDataFrame(
+                    [(int(r["id_l"]),) for r in
+                     cross.filter(F.col("id_l") != F.col("id_r"))
+                     .select("id_l").distinct().collect()],
+                    f"{id_col} long")
+            kept = kept.join(cross_ids, id_col, "left_anti")
+        return kept
+
     if {"banded", "sigs"} <= done:
-        # appends landed but the counts refresh never got its ledger
-        # row (crash between mark("sigs") and the refresh, or mid-
-        # overwrite — drop-then-create is not atomic): without this
-        # branch counts would stay missing/stale FOREVER on the old
+        # appends landed but the counts step never got its ledger row
+        # (crash between mark("sigs") and the counts append): without
+        # this branch counts would stay missing FOREVER on the old
         # skip path, and counts are decision-visible to every
         # cap-filtered join (r7 review). minhash_index_append with
-        # both appends skipped runs ONLY the idempotent counts
-        # refresh, then marks it — so a fully-applied batch replays
-        # write-free (no churn against cached file listings).
-        minhash_index_append(batch_df.limit(0), table_prefix,
-                             skip_tables=frozenset(done),
-                             on_step=mark, **index_kwargs)
-        return False
-    kept = batch_df
-    if dedup_threshold is not None:
-        from remote_storage_adapter_spark.operators.dedup import (
-            minhash_lsh_join_indexed,
-        )
-
+        # both appends skipped re-derives ONLY the kept set's counts
+        # delta (r8 — deterministic re-sign of the batch), and the
+        # delta's own batch_id backstop makes the replay write-free
+        # when the append itself landed before the crash.
         with cache_scope():
-            kept = _drop_within_batch(batch_df, dedup_threshold,
-                                      id_col, join_kwargs)
-            cross = minhash_lsh_join_indexed(
-                spark, table_prefix, kept,
-                threshold=dedup_threshold, **join_kwargs)
-            cross_ids = spark.createDataFrame(
-                [(int(r["id_l"]),) for r in
-                 cross.filter(F.col("id_l") != F.col("id_r"))
-                 .select("id_l").distinct().collect()],
-                f"{id_col} long")
-        kept = kept.join(cross_ids, id_col, "left_anti")
+            minhash_index_append(derive_kept(), table_prefix,
+                                 skip_tables=frozenset(done),
+                                 on_step=mark,
+                                 counts_batch_key=batch_id,
+                                 **index_kwargs)
+        return False
+    kept = derive_kept()
     with cache_scope():
         minhash_index_append(kept, table_prefix,
                              skip_tables=frozenset(done),
-                             on_step=mark, **index_kwargs)
+                             on_step=mark,
+                             counts_batch_key=batch_id, **index_kwargs)
     return True
 
 

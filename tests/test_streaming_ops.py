@@ -1575,3 +1575,72 @@ def test_curation_report_pre_model_gate_directory(spark, tmp_path):
     assert rep["kept"]["n_docs"] == 1
     assert rep["kept"]["mean_model_score"] is None
     assert rep["low_quality"]["mean_model_score"] is None
+
+
+def test_minhash_counts_delta_replay_no_double_count(spark, monkeypatch):
+    """r8: the counts table holds per-batch DELTA rows (maintenance is
+    O(batch) instead of re-aggregating the whole banded table), so a
+    crash AFTER the delta append lands but BEFORE its ledger row is a
+    new double-count window — closed by the delta's batch_id backstop
+    (the replay self-skips the append). Invariant throughout:
+    aggregated counts == a full recount of the banded table."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming import dedup as SD
+
+    schema = "doc_id long, text string"
+    prefix = "mh_counts_delta_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
+    mk = dict(num_hashes=16, bands=4, shingle_n=3, buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, f"common text body shared across docs w{i % 2}")
+         for i in range(6)], schema)
+    assert SD.apply_index_batch(b0, 0, prefix, **mk)
+
+    def recount():
+        return sorted(tuple(r) for r in spark.table(f"{prefix}_banded")
+                      .groupBy("band", "bucket")
+                      .agg(F.count(F.lit(1)).alias("_n")).collect())
+
+    def agg_counts():
+        return sorted(tuple(r) for r in spark.table(f"{prefix}_counts")
+                      .groupBy("band", "bucket")
+                      .agg(F.sum("_n").alias("_n")).collect())
+
+    assert agg_counts() == recount()
+    # batch 1 crashes after the counts delta lands, before its ledger
+    b1 = spark.createDataFrame(
+        [(100 + i, f"common text body shared across docs w{i % 2}")
+         for i in range(4)], schema)
+    real_append = D.minhash_index_append
+
+    def crashing(docs, table_prefix, **kw):
+        real_on = kw.get("on_step")
+
+        def step(tbl):
+            if tbl == "counts":
+                raise RuntimeError("crash before counts ledger row")
+            real_on(tbl)
+
+        kw2 = dict(kw)
+        kw2["on_step"] = step
+        return real_append(docs, table_prefix, **kw2)
+
+    monkeypatch.setattr(SD, "minhash_index_append", crashing)
+    with pytest.raises(RuntimeError):
+        SD.apply_index_batch(b1, 1, prefix, **mk)
+    monkeypatch.undo()
+    # the delta LANDED (data present) but the ledger row is missing
+    assert spark.table(f"{prefix}_counts") \
+        .filter(F.col("batch_id") == 1).count() > 0
+    n_rows = spark.table(f"{prefix}_counts").count()
+    # replay completes the ledger WITHOUT re-appending the delta
+    assert SD.apply_index_batch(b1, 1, prefix, **mk) is False
+    assert spark.table(f"{prefix}_counts").count() == n_rows
+    assert agg_counts() == recount()
+    assert SD.apply_index_batch(b1, 1, prefix, **mk) is False
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
