@@ -839,6 +839,45 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
             on_step("counts")
 
 
+def minhash_counts_compact(spark, table_prefix: str) -> None:
+    """Fold the counts table's per-batch delta rows into one row per
+    bucket (batch_id −1). Deltas accumulate one row per (bucket,
+    batch) — probes SUM them, so correctness never degrades, but
+    after many thousands of batches the narrow probe-time aggregation
+    grows; compact during a quiet window.
+
+    Contract: the maintainer must be QUIESCED (no in-flight batch).
+    Refuses when the per-table ledger shows a batch with banded/sigs
+    marks but no counts mark — that batch's delta may exist WITHOUT
+    its ledger row (the append-then-crash window), and compacting it
+    into the −1 row would let the batch's replay re-append it (double
+    count). Under the quiesced contract the banded table is ground
+    truth, so the rewrite recounts it directly — a crash mid-rewrite
+    is repaired by simply re-running the compactor (banded is
+    untouched). The recount is exchange-free (banded is bucketed on
+    the group keys)."""
+    ledger = f"{table_prefix}_applied"
+    if spark.catalog.tableExists(ledger):
+        led = spark.table(ledger)
+        if "tbl" in led.columns:
+            marks = led.groupBy("batch_id").agg(
+                F.collect_set("tbl").alias("tbls"))
+            unfinished = marks.filter(
+                F.array_contains("tbls", "banded")
+                & ~F.array_contains("tbls", "counts")).limit(1).count()
+            if unfinished:
+                raise ValueError(
+                    f"{table_prefix}: a batch has banded/sigs ledger "
+                    f"marks but no counts mark — an in-flight or "
+                    f"crashed batch; let the maintainer replay it to "
+                    f"completion before compacting")
+    (spark.table(f"{table_prefix}_banded")
+     .groupBy("band", "bucket")
+     .agg(F.count(F.lit(1)).alias("_n"))
+     .withColumn("batch_id", F.lit(-1).cast("long"))
+     .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
+
+
 def minhash_lsh_join_indexed(spark, table_prefix: str,
                              incoming: DataFrame, *,
                              num_hashes: int = 64, bands: int = 16,

@@ -1644,3 +1644,81 @@ def test_minhash_counts_delta_replay_no_double_count(spark, monkeypatch):
     assert SD.apply_index_batch(b1, 1, prefix, **mk) is False
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_minhash_counts_compact_safe_and_refuses_inflight(
+        spark, monkeypatch):
+    """r8: minhash_counts_compact folds committed delta rows into one
+    row per bucket without changing aggregated values, replays still
+    ledger-skip afterwards, later appends resume as deltas — and the
+    compactor REFUSES while a crashed batch's counts ledger row is
+    missing (compacting its maybe-landed delta into -1 would let the
+    replay double-append it)."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming import dedup as SD
+
+    schema = "doc_id long, text string"
+    prefix = "mh_counts_compact_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
+    mk = dict(num_hashes=16, bands=4, shingle_n=3, buckets=4)
+
+    def batch(n, start):
+        return spark.createDataFrame(
+            [(start + i, f"common text body shared across docs w{i % 2}")
+             for i in range(n)], schema)
+
+    def recount():
+        return sorted(tuple(r) for r in spark.table(f"{prefix}_banded")
+                      .groupBy("band", "bucket")
+                      .agg(F.count(F.lit(1)).alias("_n")).collect())
+
+    def agg_counts():
+        return sorted(tuple(r) for r in spark.table(f"{prefix}_counts")
+                      .groupBy("band", "bucket")
+                      .agg(F.sum("_n").alias("_n")).collect())
+
+    assert SD.apply_index_batch(batch(6, 0), 0, prefix, **mk)
+    assert SD.apply_index_batch(batch(4, 100), 1, prefix, **mk)
+    D.minhash_counts_compact(spark, prefix)
+    ctab = spark.table(f"{prefix}_counts")
+    assert ctab.count() == ctab.select("band", "bucket").distinct().count()
+    assert {r["batch_id"] for r in ctab.select("batch_id")
+            .distinct().collect()} == {-1}
+    assert agg_counts() == recount()
+    # committed batches still ledger-skip after compaction
+    assert SD.apply_index_batch(batch(4, 100), 1, prefix, **mk) is False
+    assert agg_counts() == recount()
+    # later appends resume as deltas and stay consistent
+    assert SD.apply_index_batch(batch(3, 200), 2, prefix, **mk)
+    assert agg_counts() == recount()
+    # a batch crashed before its counts ledger row → compactor refuses
+    real_append = D.minhash_index_append
+
+    def crashing(docs, table_prefix, **kw):
+        real_on = kw.get("on_step")
+
+        def step(tbl):
+            if tbl == "counts":
+                raise RuntimeError("crash before counts ledger row")
+            real_on(tbl)
+
+        kw2 = dict(kw)
+        kw2["on_step"] = step
+        return real_append(docs, table_prefix, **kw2)
+
+    monkeypatch.setattr(SD, "minhash_index_append", crashing)
+    with pytest.raises(RuntimeError):
+        SD.apply_index_batch(batch(2, 300), 3, prefix, **mk)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="no counts mark"):
+        D.minhash_counts_compact(spark, prefix)
+    # maintainer replay completes the batch; compaction then succeeds
+    assert SD.apply_index_batch(batch(2, 300), 3, prefix, **mk) is False
+    D.minhash_counts_compact(spark, prefix)
+    assert agg_counts() == recount()
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
