@@ -794,6 +794,11 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
     O(corpus)); rebuild the index to get the delta path."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    if counts_batch_key is not None and counts_batch_key < 0:
+        raise ValueError(
+            f"counts_batch_key={counts_batch_key}: negative keys are "
+            f"reserved (−1 builds, −2 keyless appends) — a caller-"
+            f"supplied collision would silently skip the counts delta")
     spark = docs.sparkSession
     sig_fn = _SIG_FNS[mode]
     sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
@@ -819,9 +824,7 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
         if "batch_id" not in spark.table(ctab).columns:
             # legacy pre-delta table: the old full refresh (O(corpus),
             # but exchange-free on the bucketed banded scan)
-            (spark.table(f"{table_prefix}_banded")
-             .groupBy("band", "bucket")
-             .agg(F.count(F.lit(1)).alias("_n"))
+            (_recount_banded(spark, table_prefix)
              .write.mode("overwrite").saveAsTable(ctab))
         else:
             key = -2 if counts_batch_key is None else int(counts_batch_key)
@@ -837,6 +840,16 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                  .write.mode("append").saveAsTable(ctab))
         if on_step is not None:
             on_step("counts")
+
+
+def _recount_banded(spark, table_prefix: str) -> DataFrame:
+    """(band, bucket, _n) full recount of the banded table — ground
+    truth for the counts table (exchange-free: banded is bucketed on
+    the group keys). Shared by the legacy counts refresh, the
+    compactor, and the crash-repair delta derivation."""
+    return (spark.table(f"{table_prefix}_banded")
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n")))
 
 
 def minhash_counts_compact(spark, table_prefix: str) -> None:
@@ -871,9 +884,7 @@ def minhash_counts_compact(spark, table_prefix: str) -> None:
                     f"marks but no counts mark — an in-flight or "
                     f"crashed batch; let the maintainer replay it to "
                     f"completion before compacting")
-    (spark.table(f"{table_prefix}_banded")
-     .groupBy("band", "bucket")
-     .agg(F.count(F.lit(1)).alias("_n"))
+    (_recount_banded(spark, table_prefix)
      .withColumn("batch_id", F.lit(-1).cast("long"))
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
 

@@ -93,64 +93,99 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
                                       id_col, join_kwargs)
         with cache_scope():
             minhash_index(kept, table_prefix, **index_kwargs)
-        mark("banded")
-        mark("sigs")
-        mark("counts")
+        # ONE job-atomic append of all three marks (r8 review): three
+        # sequential marks left partial-ledger windows where a replay
+        # would take the APPEND path over freshly-built tables —
+        # appending a second copy of the bootstrap's sigs, or a
+        # batch-keyed counts delta on top of the build's rows that
+        # already cover this batch (double count)
+        spark.createDataFrame(
+            [(int(batch_id), t) for t in ("banded", "sigs", "counts")],
+            "batch_id long, tbl string",
+        ).coalesce(1).write.mode("append").saveAsTable(ledger)
         return True
     done = {r["tbl"] for r in spark.table(ledger)
             .filter(F.col("batch_id") == batch_id).collect()}
     if {"banded", "sigs", "counts"} <= done:
         return False
-    def derive_kept():
-        """The appended subset — deterministic on replay even against
-        partially-applied state: the cross join discards id_l == id_r
-        (a crashed attempt's own copy), and within-batch survivors
-        are mutually below threshold, so re-derivation lands on the
-        identical kept set."""
-        kept = batch_df
-        if dedup_threshold is not None:
-            from remote_storage_adapter_spark.operators.dedup import (
-                minhash_lsh_join_indexed,
-            )
-
-            with cache_scope():
-                kept = _drop_within_batch(batch_df, dedup_threshold,
-                                          id_col, join_kwargs)
-                cross = minhash_lsh_join_indexed(
-                    spark, table_prefix, kept,
-                    threshold=dedup_threshold, **join_kwargs)
-                cross_ids = spark.createDataFrame(
-                    [(int(r["id_l"]),) for r in
-                     cross.filter(F.col("id_l") != F.col("id_r"))
-                     .select("id_l").distinct().collect()],
-                    f"{id_col} long")
-            kept = kept.join(cross_ids, id_col, "left_anti")
-        return kept
-
     if {"banded", "sigs"} <= done:
-        # appends landed but the counts step never got its ledger row
-        # (crash between mark("sigs") and the counts append): without
-        # this branch counts would stay missing FOREVER on the old
-        # skip path, and counts are decision-visible to every
-        # cap-filtered join (r7 review). minhash_index_append with
-        # both appends skipped re-derives ONLY the kept set's counts
-        # delta (r8 — deterministic re-sign of the batch), and the
-        # delta's own batch_id backstop makes the replay write-free
-        # when the append itself landed before the crash.
-        with cache_scope():
-            minhash_index_append(derive_kept(), table_prefix,
-                                 skip_tables=frozenset(done),
-                                 on_step=mark,
-                                 counts_batch_key=batch_id,
-                                 **index_kwargs)
+        # appends landed but the counts step never got its ledger row.
+        # Without this branch counts would stay missing FOREVER on the
+        # old skip path, and counts are decision-visible to every
+        # cap-filtered join (r7 review). r8 review: do NOT re-derive
+        # the kept set here — the batch's own banded rows (already
+        # landed) can flip max_bucket_size cap decisions on replay,
+        # so a re-derived delta could disagree with what banded holds.
+        # Instead: if the delta append itself landed (batch_id rows
+        # present), just mark; otherwise derive the missing delta
+        # EXACTLY as banded-recount minus counted-so-far — under the
+        # single-writer protocol the only unaccounted banded rows are
+        # this batch's. O(corpus), but only on this rare crash path.
+        _repair_counts_delta(spark, table_prefix, batch_id)
+        mark("counts")
         return False
-    kept = derive_kept()
+    kept = batch_df
+    if dedup_threshold is not None:
+        from remote_storage_adapter_spark.operators.dedup import (
+            minhash_lsh_join_indexed,
+        )
+
+        with cache_scope():
+            kept = _drop_within_batch(batch_df, dedup_threshold,
+                                      id_col, join_kwargs)
+            cross = minhash_lsh_join_indexed(
+                spark, table_prefix, kept,
+                threshold=dedup_threshold, **join_kwargs)
+            cross_ids = spark.createDataFrame(
+                [(int(r["id_l"]),) for r in
+                 cross.filter(F.col("id_l") != F.col("id_r"))
+                 .select("id_l").distinct().collect()],
+                f"{id_col} long")
+        kept = kept.join(cross_ids, id_col, "left_anti")
     with cache_scope():
         minhash_index_append(kept, table_prefix,
                              skip_tables=frozenset(done),
                              on_step=mark,
                              counts_batch_key=batch_id, **index_kwargs)
     return True
+
+
+def _repair_counts_delta(spark, table_prefix: str, batch_id: int) -> None:
+    """Counts-only crash repair: append the EXACT missing delta for a
+    batch whose banded/sigs appends committed but whose counts step
+    lost its ledger row. If the delta itself landed (batch_id rows
+    present), this is a no-op. Otherwise the missing contribution is
+    derived as full-banded-recount MINUS counts-so-far — ground truth,
+    immune to any nondeterminism of re-deriving the kept set against
+    the batch's own landed rows. A legacy counts table (no batch_id
+    column) gets the old self-healing full overwrite refresh."""
+    from pyspark.sql import functions as F
+
+    from remote_storage_adapter_spark.operators.dedup import (
+        _recount_banded,
+    )
+
+    ctab = f"{table_prefix}_counts"
+    if "batch_id" not in spark.table(ctab).columns:
+        (_recount_banded(spark, table_prefix)
+         .write.mode("overwrite").saveAsTable(ctab))
+        return
+    if spark.table(ctab).filter(
+            F.col("batch_id") == int(batch_id)).limit(1).count() > 0:
+        return  # delta landed; only the ledger row was lost
+    counted = (spark.table(ctab).groupBy("band", "bucket")
+               .agg(F.sum("_n").alias("_c")))
+    delta = (
+        _recount_banded(spark, table_prefix)
+        .join(counted, ["band", "bucket"], "left")
+        .select(
+            "band", "bucket",
+            (F.col("_n") - F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long").alias("_n"))
+        .filter(F.col("_n") > 0)
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    delta.write.mode("append").saveAsTable(ctab)
 
 
 def _drop_within_batch(batch_df: DataFrame, threshold: float,
