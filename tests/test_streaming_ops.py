@@ -1722,3 +1722,108 @@ def test_minhash_counts_compact_safe_and_refuses_inflight(
     assert agg_counts() == recount()
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_minhash_bootstrap_and_missing_delta_crash_repair(
+        spark, monkeypatch):
+    """r8 review fixes, each exercised through its injected crash:
+    (1) a bootstrap attempt that dies AFTER building the tables but
+    BEFORE the single job-atomic 3-mark ledger append replays by
+    REBUILDING in overwrite mode — no duplicated signatures, no
+    double-counted buckets (the old three sequential marks let such a
+    replay take the append path over freshly-built tables);
+    (2) a batch that dies after its sigs ledger mark but before the
+    counts delta append repairs counts with the EXACT missing delta
+    (full banded recount minus counts-so-far) rather than re-deriving
+    the kept set against its own landed rows;
+    (3) reserved negative counts_batch_key values are rejected."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming import dedup as SD
+
+    schema = "doc_id long, text string"
+    prefix = "mh_crash_repair_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
+    mk = dict(num_hashes=16, bands=4, shingle_n=3, buckets=4)
+
+    def recount():
+        return sorted(tuple(r) for r in spark.table(f"{prefix}_banded")
+                      .groupBy("band", "bucket")
+                      .agg(F.count(F.lit(1)).alias("_n")).collect())
+
+    def agg_counts():
+        return sorted(tuple(r) for r in spark.table(f"{prefix}_counts")
+                      .groupBy("band", "bucket")
+                      .agg(F.sum("_n").alias("_n")).collect())
+
+    # (1) bootstrap builds the tables, then dies before the ledger
+    b0 = spark.createDataFrame(
+        [(i, f"common text body shared across docs w{i % 2}")
+         for i in range(6)], schema)
+    real_index = D.minhash_index
+
+    def dying_bootstrap(docs, table_prefix, **kw):
+        real_index(docs, table_prefix, **kw)
+        raise RuntimeError("injected crash before the 3-mark append")
+
+    monkeypatch.setattr(SD, "minhash_index", dying_bootstrap)
+    with pytest.raises(RuntimeError):
+        SD.apply_index_batch(b0, 0, prefix, **mk)
+    monkeypatch.undo()
+    # tables exist but the ledger never got a row → replay rebuilds
+    assert SD.apply_index_batch(b0, 0, prefix, **mk) is True
+    assert spark.table(f"{prefix}_sigs").count() == 6  # not 12
+    assert agg_counts() == recount()
+    ledger = spark.table(f"{prefix}_applied")
+    assert sorted(r["tbl"] for r in ledger.collect()) == \
+        ["banded", "counts", "sigs"]
+    assert SD.apply_index_batch(b0, 0, prefix, **mk) is False
+
+    # (2) batch 1 dies after the sigs mark, before the counts append
+    b1 = spark.createDataFrame(
+        [(100 + i, f"common text body shared across docs w{i % 2}")
+         for i in range(4)], schema)
+    real_append = D.minhash_index_append
+
+    def crashing(docs, table_prefix, **kw):
+        real_on = kw.get("on_step")
+
+        def step(tbl):
+            real_on(tbl)
+            if tbl == "sigs":
+                raise RuntimeError("crash before the counts append")
+
+        kw2 = dict(kw)
+        kw2["on_step"] = step
+        return real_append(docs, table_prefix, **kw2)
+
+    monkeypatch.setattr(SD, "minhash_index_append", crashing)
+    with pytest.raises(RuntimeError):
+        SD.apply_index_batch(b1, 1, prefix, **mk)
+    monkeypatch.undo()
+    # banded/sigs landed and are marked; the delta is genuinely absent
+    assert spark.table(f"{prefix}_counts") \
+        .filter(F.col("batch_id") == 1).count() == 0
+    assert agg_counts() != recount()
+    # replay derives the exact missing delta without touching banded/sigs
+    banded_rows = spark.table(f"{prefix}_banded").count()
+    sigs_rows = spark.table(f"{prefix}_sigs").count()
+    assert SD.apply_index_batch(b1, 1, prefix, **mk) is False
+    assert spark.table(f"{prefix}_banded").count() == banded_rows
+    assert spark.table(f"{prefix}_sigs").count() == sigs_rows
+    assert spark.table(f"{prefix}_counts") \
+        .filter(F.col("batch_id") == 1).count() > 0
+    assert agg_counts() == recount()
+    assert SD.apply_index_batch(b1, 1, prefix, **mk) is False
+    # the repaired state compacts cleanly
+    D.minhash_counts_compact(spark, prefix)
+    assert agg_counts() == recount()
+
+    # (3) reserved negative keys are rejected loudly
+    with pytest.raises(ValueError, match="reserved"):
+        D.minhash_index_append(b1, prefix, counts_batch_key=-1, **mk)
+    for t in ("banded", "sigs", "counts", "applied"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
