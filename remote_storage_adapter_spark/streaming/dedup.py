@@ -158,7 +158,26 @@ def _repair_counts_delta(spark, table_prefix: str, batch_id: int) -> None:
     derived as full-banded-recount MINUS counts-so-far — ground truth,
     immune to any nondeterminism of re-deriving the kept set against
     the batch's own landed rows. A legacy counts table (no batch_id
-    column) gets the old self-healing full overwrite refresh."""
+    column) gets the old self-healing full overwrite refresh.
+
+    Counts semantics under duplicate banded residue (r8 review): the
+    protocol's one unclosable window — a table append that commits but
+    dies before its ledger mark — leaves a replayed batch's postings
+    physically duplicated in ``banded`` (accepted; the pair joins are
+    result-idempotent through dropDuplicates). This recount counts
+    those PHYSICAL rows, so a double-crash (landed-unmarked banded,
+    then a counts-window crash) folds the duplicates into the repaired
+    delta under this batch's key. That is deliberate: counts exist to
+    cap candidate-join fan-out, and physical rows are exactly what the
+    join fans out over — a duplicated bucket genuinely costs double,
+    and a cap that trips early on it errs conservative (fewer
+    candidates, never more cost). ``minhash_counts_compact`` and the
+    legacy refresh recount the same physical ground truth, so repair,
+    compaction, and refresh agree; only the crash-free O(batch) delta
+    path can momentarily under-count a duplicated bucket (it counts
+    the frame it appends), and the next repair or compaction heals the
+    drift. The batch_id label on absorbed duplicate rows has no
+    consumer beyond the presence probe above."""
     from pyspark.sql import functions as F
 
     from remote_storage_adapter_spark.operators.dedup import (
