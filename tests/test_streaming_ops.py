@@ -1827,3 +1827,143 @@ def test_minhash_bootstrap_and_missing_delta_crash_repair(
         D.minhash_index_append(b1, prefix, counts_batch_key=-1, **mk)
     for t in ("banded", "sigs", "counts", "applied"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_lm_table_delta_maintainer_exactly_once_and_compacts(
+        spark, tmp_path, monkeypatch):
+    """r8: the O(batch) catalog-table LM maintainer
+    (apply_lm_table_batch delta rows) equals lm_table(union of
+    applied batches) through streaming, replays, every injected
+    crash window, and compaction:
+    - streamed availableNow run == batch union; fresh-checkpoint
+      reprocess is a ledger-absorbed no-op;
+    - bootstrap crash before the ledger row → replay rebuilds in
+      overwrite mode (no duplicate rows);
+    - delta-landed-without-ledger crash → replay re-marks WITHOUT
+      re-appending (the batch_id backstop);
+    - lm_table_compact folds to one row per term, refuses while a
+      batch is in-flight, and finishes an interrupted DROP+RENAME
+      swap;
+    - negative batch ids are rejected (−1 is the compacted marker).
+    """
+    import pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.operators.text import (
+        lm_doc_scores, lm_score_against, lm_table,
+    )
+    from remote_storage_adapter_spark.streaming import lm as SLM
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    table = "lm_delta_test"
+    D.reset_managed_tables(
+        spark, table, f"{table}_applied", f"{table}_compacting")
+    landing = str(tmp_path / "landing")
+    batches = [
+        [(1, "spark shuffle join spark"), (2, "hash scan filter")],
+        [(11, "shuffle merge sort"), (12, "spark spark window")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+    def run(ckpt):
+        q = SLM.stream_lm_table_maintain(
+            spark, landing, table, str(tmp_path / ckpt),
+            schema=schema, available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def maintained():
+        return sorted(tuple(r) for r in
+                      SLM.read_lm_table(spark, table).collect())
+
+    def expect(rows):
+        return sorted(tuple(r) for r in
+                      lm_table(spark.createDataFrame(rows, schema))
+                      .collect())
+
+    flat = [r for b in batches for r in b]
+    run("ck1")
+    assert maintained() == expect(flat)
+    # scoring against the maintained table == self-trained scores
+    union = spark.createDataFrame(flat, schema)
+    against = sorted(
+        (r["doc_id"], r["n_tokens"], r["mean_nll"], r["ppl"])
+        for r in lm_score_against(
+            union, SLM.read_lm_table(spark, table)).collect())
+    assert against == sorted(
+        tuple(r) for r in lm_doc_scores(union).collect())
+    # fresh-checkpoint reprocess: ledger absorbs both batches
+    run("ck2")
+    assert maintained() == expect(flat)
+
+    # crash window 1: delta landed, ledger row lost
+    b2 = [(21, "fresh tail words spark")]
+    b2df = spark.createDataFrame(b2, schema)
+    real_mark = SLM._mark_lm_applied
+
+    def dying_mark(spark_, ledger, batch_id):
+        raise RuntimeError("injected crash before the ledger row")
+
+    monkeypatch.setattr(SLM, "_mark_lm_applied", dying_mark)
+    with pytest.raises(RuntimeError):
+        SLM.apply_lm_table_batch(b2df, 2, table)
+    monkeypatch.setattr(SLM, "_mark_lm_applied", real_mark)
+    n_rows = spark.table(table).count()
+    assert spark.table(table).filter(
+        F.col("batch_id") == 2).count() > 0  # delta landed
+    # compactor refuses while the batch is in-flight
+    with pytest.raises(ValueError, match="in-flight"):
+        SLM.lm_table_compact(spark, table)
+    # replay re-marks WITHOUT re-appending
+    assert SLM.apply_lm_table_batch(b2df, 2, table) is True
+    assert spark.table(table).count() == n_rows
+    assert maintained() == expect(flat + b2)
+    assert SLM.apply_lm_table_batch(b2df, 2, table) is False
+
+    # compaction: one row per term, ledger-skips survive, appends
+    # resume as deltas
+    SLM.lm_table_compact(spark, table)
+    ctab = spark.table(table)
+    assert ctab.count() == ctab.select("term").distinct().count()
+    assert {r["batch_id"] for r in
+            ctab.select("batch_id").distinct().collect()} == {-1}
+    assert maintained() == expect(flat + b2)
+    assert SLM.apply_lm_table_batch(b2df, 2, table) is False
+    b3 = [(31, "novel closing words")]
+    b3df = spark.createDataFrame(b3, schema)
+    assert SLM.apply_lm_table_batch(b3df, 3, table) is True
+    assert maintained() == expect(flat + b2 + b3)
+
+    # interrupted compact swap: staged table complete, live table
+    # dropped — the next compact finishes the rename
+    (SLM.read_lm_table(spark, table)
+     .withColumn("batch_id", F.lit(-1).cast("long"))
+     .write.mode("overwrite").saveAsTable(f"{table}_compacting"))
+    spark.sql(f"DROP TABLE {table}")
+    SLM.lm_table_compact(spark, table)
+    assert maintained() == expect(flat + b2 + b3)
+
+    # crash window 2: bootstrap dies before its ledger row
+    table2 = "lm_delta_boot_test"
+    D.reset_managed_tables(spark, table2, f"{table2}_applied")
+    monkeypatch.setattr(SLM, "_mark_lm_applied", dying_mark)
+    with pytest.raises(RuntimeError):
+        SLM.apply_lm_table_batch(union, 0, table2)
+    monkeypatch.setattr(SLM, "_mark_lm_applied", real_mark)
+    assert spark.catalog.tableExists(table2)  # data landed, no ledger
+    assert SLM.apply_lm_table_batch(union, 0, table2) is True
+    assert sorted(tuple(r) for r in
+                  SLM.read_lm_table(spark, table2).collect()) \
+        == expect(flat)  # overwrite rebuild, not a duplicate append
+    assert SLM.apply_lm_table_batch(union, 0, table2) is False
+
+    with pytest.raises(ValueError, match="reserved"):
+        SLM.apply_lm_table_batch(union, -1, table2)
+    D.reset_managed_tables(
+        spark, table, f"{table}_applied", f"{table}_compacting",
+        table2, f"{table2}_applied")
