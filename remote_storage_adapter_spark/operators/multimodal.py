@@ -6,18 +6,18 @@ Arrow-batched ``mapInPandas`` stages so the JVM⇄Python boundary moves
 whole columns, not rows.
 
 Pixel/sample decode is REAL for the formats whose specs need nothing
-beyond the stdlib: PNG, BMP, GIF (pixels) and WAV PCM (samples) via
-:mod:`..functions.mediacodec` — pure ``zlib``/``struct``/numpy, no
-media libraries. ``decode_stub=False`` in :func:`extract_features` /
-:func:`resize` runs genuine decode→feature / decode→resample→re-encode;
-:func:`decode_media` is the scan-speed quarantine operator (per-row
-``err`` instead of a job abort — at 100 TB a corrupt payload must not
-kill the stage). What stays honestly stubbed: JPEG pixel decode
-(entropy-coded DCT) and video containers — those need a codec library
-the container doesn't ship, and the code raises ``NotImplementedError``
-there rather than faking it. ``decode_stub=True`` keeps the
-deterministic digest-derived features for oracle-checkable plumbing
-tests.
+beyond the stdlib: PNG, BMP, GIF, baseline JPEG (pixels) and WAV PCM
+(samples) via :mod:`..functions.mediacodec` — pure
+``zlib``/``struct``/numpy, no media libraries. ``decode_stub=False``
+in :func:`extract_features` / :func:`resize` runs genuine
+decode→feature / decode→resample→re-encode; :func:`decode_media` is
+the scan-speed quarantine operator (per-row ``err`` instead of a job
+abort — at 100 TB a corrupt payload must not kill the stage). What
+stays honestly refused with ``NotImplementedError``: video containers
+and the non-baseline JPEG modes (progressive/arithmetic/lossless) —
+those need a codec library the container doesn't ship.
+``decode_stub=True`` keeps the deterministic digest-derived features
+for oracle-checkable plumbing tests.
 """
 
 from __future__ import annotations
@@ -108,9 +108,9 @@ def _sniff(p: bytes):
       data chunk size over the byte rate.
 
     Returns (format, width, height, sample_rate, channels,
-    duration_ms) with None for unknown/unparsable — the honest
-    contrast to the pixel/sample DECODE step, which genuinely needs
-    Pillow/torchaudio and stays env-stubbed below.
+    duration_ms) with None for unknown/unparsable — the scan-speed
+    triage step before the full pixel/sample decode
+    (:func:`decode_media`).
     """
     if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 \
             and p[12:16] == b"IHDR":
@@ -230,9 +230,9 @@ def extract_features(media: DataFrame, *, dim: int = 16,
 
     Partition-preserving before the explicit id-repartition; each
     Python worker sees whole Arrow batches. ``decode_stub=False`` runs
-    the REAL decoder (:func:`_real_feature`: PNG/BMP/GIF pixel
-    luminance or WAV amplitude histogram) and raises on payloads no
-    stdlib codec covers (JPEG/video/unknown) — quarantine those with
+    the REAL decoder (:func:`_real_feature`: PNG/BMP/GIF/baseline-JPEG
+    pixel luminance or WAV amplitude histogram) and raises on payloads
+    no stdlib codec covers (video/unknown) — quarantine those with
     :func:`decode_media` first. ``decode_stub=True`` keeps the
     deterministic digest feature for format-free plumbing tests.
     """
@@ -263,7 +263,7 @@ def extract_features(media: DataFrame, *, dim: int = 16,
 
 
 def _resize_real(p: bytes, width: int, height: int) -> bytes:
-    """REAL resize: stdlib decode (PNG/BMP/GIF) → nearest-neighbor
+    """REAL resize: stdlib decode (PNG/BMP/GIF/JPEG) → nearest-neighbor
     resample (floor(i·src/dst) index mapping, the standard NN kernel)
     → PNG re-encode. Deterministic bytes for fixed input."""
     px = MC.decode_pixels(p)
@@ -278,10 +278,10 @@ def resize(media: DataFrame, *, width: int, height: int,
     """Image resize stage via Arrow-batched mapInPandas.
 
     ``decode_stub=False`` is REAL: :func:`_resize_real` decodes
-    PNG/BMP/GIF pixels, nearest-neighbor-resamples, and re-encodes as
-    PNG (``meta.format`` becomes ``'png'``); it raises on payloads the
-    stdlib codecs don't cover — quarantine with :func:`decode_media`
-    first. Stub: deterministic payload reshaping (truncate/cycle to the
+    PNG/BMP/GIF/baseline-JPEG pixels, nearest-neighbor-resamples, and
+    re-encodes as PNG (``meta.format`` becomes ``'png'``); it raises
+    on payloads the stdlib codecs don't cover — quarantine with
+    :func:`decode_media` first. Stub: deterministic payload reshaping (truncate/cycle to the
     target pixel budget) so schema, meta update, and batch shape stay
     testable on format-free payloads. Partition-preserving — no
     shuffle.
@@ -361,10 +361,10 @@ def _decode_one(p: bytes):
 def decode_media(media: DataFrame, *, id_col: str = "media_id",
                  payload_col: str = "payload") -> DataFrame:
     """REAL pixel/sample decode of every payload via Arrow-batched
-    ``mapInPandas`` — stdlib codecs only (PNG/BMP/GIF pixels, WAV PCM
-    samples; see :mod:`..functions.mediacodec`). Per-row ``err``
-    quarantines undecodable payloads (JPEG pixels, video, corrupt
-    bytes) instead of failing the job. Partition-preserving, no
+    ``mapInPandas`` — stdlib codecs only (PNG/BMP/GIF/baseline-JPEG
+    pixels, WAV PCM samples; see :mod:`..functions.mediacodec`).
+    Per-row ``err`` quarantines undecodable payloads (video,
+    progressive JPEG, corrupt bytes) instead of failing the job. Partition-preserving, no
     shuffle; decoded arrays never leave the worker — only bounded
     per-payload statistics cross back to the JVM."""
 

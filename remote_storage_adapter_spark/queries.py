@@ -3669,35 +3669,92 @@ FROM bloom
 """
 
 
+#: the constant 138-byte baseline-JPEG prelude for q_multimodal_jpeg:
+#: SOI; DQT id 0 all-8s; SOF0 8×8 grayscale; one-code DC DHT (single
+#: 1-bit code "0" → category 6) and AC DHT (single 1-bit code "0" →
+#: EOB); SOS. Only the one entropy byte after this is doc-dependent.
+_JPEG_PRELUDE_HEX = (
+    "FFD8FFDB004300" + "08" * 64
+    + "FFC0000B0800080008" + "01011100"
+    + "FFC40014" + "00" + "01" + "00" * 15 + "06"
+    + "FFC40014" + "10" + "01" + "00" * 15 + "00"
+    + "FFDA0008010100003F00")
+
+
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-gated end to end: plant a
+    COMPLETE valid 8×8 grayscale JPEG per document whose one-byte
+    entropy-coded segment is closed-form. With a DC Huffman table
+    holding a single 1-bit code for category 6 and an AC table whose
+    single 1-bit code is EOB, the scan for a DC-only block of value
+    v ∈ [32, 63] packs into exactly one byte: 0·vvvvvv·0 = 2v. With
+    Q(0,0)=8 the dequantized DC is 8v and the IDCT of a DC-only block
+    is flat at 8v/8 = v, so after the +128 level shift every pixel is
+    v+128 — which both engines know analytically, while only Spark
+    runs the genuine marker walk, canonical-Huffman entropy decode,
+    dequantization, and IDCT (`functions/mediacodec.jpeg_decode`).
+    v = 32 + doc_id % 32."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    v = F.lit(32) + F.col("doc_id") % 32
+    payload = F.concat(
+        F.lit(bytes.fromhex(_JPEG_PRELUDE_HEX)),
+        _be_bytes(v * 2, 2),
+        F.lit(b"\xff\xd9"),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.decode_media(media).select(
+        "media_id", F.col("kind").alias("jp_kind"),
+        F.col("height").alias("jp_h"), F.col("width").alias("jp_w"),
+        F.col("channels").alias("jp_c"),
+        F.col("px_mean").alias("jp_mean"),
+        F.col("px_std").alias("jp_std"))
+
+
+O_multimodal_jpeg = """
+SELECT doc_id AS media_id, 'image' AS jp_kind,
+       8 AS jp_h, 8 AS jp_w, 1 AS jp_c,
+       CAST(160 + doc_id % 32 AS DOUBLE) AS jp_mean,
+       0.0 AS jp_std
+FROM documents
+"""
+
+
 def q_multimodal_profile(spark, sf_dir):
     """Multimodal plumbing in one row: opaque-payload byte accounting,
     Arrow-batched stub feature extraction, the REAL PNG container
     parser recovering planted dimensions, the REAL pixel decoder
     (zlib inflate + Sub-filter reconstruction) recovering planted
-    pixel statistics, and REAL animated-GIF frame sampling (LZW +
-    GCE timeline + composition) recovering planted per-frame
-    statistics (media_id join)."""
+    pixel statistics, REAL animated-GIF frame sampling (LZW + GCE
+    timeline + composition) recovering planted per-frame statistics,
+    and REAL baseline-JPEG entropy decode (canonical Huffman +
+    dequant + IDCT) recovering planted DC-only blocks (media_id
+    join)."""
     b = q_multimodal_bytes(spark, sf_dir)
     f_ = q_multimodal_features(spark, sf_dir).select(
         "media_id", "sha256", "f0")
     s = q_multimodal_sniff(spark, sf_dir)
     px = q_multimodal_decode(spark, sf_dir)
     fr = q_multimodal_frames(spark, sf_dir)
+    jp = q_multimodal_jpeg(spark, sf_dir)
     return (b.join(f_, "media_id").join(s, "media_id")
-            .join(px, "media_id").join(fr, "media_id"))
+            .join(px, "media_id").join(fr, "media_id")
+            .join(jp, "media_id"))
 
 
 O_multimodal_profile = f"""
 WITH b AS ({O_multimodal_bytes}), f AS ({O_multimodal_features}),
 s AS ({O_multimodal_sniff}), px AS ({O_multimodal_decode}),
-fr AS ({O_multimodal_frames})
+fr AS ({O_multimodal_frames}), jp AS ({O_multimodal_jpeg})
 SELECT b.media_id, b.byte_len, b.payload_md5, b.media_type,
        f.sha256, f.f0, s.format, s.width, s.height,
        px.decode_kind, px.px_h, px.px_w, px.px_c, px.px_mean, px.px_std,
        fr.n_frames, fr.fr_h, fr.fr_w, fr.fr_c,
-       fr.fr0_mean, fr.fr0_std, fr.fr1_mean, fr.fr1_std
+       fr.fr0_mean, fr.fr0_std, fr.fr1_mean, fr.fr1_std,
+       jp.jp_kind, jp.jp_h, jp.jp_w, jp.jp_c, jp.jp_mean, jp.jp_std
 FROM b JOIN f USING (media_id) JOIN s USING (media_id)
 JOIN px USING (media_id) JOIN fr USING (media_id)
+JOIN jp USING (media_id)
 """
 
 

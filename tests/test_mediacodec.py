@@ -517,11 +517,14 @@ def test_hostile_bytes_never_hang_or_crash_decode_one():
 
 # ------------------------------------------------------- dispatch
 
-def test_decode_pixels_dispatch_and_honest_jpeg_stub():
+def test_decode_pixels_dispatch_and_contracts():
     a = RNG.integers(0, 256, (3, 3, 3), dtype=np.uint8)
     assert np.array_equal(MC.decode_pixels(MC.png_encode(a)), a)
     assert np.array_equal(MC.decode_pixels(build_bmp(a)), a)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # truncated JPEG APP0 is malformed bytes (ValueError), while the
+    # honest refusals (progressive etc.) stay NotImplementedError —
+    # see test_jpeg_honest_refusals
+    with pytest.raises(ValueError, match="JPEG"):
         MC.decode_pixels(b"\xff\xd8\xff\xe0junk")
     with pytest.raises(ValueError, match="unrecognized"):
         MC.decode_pixels(b"plain text")
@@ -591,8 +594,8 @@ def test_decode_media_quarantines_per_row(spark):
         (sam.astype(np.float64) / 32768.0).reshape(-1) ** 2)))
     assert rows[1]["rms"] == round(exp_rms, 6)
     # decode failures quarantine with a reason, job survives
-    assert rows[2]["kind"] is None
-    assert "NotImplementedError" in rows[2]["err"]
+    # (truncated JPEG APP0 → malformed-bytes ValueError)
+    assert rows[2]["kind"] is None and "ValueError" in rows[2]["err"]
     assert rows[3]["kind"] is None and "ValueError" in rows[3]["err"]
 
 
@@ -647,6 +650,372 @@ def test_sniff_and_decode_agree_on_dims(spark):
         assert decoded[mid]["err"] is None
         assert sniffed[mid]["width"] == decoded[mid]["width"]
         assert sniffed[mid]["height"] == decoded[mid]["height"]
+
+
+# ------------------------------------------------------------ JPEG
+#
+# Ground truth discipline (same as the PNG/GIF goldens): the encoder
+# below is built independently in-test from the T.81 spec — forward
+# DCT as the explicit quadruple cosine sum (the decoder uses a
+# separable einsum IDCT), Annex-C canonical code assignment written
+# from the tables' bits/values form, Annex-K standard Huffman tables
+# typed in from the public spec — so a shared encoder/decoder bug
+# cannot self-certify.
+
+_JDC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+_JAC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_JDC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+          list(range(12)))
+_JAC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+_JZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _jfdct(block: np.ndarray) -> np.ndarray:
+    """Forward 8×8 DCT-II, explicit quadruple cosine sum (A.3.3)."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (block[x, y]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def _jcodes(counts, syms):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[syms[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out, self.cur, self.n = bytearray(), 0, 0
+
+    def put(self, code, ln):
+        for b in range(ln - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((code >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.cur)
+                if self.cur == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.cur, self.n = 0, 0
+
+    def align(self):  # pad to byte boundary with 1-bits (F.1.2.3)
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jput_coef(bw, v, s):
+    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _jcat(v):
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def _jenc_block(bw, zz, pred, dcc, acc):
+    diff = int(zz[0]) - pred
+    s = _jcat(diff)
+    bw.put(*reversed(dcc[s]))
+    if s:
+        _jput_coef(bw, diff, s)
+    k = 1
+    while k < 64:
+        if zz[k] == 0:
+            j = k
+            while j < 64 and zz[j] == 0:
+                j += 1
+            if j == 64:
+                bw.put(*reversed(acc[0x00]))  # EOB
+                break
+            run = j - k
+            while run > 15:
+                bw.put(*reversed(acc[0xF0]))  # ZRL
+                run -= 16
+            k = j
+            v = int(zz[k])
+            s = _jcat(v)
+            bw.put(*reversed(acc[(run << 4) | s]))
+            _jput_coef(bw, v, s)
+        else:
+            v = int(zz[k])
+            s = _jcat(v)
+            bw.put(*reversed(acc[s]))
+            _jput_coef(bw, v, s)
+        k += 1
+    return int(zz[0])
+
+
+def _jquant_block(plane, y0, x0, qzz):
+    """Pixel block at (y0, x0) → quantized zigzag coefficients."""
+    co = _jfdct(plane[y0:y0 + 8, x0:x0 + 8].astype(float) - 128.0)
+    return [int(round(co.flat[_JZZ[k]] / qzz[k])) for k in range(64)]
+
+
+def build_jpeg(planes, sampling, qzz_tables, *, restart=0):
+    """Independent baseline JPEG encoder. ``planes``: per-component
+    uint8 arrays at their own resolution (component 0 = frame dims);
+    ``sampling``: [(sh, sv), ...]; ``qzz_tables``: per-component
+    64-entry quant tables in ZIGZAG order (table id = component
+    index). Component 0 uses the Annex-K luminance Huffman tables,
+    the rest the chrominance tables. ``restart`` emits DRI + RSTn
+    every that many MCUs."""
+    nc = len(planes)
+    fh, fw = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, sampling):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                    mode="edge")
+        padded.append(pp)
+    dc_tabs = [_jcodes(*(_JDC_L if c == 0 else _JDC_C)) for c in range(nc)]
+    ac_tabs = [_jcodes(*(_JAC_L if c == 0 else _JAC_C)) for c in range(nc)]
+    bw = _JBitWriter()
+    preds = [0] * nc
+    rst = 0
+    ent = bytearray()
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            bw.align()
+            ent += bw.out + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _JBitWriter()
+            preds = [0] * nc
+        my, mx = divmod(mcu, mcux)
+        for c in range(nc):
+            sh, sv = sampling[c]
+            for by in range(sv):
+                for bx in range(sh):
+                    zz = _jquant_block(padded[c], (my * sv + by) * 8,
+                                       (mx * sh + bx) * 8, qzz_tables[c])
+                    preds[c] = _jenc_block(bw, zz, preds[c],
+                                           dc_tabs[c], ac_tabs[c])
+    bw.align()
+    ent += bw.out
+    out = bytearray(b"\xff\xd8")
+    for c in range(nc):
+        out += bytes([0xFF, 0xDB, 0x00, 0x43, c]) \
+            + bytes(int(q) for q in qzz_tables[c])
+    out += bytes([0xFF, 0xC0]) + (8 + 3 * nc).to_bytes(2, "big") \
+        + bytes([8]) + fh.to_bytes(2, "big") + fw.to_bytes(2, "big") \
+        + bytes([nc])
+    for c in range(nc):
+        out += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], c])
+    for c, (cls, cnt, sym) in enumerate(
+            [(0, *_JDC_L), (1, *_JAC_L)] if nc == 1
+            else [(0, *_JDC_L), (1, *_JAC_L), (0, *_JDC_C), (1, *_JAC_C)]):
+        tid = 0 if c < 2 else 1
+        out += bytes([0xFF, 0xC4]) \
+            + (2 + 1 + 16 + len(sym)).to_bytes(2, "big") \
+            + bytes([(cls << 4) | tid]) + bytes(cnt) + bytes(sym)
+    if restart:
+        out += bytes([0xFF, 0xDD, 0x00, 0x04]) + restart.to_bytes(2, "big")
+    out += bytes([0xFF, 0xDA]) + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        tid = 0 if c == 0 else 1
+        out += bytes([c + 1, (tid << 4) | tid])
+    out += bytes([0x00, 0x3F, 0x00]) + ent + bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
+def _jexpected_gray(plane, qzz, fh, fw):
+    """Independent reconstruction: quantize → dequantize → direct
+    cosine-sum IDCT → level shift/round/clip, cropped to frame."""
+    th = -(-fh // 8) * 8
+    tw = -(-fw // 8) * 8
+    pp = np.pad(plane, ((0, th - plane.shape[0]),
+                        (0, tw - plane.shape[1])), mode="edge")
+    out = np.zeros((th, tw))
+    for y0 in range(0, th, 8):
+        for x0 in range(0, tw, 8):
+            zz = _jquant_block(pp, y0, x0, qzz)
+            co = np.zeros(64)
+            for k in range(64):
+                co[_JZZ[k]] = zz[k] * qzz[k]
+            co = co.reshape(8, 8)
+            blk = np.zeros((8, 8))
+            for x in range(8):
+                for y in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                            s += (cu * cv * co[u, v]
+                                  * np.cos((2 * x + 1) * u * np.pi / 16)
+                                  * np.cos((2 * y + 1) * v * np.pi / 16))
+                    blk[x, y] = 0.25 * s
+            out[y0:y0 + 8, x0:x0 + 8] = blk
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:fh, :fw]
+
+
+def test_jpeg_dc_only_closed_form():
+    """Single-block grayscale JPEG with one-code Huffman tables and a
+    one-byte entropy segment — the exact closed form the planted
+    oracle leg uses (category-6 DC value v, Q=8 → every pixel is
+    v+128, std 0)."""
+    for v in (32, 45, 63):
+        p = (b"\xff\xd8"
+             + bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([8] * 64)
+             + bytes([0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08,
+                      0x00, 0x08, 0x01, 0x01, 0x11, 0x00])
+             + bytes([0xFF, 0xC4, 0x00, 0x14, 0x00])
+             + bytes([1] + [0] * 15) + bytes([0x06])
+             + bytes([0xFF, 0xC4, 0x00, 0x14, 0x10])
+             + bytes([1] + [0] * 15) + bytes([0x00])
+             + bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                      0x00, 0x3F, 0x00])
+             + bytes([v << 1]) + b"\xff\xd9")
+        px = MC.jpeg_decode(p)
+        assert px.shape == (8, 8, 1)
+        assert int(px.min()) == int(px.max()) == v + 128
+
+
+def test_jpeg_gray_vs_independent_reconstruction():
+    """Random grayscale images, q=1 and a non-trivial quant table,
+    non-multiple-of-8 dims: the decoder must match the independent
+    quantize→dequantize→direct-IDCT reconstruction to ≤1 (double
+    rounding at exact .5 boundaries between the two float orders)."""
+    for (h, w), q in [((16, 24), np.ones(64, int)),
+                      ((10, 13), np.ones(64, int)),
+                      ((8, 8), (np.arange(64) % 7 + 1))]:
+        img = RNG.integers(0, 256, (h, w), dtype=np.uint8)
+        dec = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q]))
+        assert dec.shape == (h, w, 1)
+        exp = _jexpected_gray(img, q, h, w)
+        err = np.abs(dec[:, :, 0].astype(int) - exp.astype(int)).max()
+        assert err <= 1, err
+
+
+def test_jpeg_color_444_and_420_composition():
+    """3-component decode vs an independent composition: craft Y/Cb/Cr
+    planes directly, compute expected RGB with explicit np.repeat
+    upsampling + the BT.601 full-range matrix. q=1 keeps per-plane
+    loss at rounding scale (≤1); the color matrix amplifies it by up
+    to 1+1.772 before the final round, so the tolerance is ±4."""
+    for sampling, (ch, cw) in [([(1, 1)] * 3, (16, 16)),
+                               ([(2, 2), (1, 1), (1, 1)], (8, 8))]:
+        y = RNG.integers(40, 216, (16, 16), dtype=np.uint8)
+        cb = RNG.integers(40, 216, (ch, cw), dtype=np.uint8)
+        cr = RNG.integers(40, 216, (ch, cw), dtype=np.uint8)
+        q = np.ones(64, int)
+        dec = MC.jpeg_decode(build_jpeg([y, cb, cr], sampling, [q] * 3))
+        assert dec.shape == (16, 16, 3)
+        cbf = np.repeat(np.repeat(cb, 16 // ch, 0), 16 // cw, 1)
+        crf = np.repeat(np.repeat(cr, 16 // ch, 0), 16 // cw, 1)
+        yf = y.astype(float)
+        exp = np.stack([
+            yf + 1.402 * (crf - 128.0),
+            yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0),
+            yf + 1.772 * (cbf - 128.0)], axis=2)
+        exp = np.clip(np.round(exp), 0, 255)
+        err = np.abs(dec.astype(float) - exp).max()
+        assert err <= 4, err
+
+
+def test_jpeg_restart_markers():
+    """DRI + RSTn segmentation must reproduce the no-restart pixels
+    exactly (predictor resets + bit realignment at every marker)."""
+    img = RNG.integers(0, 256, (24, 32), dtype=np.uint8)
+    q = np.ones(64, int)
+    base = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q]))
+    rst = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q], restart=3))
+    assert np.array_equal(base, rst)
+
+
+def test_jpeg_honest_refusals_and_hostile_bytes():
+    img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    good = build_jpeg([img], [(1, 1)], [np.ones(64, int)])
+    # progressive: same file with SOF0 marker byte swapped to SOF2
+    prog = good.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        MC.jpeg_decode(prog)
+    # truncated entropy data
+    with pytest.raises(ValueError, match="truncated|missing"):
+        MC.jpeg_decode(good[:len(good) - 6] + b"\xff\xd9")
+    # zero dimension
+    sof_at = good.index(bytes([0xFF, 0xC0]))
+    bad = bytearray(good)
+    bad[sof_at + 5:sof_at + 7] = b"\x00\x00"
+    with pytest.raises(ValueError, match="zero frame"):
+        MC.jpeg_decode(bytes(bad))
+    # lying pixel geometry past the decoder cap
+    big = bytearray(good)
+    big[sof_at + 5:sof_at + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="pixel cap"):
+        MC.jpeg_decode(bytes(big))
+    # invalid Huffman code: an all-1s entropy byte stream with tables
+    # that never assign the all-1s code
+    with pytest.raises(ValueError):
+        MC.jpeg_decode(good[:good.index(b"\x00\x3f\x00") + 3]
+                       + b"\xff\x00\xff\x00" + b"\xff\xd9")
+
+
+def test_jpeg_decode_media_and_sniff_agree(spark):
+    """decode_media now really decodes baseline JPEG; the header
+    sniffer's SOF geometry must match the decoded geometry."""
+    img = RNG.integers(0, 256, (24, 17), dtype=np.uint8)
+    payload = build_jpeg([img], [(1, 1)], [np.ones(64, int)])
+    media = _media_df(spark, [payload])
+    dec = MM.decode_media(media).collect()[0]
+    assert dec["err"] is None and dec["kind"] == "image"
+    assert (dec["height"], dec["width"], dec["channels"]) == (24, 17, 1)
+    sn = MM.sniff_media_meta(media).collect()[0]
+    assert (sn["height"], sn["width"]) == (24, 17)
 
 
 def test_lying_chunk_lengths_raise_valueerror_not_struct_error():
