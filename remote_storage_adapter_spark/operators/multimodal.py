@@ -96,6 +96,69 @@ SNIFF_SCHEMA = T.StructType(
 )
 
 
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes
+    in p[start:end]. Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0); a lying size stops the walk instead of
+    scanning garbage — quarantine-friendly partial results."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i:i + 4], "big")
+        btype = p[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(p[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _sniff_mp4(p: bytes):
+    """MP4/ISO-BMFF metadata via a real box walk (ISO 14496-12):
+    ``moov/mvhd`` timescale+duration → duration_ms, first
+    ``moov/trak/tkhd`` with nonzero 16.16 fixed-point geometry →
+    width/height (the video track; audio tracks carry 0×0). Pixel/
+    frame DECODE of the contained H.264/AAC streams genuinely needs
+    a codec library and stays a refusal elsewhere — this is the
+    honest metadata half of video support."""
+    w = h = dur = None
+    for btype, s, e in _mp4_boxes(p, 0, len(p)):
+        if btype != b"moov":
+            continue
+        for bt2, s2, e2 in _mp4_boxes(p, s, e):
+            if bt2 == b"mvhd" and e2 - s2 >= 4:
+                ver = p[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    ts = int.from_bytes(p[s2 + 20:s2 + 24], "big")
+                    d = int.from_bytes(p[s2 + 24:s2 + 32], "big")
+                elif ver == 0 and e2 - s2 >= 20:
+                    ts = int.from_bytes(p[s2 + 12:s2 + 16], "big")
+                    d = int.from_bytes(p[s2 + 16:s2 + 20], "big")
+                else:
+                    continue
+                if ts:
+                    dur = d * 1000 // ts
+            elif bt2 == b"trak" and w is None:
+                for bt3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    if bt3 != b"tkhd" or e3 - s3 < 4:
+                        continue
+                    off = 88 if p[s3] == 1 else 76
+                    if e3 - s3 >= off + 8:
+                        tw = int.from_bytes(
+                            p[s3 + off:s3 + off + 4], "big") >> 16
+                        th = int.from_bytes(
+                            p[s3 + off + 4:s3 + off + 8], "big") >> 16
+                        if tw and th:
+                            w, h = tw, th
+    return ("mp4", w, h, None, None, dur)
+
+
 def _sniff(p: bytes):
     """REAL media-container metadata decode from raw bytes — pure
     byte parsing of the public file-format specs, no media libraries:
@@ -106,6 +169,8 @@ def _sniff(p: bytes):
     - JPEG: segment walk to the first SOF0-SOF3 frame header.
     - WAV (RIFF): fmt chunk channels/sample-rate; duration from the
       data chunk size over the byte rate.
+    - MP4/ISO-BMFF: box walk to moov/mvhd (duration) and the video
+      trak/tkhd (16.16 fixed-point geometry) — see :func:`_sniff_mp4`.
 
     Returns (format, width, height, sample_rate, channels,
     duration_ms) with None for unknown/unparsable — the scan-speed
@@ -137,6 +202,8 @@ def _sniff(p: bytes):
                 continue
             i += 2 + int.from_bytes(p[i + 2:i + 4], "big")
         return ("jpeg", None, None, None, None, None)
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return _sniff_mp4(p)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         i, sr, ch, byte_rate, data_len = 12, None, None, None, None
         while i + 8 <= len(p):

@@ -3720,6 +3720,56 @@ FROM documents
 """
 
 
+#: constant chunks of the planted 232-byte MP4 for q_multimodal_mp4:
+#: ftyp(isom) + moov[ mvhd v0 (timescale 1000, duration VAR) +
+#: trak[ tkhd v0 (identity matrix, width/height VAR 16.16) ] ].
+#: Layout verified against operators.multimodal._sniff in tests.
+_MP4_PRE_HEX = (
+    "000000106674797069736F6D00000000000000D86D6F6F760000006C6D766864"
+    "000000000000000000000000000003E8")
+_MP4_MID_HEX = (
+    "00010000010000000000000000000000000100000000000000000000000000000001"
+    "00000000000000000000000000004000000000000000000000000000000000000000"
+    "000000000000000000000002000000647472616B0000005C746B6864000000070000"
+    "00000000000000000001000000000000000000000000000000000000000000000000"
+    "000100000000000000000000000000000001000000000000000000000000000040000000")
+
+
+def q_multimodal_mp4(spark, sf_dir):
+    """REAL MP4/ISO-BMFF metadata decode, oracle-gated (oracled
+    orphan): plant a COMPLETE valid MP4 skeleton per document —
+    ftyp + moov/mvhd (timescale 1000, doc-dependent duration) +
+    trak/tkhd (doc-dependent 16.16 fixed-point geometry) — and
+    recover duration/width/height through the genuine box walk
+    (`operators/multimodal._sniff_mp4`). The contained codec streams
+    are honestly NOT decoded (H.264/AAC need a codec library); this
+    gates the metadata half of video support, which is what a
+    100 TB curation pass filters on before any decode."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    dur = F.col("doc_id") % 5000 + 500          # ms (timescale 1000)
+    w = F.col("doc_id") % 256 + 64
+    h = F.col("doc_id") % 128 + 36
+    payload = F.concat(
+        F.lit(bytes.fromhex(_MP4_PRE_HEX)),
+        _be_bytes(dur, 8),
+        F.lit(bytes.fromhex(_MP4_MID_HEX)),
+        _be_bytes(w * 65536, 8), _be_bytes(h * 65536, 8),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.sniff_media_meta(media).select(
+        "media_id", "format", "width", "height", "duration_ms")
+
+
+O_multimodal_mp4 = """
+SELECT doc_id AS media_id, 'mp4' AS format,
+       CAST(doc_id % 256 + 64 AS INTEGER) AS width,
+       CAST(doc_id % 128 + 36 AS INTEGER) AS height,
+       CAST(doc_id % 5000 + 500 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def q_multimodal_profile(spark, sf_dir):
     """Multimodal plumbing in one row: opaque-payload byte accounting,
     Arrow-batched stub feature extraction, the REAL PNG container

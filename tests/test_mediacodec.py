@@ -1018,6 +1018,96 @@ def test_jpeg_decode_media_and_sniff_agree(spark):
     assert (sn["height"], sn["width"]) == (24, 17)
 
 
+# ------------------------------------------------------- MP4 sniff
+
+def _be(v, n):
+    return int(v).to_bytes(n, "big")
+
+
+_MP4_IDENT = (_be(0x00010000, 4) + bytes(12) + _be(0x00010000, 4)
+              + bytes(12) + _be(0x40000000, 4))
+
+
+def _box(btype: bytes, payload: bytes, *, largesize=False) -> bytes:
+    if largesize:
+        return _be(1, 4) + btype + _be(16 + len(payload), 8) + payload
+    return _be(8 + len(payload), 4) + btype + payload
+
+
+def build_mp4(dur_units, timescale, tracks, *, mvhd_v1=False,
+              largesize=False):
+    """Hand-packed ISO-BMFF per 14496-12: ftyp + moov[mvhd +
+    trak[tkhd]...]. ``tracks`` = [(w, h, tkhd_v1), ...]; w=h=0 packs
+    an audio-style track. Independent of the sniffer (explicit field
+    offsets from the spec tables)."""
+    if mvhd_v1:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                    + _be(timescale, 4) + _be(dur_units, 8)
+                    + _be(0x00010000, 4) + _be(0x0100, 2) + bytes(10)
+                    + _MP4_IDENT + bytes(24) + _be(2, 4))
+    else:
+        mvhd = _box(b"mvhd", bytes(4) + bytes(8) + _be(timescale, 4)
+                    + _be(dur_units, 4)
+                    + _be(0x00010000, 4) + _be(0x0100, 2) + bytes(10)
+                    + _MP4_IDENT + bytes(24) + _be(2, 4))
+    traks = b""
+    for w, h, v1 in tracks:
+        if v1:
+            tkhd = _box(b"tkhd", bytes([1, 0, 0, 7]) + bytes(16)
+                        + _be(1, 4) + bytes(4) + bytes(8) + bytes(8)
+                        + bytes(8) + _MP4_IDENT
+                        + _be(w << 16, 4) + _be(h << 16, 4))
+        else:
+            tkhd = _box(b"tkhd", bytes([0, 0, 0, 7]) + bytes(8)
+                        + _be(1, 4) + bytes(4) + bytes(4) + bytes(8)
+                        + bytes(8) + _MP4_IDENT
+                        + _be(w << 16, 4) + _be(h << 16, 4))
+        traks += _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + traks, largesize=largesize)
+    return _box(b"ftyp", b"isom" + _be(0, 4)) + moov
+
+
+def test_mp4_sniff_v0_and_v1():
+    from remote_storage_adapter_spark.operators.multimodal import _sniff
+    # v0 mvhd/tkhd, audio track (0x0) before the video track
+    p = build_mp4(2500, 1000, [(0, 0, False), (320, 180, False)])
+    assert _sniff(p) == ("mp4", 320, 180, None, None, 2500)
+    # v1 mvhd (64-bit duration) + v1 tkhd, non-1000 timescale
+    p = build_mp4(90000 * 7, 90000, [(640, 360, True)], mvhd_v1=True)
+    assert _sniff(p) == ("mp4", 640, 360, None, None, 7000)
+    # 64-bit largesize moov header
+    p = build_mp4(123, 1000, [(8, 4, False)], largesize=True)
+    assert _sniff(p) == ("mp4", 8, 4, None, None, 123)
+
+
+def test_mp4_sniff_hostile_sizes_bounded():
+    from remote_storage_adapter_spark.operators.multimodal import _sniff
+    good = build_mp4(500, 1000, [(16, 16, False)])
+    # truncated mid-moov: partial results, no crash
+    fmt, *_rest = _sniff(good[:40])
+    assert fmt == "mp4"
+    # lying box size (points past EOF): walk stops, returns mp4/None
+    bad = bytearray(good)
+    bad[16:20] = _be(1 << 30, 4)  # moov size lies
+    assert _sniff(bytes(bad))[0] == "mp4"
+    # size < header: stops instead of looping forever
+    bad2 = bytearray(good)
+    bad2[16:20] = _be(3, 4)
+    assert _sniff(bytes(bad2))[0] == "mp4"
+
+
+def test_mp4_decode_media_quarantines_but_sniff_parses(spark):
+    """The honest split: sniff_media_meta recovers container metadata,
+    decode_media quarantines (codec streams are not decoded)."""
+    p = build_mp4(1500, 1000, [(320, 240, False)])
+    media = _media_df(spark, [p])
+    sn = MM.sniff_media_meta(media).collect()[0]
+    assert (sn["format"], sn["width"], sn["height"], sn["duration_ms"]) \
+        == ("mp4", 320, 240, 1500)
+    dec = MM.decode_media(media).collect()[0]
+    assert dec["kind"] is None and dec["err"] is not None
+
+
 def test_lying_chunk_lengths_raise_valueerror_not_struct_error():
     """r7 ADVICE: a chunk whose declared length lies (truncated IHDR,
     WAV fmt shorter than 16 bytes, GIF cut inside the logical screen

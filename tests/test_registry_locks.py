@@ -92,6 +92,7 @@ _ORACLED_ORPHANS = [
     "emb_quantize",
     "text_lm_ref",
     "text_manifest",
+    "multimodal_mp4",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
