@@ -1,0 +1,194 @@
+"""DSIR-style importance resampling for training-data selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) selects raw-corpus documents that look like a small
+target corpus WITHOUT training a classifier: fit two bag-of-hashed-
+n-gram unigram models — target p and raw q — and resample raw docs
+with importance weight ``log w(x) = Σ_b c_b(x)·(log p̂_b − log q̂_b)``
+over hashed n-gram buckets. It is the published, cheaper alternative
+to the CCNet/GPT-3 classifier gate (`operators/classify.py`) and
+composes with the same curation machinery.
+
+Spark-first shape, every stage bounded:
+
+- :func:`hashed_ngram_counts` — corpus-level bucket counts. Tokens +
+  MAP-SIDE bigram arrays (the `lm2_doc_scores` recipe — no window, no
+  self-join) explode into `portable_hash64 % dim` buckets; the hash
+  aggregate partial-combines map-side, so only ``dim`` rows per
+  partition cross the wire and the output is a ``dim``-row table no
+  matter the corpus size.
+- :func:`dsir_log_ratios` — the per-bucket log-likelihood-ratio
+  table λ_b from the two count tables (add-``alpha`` smoothing over
+  the shared ``dim``-bucket space, so unseen buckets are defined on
+  both sides). Two ``dim``-row inputs, one ``dim``-row output;
+  9-dp-rounded per the oracle discipline.
+- :func:`dsir_doc_weights` — per-doc ``log w``: explode → bucket →
+  per-(doc, bucket) count → broadcast-join the ``dim``-row λ table →
+  per-doc sum. Shuffles only hash-narrow (id, bucket, count) rows —
+  never the text, never the doc table; token-free docs keep a row
+  with weight 0 (full-coverage contract, the `lr_score` LEFT-join
+  pattern).
+- :func:`dsir_select` — sample ``n`` docs without replacement with
+  probability ∝ ``w^(1/temperature)`` via the Gumbel top-k trick:
+  ``key = logw/T + g``, ``g = −ln(−ln(u))`` with a hash-deterministic
+  uniform per doc (replay-stable, partitioning-independent — the
+  `weighted_sample_n` discipline), ranked by the 9-dp-rounded key
+  with an id tie-break through ``TakeOrderedAndProject`` — never a
+  global sort.
+
+100 TB posture: the target corpus is small by construction (a
+reference set); the raw corpus is the big side and is touched by
+exactly two single-pass scans (one for q̂ counts, one for per-doc
+weights — fuse-able by persisting the exploded counts if desired).
+All intermediate state is O(dim) or O(docs) narrow rows.
+
+Reference parity: the reference repo (`/root/reference`, a Prometheus
+remote-storage bridge) has no data-selection surface — this is part
+of the training-data-pipeline extension, built from the public paper
+cited above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+from .text import tokens
+
+
+def _ngram_buckets(text: Column, dim: int, bigrams: bool) -> Column:
+    """Hashed n-gram bucket array for one document's text: unigram
+    tokens plus (optionally) space-joined adjacent bigrams, each
+    mapped through ``portable_hash64 % dim``. Map-side only."""
+    toks = F.filter(tokens(F.coalesce(text, F.lit(""))),
+                    lambda t: t != "")
+    grams = toks
+    if bigrams:
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(toks)),
+                lambda i: F.concat(F.element_at(toks, i - 1), F.lit(" "),
+                                   F.element_at(toks, i)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bi)
+    return F.transform(
+        grams, lambda g: (portable_hash64(g) % dim).cast("int"))
+
+
+def hashed_ngram_counts(docs: DataFrame, *, dim: int = 1024,
+                        bigrams: bool = True, text_col: str = "text"
+                        ) -> DataFrame:
+    """Corpus-level hashed n-gram counts: a ``(bucket int, c long)``
+    table with at most ``dim`` rows. One scan; the bucket hash
+    aggregate partial-combines map-side so the shuffle moves ≤ dim
+    rows per input partition regardless of corpus size."""
+    return (docs.select(F.explode(
+        _ngram_buckets(F.col(text_col), dim, bigrams)).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_log_ratios(target_counts: DataFrame, raw_counts: DataFrame,
+                    *, dim: int, alpha: float = 1.0) -> DataFrame:
+    """Per-bucket log-likelihood ratio ``λ_b = ln p̂_b − ln q̂_b`` with
+    add-``alpha`` smoothing over the full ``dim``-bucket space
+    (``p̂_b = (c_b + α)/(T + α·dim)``), as a ``dim``-row
+    ``(bucket, lam)`` table. λ is 9-dp-rounded so downstream sums are
+    engine-reproducible (oracle discipline). Buckets unseen in BOTH
+    corpora still get a row (λ from pure smoothing — typically ≠ 0
+    when corpus totals differ), so the doc-side join never drops
+    token mass."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    spark = target_counts.sparkSession
+    full = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
+    t = target_counts.withColumnRenamed("c", "ct")
+    r = raw_counts.withColumnRenamed("c", "cr")
+    tt = target_counts.agg(F.sum("c").alias("Tt"))
+    tr = raw_counts.agg(F.sum("c").alias("Tr"))
+    ad = F.lit(float(alpha) * dim)
+    lam = F.round(
+        F.log((F.col("ct") + F.lit(float(alpha)))
+              / (F.col("Tt").cast("double") + ad))
+        - F.log((F.col("cr") + F.lit(float(alpha)))
+                / (F.col("Tr").cast("double") + ad)), 9)
+    # every side is ≤ dim rows — broadcast them all so the λ build
+    # never sorts or shuffles (it lives inside the doc-side join's
+    # broadcast subtree)
+    return (full.join(F.broadcast(t), "bucket", "left")
+            .join(F.broadcast(r), "bucket", "left")
+            .select("bucket",
+                    F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+                    F.coalesce(F.col("cr"), F.lit(0)).alias("cr"))
+            .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(tr))
+            .select("bucket", lam.alias("lam")))
+
+
+def dsir_doc_weights(raw_docs: DataFrame, ratios: DataFrame, *,
+                     dim: int, bigrams: bool = True,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     out_col: str = "logw") -> DataFrame:
+    """Per-document log importance weight ``Σ_b c_b·λ_b`` — explode →
+    bucket → per-(doc, bucket) count → broadcast ``dim``-row λ join →
+    per-doc sum of 9-dp-rounded contributions. Token-free/NULL docs
+    keep a row with weight 0.0 (full coverage, no doc-table
+    back-join — the `lr_score` explode_outer/LEFT pattern)."""
+    buckets = raw_docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            _ngram_buckets(F.col(text_col), dim, bigrams)).alias("bucket"))
+    counts = buckets.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    contrib = F.round(F.col("c") * F.col("lam"), 9)
+    return (counts.join(F.broadcast(ratios), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.round(F.coalesce(F.sum(contrib), F.lit(0.0)), 9)
+                 .alias(out_col)))
+
+
+def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int, *,
+                dim: int = 1024, bigrams: bool = True,
+                alpha: float = 1.0, temperature: float = 1.0,
+                salt: str = "dsir", id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Select ``n`` raw docs via Gumbel top-k importance resampling
+    against the target corpus: sampling without replacement with
+    ``P(pick) ∝ w^(1/temperature)`` where ``log w`` is the DSIR
+    weight. ``temperature → 0`` degenerates to deterministic top-n by
+    weight; 1.0 is the paper's sampling regime. The Gumbel noise is
+    hash-deterministic per doc id (replay-stable), the rank key is
+    9-dp-rounded with an id tie-break, and the top-n runs as
+    ``TakeOrderedAndProject`` — never a global sort.
+
+    Weights are RELATIVE log-ratios: a doc with no n-grams scores a
+    ratio-neutral ``logw = 0``, which can outrank in-domain docs whose
+    extra tokens pull them negative — run the quality/hygiene gates
+    first (the capstone order) so token-free docs never reach
+    selection.
+
+    Returns (id_col, logw, key) for the selected docs."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    from .sampling import uniform_unit
+
+    tc = hashed_ngram_counts(target_docs, dim=dim, bigrams=bigrams,
+                             text_col=text_col)
+    rc = hashed_ngram_counts(raw_docs, dim=dim, bigrams=bigrams,
+                             text_col=text_col)
+    lam = dsir_log_ratios(tc, rc, dim=dim, alpha=alpha)
+    w = dsir_doc_weights(raw_docs, lam, dim=dim, bigrams=bigrams,
+                         id_col=id_col, text_col=text_col)
+    # u ∈ [0, 1) is bit-identical across engines (pure hash→double
+    # arithmetic); the Gumbel draw −ln(−ln u) is 9-dp-rounded BEFORE
+    # the sum so libm differences can't flip ranks (the
+    # weighted_sample_n rounded-key discipline)
+    u = uniform_unit(F.col(id_col), salt)
+    g = F.round(-F.log(-F.log(F.greatest(u, F.lit(1e-12)))), 9)
+    key = F.round(F.col("logw") / F.lit(float(temperature)) + g, 9)
+    return (w.select(id_col, "logw", key.alias("key"))
+            .orderBy(F.desc("key"), F.col(id_col))
+            .limit(n))

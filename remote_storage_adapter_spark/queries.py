@@ -41,6 +41,7 @@ from remote_storage_adapter_spark.operators import sketch as SK
 from remote_storage_adapter_spark.operators import text as TX
 from remote_storage_adapter_spark.operators import multimodal as MM
 from remote_storage_adapter_spark.operators import classify as CL
+from remote_storage_adapter_spark.operators import dsir as DS
 from remote_storage_adapter_spark.functions import graphite as G
 from remote_storage_adapter_spark.functions import influx as IX
 from remote_storage_adapter_spark.functions import opentsdb as OT
@@ -1937,6 +1938,67 @@ SELECT d.doc_id,
        round(1.0 / (1.0 + exp(-round(coalesce(dot, 0.0) + 0.05, 9))),
              6) AS score
 FROM documents d LEFT JOIN dots USING (doc_id)
+"""
+
+
+def q_sample_dsir(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023), oracle-gated end
+    to end (oracled orphan): target corpus = every 7th document, raw
+    corpus = all documents; hashed unigram+bigram bucket counts →
+    smoothed per-bucket log-likelihood ratios → per-doc log
+    importance weights → Gumbel top-k selection (hash-deterministic
+    noise, 9-dp rounded keys, id tie-break). The oracle replays every
+    stage in SQL over the same portable-hash buckets
+    (`operators/dsir.py`)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return DS.dsir_select(docs, target, 100, dim=256, bigrams=True,
+                          alpha=1.0, temperature=1.0, salt="dsir")
+
+
+O_sample_dsir = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({NORM_SQL}, ' '),
+                             t -> t <> '') AS ws
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+), grams AS (
+  SELECT doc_id,
+         ws || list_transform(range(2, len(ws) + 1),
+                              i -> ws[i-1] || ' ' || ws[i]) AS gs
+  FROM base
+), bucketed AS (
+  SELECT doc_id, CAST({_ph_sql('g')} % 256 AS INTEGER) AS bucket
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+), rc AS (SELECT bucket, count(*) AS cr FROM bucketed GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS ct FROM bucketed
+       WHERE doc_id % 7 = 0 GROUP BY 1),
+tots AS (
+  SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS Tt,
+         (SELECT coalesce(sum(cr), 0) FROM rc) AS Tr
+), lam AS (
+  SELECT b.bucket,
+         round(ln((coalesce(ct, 0) + 1.0) / (Tt + 256.0))
+               - ln((coalesce(cr, 0) + 1.0) / (Tr + 256.0)), 9) AS lam
+  FROM (SELECT unnest(range(256)) AS bucket) b
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+  CROSS JOIN tots
+), counts AS (
+  SELECT doc_id, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2
+), dots AS (
+  SELECT doc_id, round(sum(round(c * lam, 9)), 9) AS logw
+  FROM counts JOIN lam USING (bucket) GROUP BY 1
+), w AS (
+  SELECT d.doc_id, coalesce(dots.logw, 0.0) AS logw
+  FROM documents d LEFT JOIN dots USING (doc_id)
+), keyed AS (
+  SELECT doc_id, logw,
+         round(logw / 1.0 + round(-ln(-ln(greatest(
+           {_ph_sql("'dsir#' || CAST(doc_id AS VARCHAR)")}
+             / 1152921504606846976.0, 1e-12))), 9), 9) AS key
+  FROM w
+)
+SELECT doc_id, logw, key FROM keyed
+ORDER BY key DESC, doc_id LIMIT 100
 """
 
 

@@ -93,6 +93,7 @@ _ORACLED_ORPHANS = [
     "text_lm_ref",
     "text_manifest",
     "multimodal_mp4",
+    "sample_dsir",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
