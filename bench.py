@@ -265,6 +265,36 @@ def bench_dedup_semantic(spark, sf_dir):
     return D.semantic_dedup(embs, n_cells=16, iters=2, threshold=0.3)
 
 
+_BPE_MERGES: dict = {}
+
+
+def bench_sample_dsir(spark, sf_dir):
+    """DSIR selection end to end — two corpus-count scans, the
+    broadcast dim-row λ build, the per-doc weight pass, Gumbel top-k
+    (the oracled orphan sample_dsir is the sf0.01 correctness twin;
+    this runs a production-ish dim)."""
+    from remote_storage_adapter_spark.operators import dsir as DS
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return DS.dsir_select(docs, target, 1000, dim=4096)
+
+
+def bench_bpe_segment(spark, sf_dir):
+    """Distributed BPE apply (the recurring at-scale operation); the
+    merge table is trained once per sf on the warm-up rep (driver-side
+    over the bounded word-type top-k, like the index builds) and
+    reused across timed reps."""
+    from remote_storage_adapter_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _BPE_MERGES.get(sf_dir)
+    if merges is None:
+        merges = _BPE_MERGES[sf_dir] = B.bpe_train(
+            docs, num_merges=500, max_word_types=20_000)
+    return B.bpe_segment(docs, merges)
+
+
 BENCH_QUERIES = {
     "read_downsample_q75": Q.q_read_downsample_q75,
     "read_downsample_auto_step": Q.q_read_downsample_auto_step,
@@ -315,7 +345,10 @@ BENCH_QUERIES = {
     "sketch_bloom_membership": Q.q_sketch_bloom_membership,
     "multimodal_features": Q.q_multimodal_features,
     "multimodal_decode": Q.q_multimodal_decode,
+    "multimodal_jpeg": Q.q_multimodal_jpeg,
     "text_quality_score": bench_quality_score,
+    "sample_dsir": bench_sample_dsir,
+    "bpe_segment": bench_bpe_segment,
 }
 
 
@@ -396,7 +429,11 @@ def main():
                   # ≥5 reps puts them on the one-per-tail trimmed
                   # range like the other formerly-noisy rows
                   "multimodal_decode": max(reps, 5),
-                  "multimodal_features": max(reps, 5)}
+                  "multimodal_features": max(reps, 5),
+                  # new r8 Python-worker rows start on the trimmed
+                  # methodology from rep one
+                  "multimodal_jpeg": max(reps, 5),
+                  "bpe_segment": max(reps, 5)}
     # r7 verdict #7 (contention insurance): the r6 incident showed
     # machine noise lands on whichever rows run LATE — a fixed order
     # lets contamination systematically bias the same rows' series.

@@ -37,10 +37,13 @@ Spark-first shape, every stage bounded:
   global sort.
 
 100 TB posture: the target corpus is small by construction (a
-reference set); the raw corpus is the big side and is touched by
-exactly two single-pass scans (one for q̂ counts, one for per-doc
-weights — fuse-able by persisting the exploded counts if desired).
-All intermediate state is O(dim) or O(docs) narrow rows.
+reference set); the raw corpus is the big side and is touched ONCE
+when :func:`dsir_select` pins the narrow (id, bucket, count) frame
+(``reuse_counts=True``), or by two plain scans with zero cache
+pressure (``reuse_counts=False`` — right when caching the counts is
+itself a storage event). All other state is O(dim) rows, collected
+once and re-shipped as local relations so no corpus pipeline is ever
+embedded in a broadcast subtree.
 
 Reference parity: the reference repo (`/root/reference`, a Prometheus
 remote-storage bridge) has no data-selection surface — this is part
@@ -126,6 +129,42 @@ def dsir_log_ratios(target_counts: DataFrame, raw_counts: DataFrame,
             .select("bucket", lam.alias("lam")))
 
 
+def doc_bucket_counts(raw_docs: DataFrame, *, dim: int,
+                      bigrams: bool = True, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-(doc, bucket) hashed n-gram counts — the one heavy pass
+    over the raw corpus. Token-free/NULL docs keep a NULL-bucket
+    placeholder row (``explode_outer``) so downstream coverage never
+    needs a doc-table back-join. Both the corpus-level q̂ counts and
+    the per-doc weights derive from THIS frame: built twice in one
+    action, the two branches share a byte-identical (id, bucket)
+    exchange subtree and Spark's ReuseExchange executes it once —
+    the 100 TB side is scanned once per action."""
+    buckets = raw_docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            _ngram_buckets(F.col(text_col), dim, bigrams)).alias("bucket"))
+    return buckets.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+
+
+def corpus_counts_from_doc_counts(counts: DataFrame) -> DataFrame:
+    """(id, bucket, c) → corpus-level (bucket, c), excluding the
+    NULL-bucket placeholder rows of token-free docs. Integer-exact
+    equal to :func:`hashed_ngram_counts` on the same corpus."""
+    return (counts.where(F.col("bucket").isNotNull())
+            .groupBy("bucket").agg(F.sum("c").alias("c")))
+
+
+def _weights_from_counts(counts: DataFrame, ratios: DataFrame,
+                         id_col: str, out_col: str) -> DataFrame:
+    contrib = F.round(F.col("c") * F.col("lam"), 9)
+    return (counts.join(F.broadcast(ratios), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.round(F.coalesce(F.sum(contrib), F.lit(0.0)), 9)
+                 .alias(out_col)))
+
+
 def dsir_doc_weights(raw_docs: DataFrame, ratios: DataFrame, *,
                      dim: int, bigrams: bool = True,
                      id_col: str = "doc_id", text_col: str = "text",
@@ -135,24 +174,17 @@ def dsir_doc_weights(raw_docs: DataFrame, ratios: DataFrame, *,
     per-doc sum of 9-dp-rounded contributions. Token-free/NULL docs
     keep a row with weight 0.0 (full coverage, no doc-table
     back-join — the `lr_score` explode_outer/LEFT pattern)."""
-    buckets = raw_docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            _ngram_buckets(F.col(text_col), dim, bigrams)).alias("bucket"))
-    counts = buckets.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("c"))
-    contrib = F.round(F.col("c") * F.col("lam"), 9)
-    return (counts.join(F.broadcast(ratios), "bucket", "left")
-            .groupBy(id_col)
-            .agg(F.round(F.coalesce(F.sum(contrib), F.lit(0.0)), 9)
-                 .alias(out_col)))
+    counts = doc_bucket_counts(raw_docs, dim=dim, bigrams=bigrams,
+                               id_col=id_col, text_col=text_col)
+    return _weights_from_counts(counts, ratios, id_col, out_col)
 
 
 def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int, *,
                 dim: int = 1024, bigrams: bool = True,
                 alpha: float = 1.0, temperature: float = 1.0,
                 salt: str = "dsir", id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                reuse_counts: bool = True) -> DataFrame:
     """Select ``n`` raw docs via Gumbel top-k importance resampling
     against the target corpus: sampling without replacement with
     ``P(pick) ∝ w^(1/temperature)`` where ``log w`` is the DSIR
@@ -175,13 +207,36 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int, *,
         raise ValueError(f"temperature must be positive, got {temperature}")
     from .sampling import uniform_unit
 
-    tc = hashed_ngram_counts(target_docs, dim=dim, bigrams=bigrams,
-                             text_col=text_col)
-    rc = hashed_ngram_counts(raw_docs, dim=dim, bigrams=bigrams,
-                             text_col=text_col)
-    lam = dsir_log_ratios(tc, rc, dim=dim, alpha=alpha)
-    w = dsir_doc_weights(raw_docs, lam, dim=dim, bigrams=bigrams,
-                         id_col=id_col, text_col=text_col)
+    from .dedup import _pin
+
+    spark = raw_docs.sparkSession
+    # The (id, bucket, c) frame feeds BOTH q̂ and the per-doc weights.
+    # reuse_counts=True pins it (released via dedup.unpersist_pinned /
+    # cache_scope, the module-wide cache lifecycle) so the raw corpus
+    # is scanned ONCE — right whenever the narrow count frame fits
+    # cluster memory+disk. At corpus scales where caching it is
+    # itself a storage event, reuse_counts=False re-derives it, i.e.
+    # two plain corpus scans and zero cache pressure. Either way the
+    # dim-row count tables are collected (bounded — the IVF-centroid/
+    # LR-weights pattern) and re-created as LOCAL relations, so the
+    # λ build runs the exact same Spark expressions over dim rows
+    # with zero corpus scans in its subtree — without this, the
+    # broadcast λ subtree re-embedded the corpus pipelines twice more
+    # (counts + totals) per action.
+    counts = doc_bucket_counts(raw_docs, dim=dim, bigrams=bigrams,
+                               id_col=id_col, text_col=text_col)
+    if reuse_counts:
+        counts = _pin(counts)
+    cnt_schema = "bucket int, c long"
+    rc_local = spark.createDataFrame(
+        [(r["bucket"], r["c"]) for r in
+         corpus_counts_from_doc_counts(counts).collect()], cnt_schema)
+    tc_local = spark.createDataFrame(
+        [(r["bucket"], r["c"]) for r in
+         hashed_ngram_counts(target_docs, dim=dim, bigrams=bigrams,
+                             text_col=text_col).collect()], cnt_schema)
+    lam = dsir_log_ratios(tc_local, rc_local, dim=dim, alpha=alpha)
+    w = _weights_from_counts(counts, lam, id_col, "logw")
     # u ∈ [0, 1) is bit-identical across engines (pure hash→double
     # arithmetic); the Gumbel draw −ln(−ln u) is 9-dp-rounded BEFORE
     # the sum so libm differences can't flip ranks (the

@@ -116,6 +116,22 @@ def test_select_deterministic_and_temperature(corpora):
                                                             reverse=True)
 
 
+def test_select_reuse_counts_modes_agree(corpora):
+    """reuse_counts=True (pinned single scan) and False (two plain
+    scans) are execution strategies, not semantics — identical
+    selection."""
+    from remote_storage_adapter_spark.operators.dedup import (
+        unpersist_pinned,
+    )
+
+    target, raw = corpora
+    a = DS.dsir_select(raw, target, 6, dim=256).collect()
+    unpersist_pinned(blocking=True)
+    b = DS.dsir_select(raw, target, 6, dim=256,
+                       reuse_counts=False).collect()
+    assert a == b
+
+
 def test_select_validates_inputs(corpora):
     target, raw = corpora
     with pytest.raises(ValueError, match="n must be positive"):
