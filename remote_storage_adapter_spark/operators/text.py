@@ -951,6 +951,130 @@ def _postings(docs: DataFrame, buckets: int, id_col: str,
     return postings, stats
 
 
+def passage_dedup(docs: DataFrame, *, window: int = 10,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-level repeated-PASSAGE removal over OVERLAPPING token
+    windows, first-occurrence-wins — the token-granular form of
+    Lee et al. 2021's exact substring dedup (:func:`line_dedup` is
+    the non-overlapping/line-boundary variant; overlapping windows
+    additionally catch spans that straddle any fixed boundary, the
+    reason the paper works on suffixes). Any ``window``-token span
+    occurring more than once corpus-wide keeps only its globally
+    first copy (lexicographically smallest ``(doc_id, pos)``); every
+    token covered by some other copy of a repeated span is removed.
+    Overlapping SELF-duplicate windows compress too: a degenerate
+    repetition run (``tok tok tok ...``) collapses to its first
+    token, exactly as suffix-based dedup treats runs — the kept set
+    is "tokens not covered by any non-first duplicate window", which
+    for the first document of a run leaves only the prefix the
+    pos-2+ self-copies don't cover.
+
+    Returns one row per input document: ``n_windows`` /
+    ``n_dup_windows`` (overlapping window accounting), ``n_tokens`` /
+    ``n_removed_tokens``, and ``dedup_text`` (the surviving tokens in
+    order, ``''`` when everything was covered).
+
+    100 TB shape (the :func:`line_dedup` discipline): the decision
+    pipeline is hash-narrow end to end — window hashes are built
+    MAP-SIDE from the token array (no token explode), the
+    first-occurrence rule is an order-free ``min(struct(id, pos))``
+    hash aggregate, and only (hash/id, pos) rows ever shuffle. The
+    duplicate window-start lists come back as one sorted int array
+    per doc; removal itself is a PURE MAP over the original token
+    array — an O(D) interval-merge fold (sorted starts → disjoint
+    covered intervals) followed by an O(I) gap-slice fold that
+    concatenates the uncovered slices, so a pathological
+    everything-repeats document costs O(T + D), never O(T·D). No
+    window functions anywhere. (Same 60-bit-hash caveat as
+    line_dedup: at trillion-window scale switch the group key to the
+    full md5.)
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    toks_arr = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"),
+                       toks_arr.alias("toks"))
+    k = int(window)
+    # map-side window hashes: pos is 1-based, windows [pos, pos+k-1];
+    # guard the short-doc case — sequence(1, 0) DESCENDS (the lm2
+    # bigram guard), feeding slice a start of 0
+    win_arr = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - k + 1),
+            lambda p: F.struct(
+                p.alias("pos"),
+                portable_hash64(
+                    F.array_join(F.slice("toks", p, k), " ")).alias("wh")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
+    wins = base.select("id", F.explode(win_arr).alias("w")) \
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    firsts = wins.groupBy("wh").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"))
+    flagged = wins.join(firsts, "wh").select(
+        "id", "pos",
+        ((F.col("first.id") == F.col("id"))
+         & (F.col("first.pos") == F.col("pos"))).alias("keep"))
+    mask = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .alias("n_dup_windows"),
+        F.array_sort(F.collect_list(
+            F.when(~F.col("keep"), F.col("pos")))).alias("starts"),
+    )
+    # O(D) merge of sorted covered starts into disjoint intervals
+    iv_t = "array<struct<s:int,e:int>>"
+    starts = F.coalesce(F.col("starts"),
+                        F.array().cast("array<int>"))
+    ivs = F.aggregate(
+        starts,
+        F.array().cast(iv_t),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(F.element_at(acc, -1)["e"],
+                               s + k - 1).alias("e")))),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("s"), (s + k - 1).alias("e"))))),
+    )
+    # O(I) gap-slice fold: concatenate the uncovered token slices
+    kept = F.aggregate(
+        ivs,
+        F.struct(F.lit(1).alias("nxt"),
+                 F.array().cast("array<string>").alias("out")),
+        lambda acc, iv: F.struct(
+            (iv["e"] + 1).alias("nxt"),
+            F.concat(acc["out"],
+                     F.slice("toks", acc["nxt"],
+                             iv["s"] - acc["nxt"])).alias("out")),
+        lambda acc: F.concat(
+            acc["out"],
+            F.slice("toks", acc["nxt"],
+                    F.greatest(F.size("toks") - acc["nxt"] + 1,
+                               F.lit(0)))),
+    )
+    return (base.join(mask, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("n_windows"), F.lit(0))
+                .alias("n_windows"),
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                .alias("n_dup_windows"),
+                F.size("toks").cast("long").alias("n_tokens"),
+                (F.size("toks") - F.size(kept)).cast("long")
+                .alias("n_removed_tokens"),
+                F.array_join(kept, " ").alias("dedup_text")))
+
+
 def _read_stats(spark, path: str) -> DataFrame:
     """Read ``<path>/_stats`` with schema merging ON: a mixed
     directory (legacy pre-guard rows without the ``buckets`` column

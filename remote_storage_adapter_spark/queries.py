@@ -2002,6 +2002,88 @@ ORDER BY key DESC, doc_id LIMIT 100
 """
 
 
+#: planted 10-token passage for q_text_passage_dedup — appended to
+#: every 5th document so the corpus genuinely repeats a span
+_PASSAGE = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def q_text_passage_dedup(spark, sf_dir):
+    """Cross-document repeated-PASSAGE removal over overlapping
+    8-token windows (Lee et al. 2021 exact-substring dedup at token
+    granularity, `text.passage_dedup`), oracle-gated (oracled
+    orphan): every 5th document gets a planted shared 10-token tail,
+    so the corpus genuinely repeats spans; only the globally-first
+    copy survives, and the oracle replays the window-hash →
+    min-struct first-occurrence → coverage-removal pipeline in SQL
+    (string reassembly compared verbatim)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(" " + _PASSAGE)))
+        .otherwise(F.col("text")).alias("text"))
+    return TX.passage_dedup(planted, window=8)
+
+
+O_text_passage_dedup = f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || ' {_PASSAGE}'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, list_filter(string_split({NORM_SQL}, ' '),
+                             t -> t <> '') AS ws
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM pdocs)
+), wins AS (
+  SELECT doc_id, w.pos AS pos, w.wh AS wh FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8 + 2),
+      i -> struct_pack(pos := i,
+        wh := {_ph_sql("array_to_string(ws[i:i+7], ' ')")}))) AS w
+    FROM base) t, LATERAL (SELECT w.pos AS pos, w.wh AS wh)
+), firsts AS (
+  SELECT wh,
+         struct_extract(min(struct_pack(doc_id := doc_id, pos := pos)),
+                        'doc_id') AS fid,
+         struct_extract(min(struct_pack(doc_id := doc_id, pos := pos)),
+                        'pos') AS fpos
+  FROM wins GROUP BY 1
+), dups AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN firsts f USING (wh)
+  WHERE NOT (f.fid = w.doc_id AND f.fpos = w.pos)
+), removed AS (
+  SELECT DISTINCT doc_id, pos + off AS p
+  FROM dups, unnest(range(0, 8)) AS t(off)
+), tok AS (
+  SELECT doc_id, tp.p AS p, tp.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      i -> struct_pack(p := i, tok := ws[i]))) AS tp
+    FROM base) t, LATERAL (SELECT tp.p AS p, tp.tok AS tok)
+), kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS txt
+  FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+  WHERE r.p IS NULL GROUP BY 1
+), wstats AS (
+  SELECT doc_id, count(*) AS nw FROM wins GROUP BY 1
+), dstats AS (
+  SELECT doc_id, count(*) AS nd FROM dups GROUP BY 1
+), rstats AS (
+  SELECT doc_id, count(*) AS nr FROM removed GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(coalesce(w.nw, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dup_windows,
+       CAST(len(b.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.nr, 0) AS BIGINT) AS n_removed_tokens,
+       coalesce(k.txt, '') AS dedup_text
+FROM base b
+LEFT JOIN wstats w USING (doc_id) LEFT JOIN dstats d USING (doc_id)
+LEFT JOIN rstats r USING (doc_id) LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def q_text_search_batch(spark, sf_dir):
     """Batched retrieval: every 250th document's first 5 tokens form
     a query; all queries run in ONE corpus scan (members must rank

@@ -94,6 +94,7 @@ _ORACLED_ORPHANS = [
     "text_manifest",
     "multimodal_mp4",
     "sample_dsir",
+    "text_passage_dedup",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
