@@ -60,22 +60,26 @@ from .dedup import portable_hash64
 from .text import tokens
 
 
-def _ngram_buckets(text: Column, dim: int, bigrams: bool) -> Column:
-    """Hashed n-gram bucket array for one document's text: unigram
-    tokens plus (optionally) space-joined adjacent bigrams, each
-    mapped through ``portable_hash64 % dim``. Map-side only."""
-    toks = F.filter(tokens(F.coalesce(text, F.lit(""))),
+def _toks(text: Column) -> Column:
+    return F.filter(tokens(F.coalesce(text, F.lit(""))),
                     lambda t: t != "")
+
+
+def _ngram_buckets(toks: Column, dim: int, bigrams: bool) -> Column:
+    """Hashed n-gram bucket array over a MATERIALIZED token-array
+    column: unigrams plus (optionally) space-joined adjacent bigrams
+    via ``zip_with`` over shifted slices, each mapped through
+    ``portable_hash64 % dim``. ``toks`` must be a projected column
+    reference, not an inline split expression — array element access
+    re-evaluates its operand, so an inline split goes quadratic per
+    document (the lm2 bigram discipline; measured 4× on the sf0.1
+    explode)."""
     grams = toks
     if bigrams:
-        bi = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(2), F.size(toks)),
-                lambda i: F.concat(F.element_at(toks, i - 1), F.lit(" "),
-                                   F.element_at(toks, i)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        bi = F.zip_with(
+            F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b))
         grams = F.concat(toks, bi)
     return F.transform(
         grams, lambda g: (portable_hash64(g) % dim).cast("int"))
@@ -88,8 +92,9 @@ def hashed_ngram_counts(docs: DataFrame, *, dim: int = 1024,
     table with at most ``dim`` rows. One scan; the bucket hash
     aggregate partial-combines map-side so the shuffle moves ≤ dim
     rows per input partition regardless of corpus size."""
-    return (docs.select(F.explode(
-        _ngram_buckets(F.col(text_col), dim, bigrams)).alias("bucket"))
+    base = docs.select(_toks(F.col(text_col)).alias("toks"))
+    return (base.select(F.explode(
+        _ngram_buckets(F.col("toks"), dim, bigrams)).alias("bucket"))
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
 
 
@@ -140,10 +145,12 @@ def doc_bucket_counts(raw_docs: DataFrame, *, dim: int,
     action, the two branches share a byte-identical (id, bucket)
     exchange subtree and Spark's ReuseExchange executes it once —
     the 100 TB side is scanned once per action."""
-    buckets = raw_docs.select(
+    base = raw_docs.select(F.col(id_col),
+                           _toks(F.col(text_col)).alias("toks"))
+    buckets = base.select(
         F.col(id_col),
         F.explode_outer(
-            _ngram_buckets(F.col(text_col), dim, bigrams)).alias("bucket"))
+            _ngram_buckets(F.col("toks"), dim, bigrams)).alias("bucket"))
     return buckets.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("c"))
 
