@@ -280,6 +280,20 @@ def bench_sample_dsir(spark, sf_dir):
     return DS.dsir_select(docs, target, 1000, dim=4096)
 
 
+def bench_text_passage_dedup(spark, sf_dir):
+    """Overlapping-window repeated-passage removal, production (fast)
+    hash profile. The operator's final unique-key LEFT join would be
+    ELIMINATED under a bare count() (the bench_write_metrics
+    pattern), so wrap in a 1-row aggregate that reads the rebuilt
+    text — forcing the full decision + reassembly pipeline."""
+    from remote_storage_adapter_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.passage_dedup(docs, window=10, hash_mode="fast").agg(
+        F.sum(F.length("dedup_text")).alias("chars"),
+        F.sum("n_removed_tokens").alias("removed"))
+
+
 def bench_bpe_segment(spark, sf_dir):
     """Distributed BPE apply (the recurring at-scale operation); the
     merge table is trained once per sf on the warm-up rep (driver-side
@@ -349,6 +363,7 @@ BENCH_QUERIES = {
     "text_quality_score": bench_quality_score,
     "sample_dsir": bench_sample_dsir,
     "bpe_segment": bench_bpe_segment,
+    "text_passage_dedup": bench_text_passage_dedup,
 }
 
 

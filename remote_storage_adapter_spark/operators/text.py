@@ -952,6 +952,7 @@ def _postings(docs: DataFrame, buckets: int, id_col: str,
 
 
 def passage_dedup(docs: DataFrame, *, window: int = 10,
+                  hash_mode: str = "portable",
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Corpus-level repeated-PASSAGE removal over OVERLAPPING token
@@ -989,26 +990,47 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
     window functions anywhere. (Same 60-bit-hash caveat as
     line_dedup: at trillion-window scale switch the group key to the
     full md5.)
+
+    ``hash_mode``: ``'portable'`` (default) hashes each window's
+    space-joined text with the md5-derived :func:`portable_hash64` so
+    the DuckDB oracle reproduces every decision bit-for-bit;
+    ``'fast'`` is the production profile (the minhash-mode
+    precedent) — one ``xxhash64`` per TOKEN, then each window key is
+    a polynomial fold over the k token-hash integers (wrapping long
+    arithmetic, no per-window string building, no md5), identical
+    dedup semantics, locked equal to portable mode in pytest.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if hash_mode not in ("portable", "fast"):
+        raise ValueError(f"hash_mode must be portable|fast, got {hash_mode}")
     toks_arr = F.filter(
         tokens(F.coalesce(F.col(text_col), F.lit(""))),
         lambda t: t != "")
     base = docs.select(F.col(id_col).alias("id"),
                        toks_arr.alias("toks"))
     k = int(window)
+
     # map-side window hashes: pos is 1-based, windows [pos, pos+k-1];
     # guard the short-doc case — sequence(1, 0) DESCENDS (the lm2
     # bigram guard), feeding slice a start of 0
+    if hash_mode == "portable":
+        src, whash = "toks", (lambda p: portable_hash64(
+            F.array_join(F.slice("toks", p, k), " ")))
+    else:
+        base = base.withColumn(
+            "th", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
+        # fold combiner is xxhash64(acc, h): overflow-free under ANSI
+        # (a polynomial fold's long multiply throws there) and mixes
+        # better than mult-add
+        src, whash = "th", (lambda p: F.aggregate(
+            F.slice("th", p, k), F.lit(0).cast("long"),
+            lambda acc, h: F.xxhash64(acc, h)))
     win_arr = F.when(
-        F.size("toks") >= k,
+        F.size(src) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - k + 1),
-            lambda p: F.struct(
-                p.alias("pos"),
-                portable_hash64(
-                    F.array_join(F.slice("toks", p, k), " ")).alias("wh")),
+            F.sequence(F.lit(1), F.size(src) - k + 1),
+            lambda p: F.struct(p.alias("pos"), whash(p).alias("wh")),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
     wins = base.select("id", F.explode(win_arr).alias("w")) \
