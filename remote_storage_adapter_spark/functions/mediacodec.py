@@ -707,7 +707,6 @@ def _jpeg_decode_scan(scan, segs, ri, frame, coeffs,
     reader to the next RST segment and zero the DC predictors."""
     fh, fw, _comps = frame
     if len(scan) > 1:
-        units_per = [(c, c[1], c[2]) for c, _d, _a in scan]
         nmcu = mcux * mcuy
     else:
         c = scan[0][0]
@@ -727,7 +726,8 @@ def _jpeg_decode_scan(scan, segs, ri, frame, coeffs,
             preds = {k: 0 for k in preds}
         if len(scan) > 1:
             my, mx = divmod(mcu, mcux)
-            for (c, dc, ac), (_c, sh, sv) in zip(scan, units_per):
+            for c, dc, ac in scan:
+                _cid, sh, sv, _tq = c
                 grid = coeffs[c[0]]
                 for by in range(sv):
                     for bx in range(sh):

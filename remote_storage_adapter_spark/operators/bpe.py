@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import tokens
+from .text import nonempty_tokens
 
 #: end-of-word sentinel (the Sennrich convention) — lets a merge
 #: distinguish word-final from word-internal pairs and makes the
@@ -56,9 +56,8 @@ def word_type_counts(docs: DataFrame, *, text_col: str = "text",
     most frequent (word, count) pairs (count-desc, word tie-break so
     the cut is deterministic), via one hash aggregate + top-k. This is
     the ONLY corpus-wide pass BPE training makes."""
-    wc = (docs.select(F.explode(F.filter(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))),
-        lambda t: t != "")).alias("w"))
+    wc = (docs.select(F.explode(
+        nonempty_tokens(F.col(text_col))).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     rows = (wc.orderBy(F.desc("c"), F.col("w"))
             .limit(int(max_word_types)).collect())
@@ -97,17 +96,33 @@ def bpe_train(docs: DataFrame, *, num_merges: int = 1000,
     wt = word_type_counts(docs, text_col=text_col,
                           max_word_types=max_word_types)
     types = {tuple(w) + (EOW,): c for w, c in wt}
+    # incremental pair statistics (r8 review): rewriting every word
+    # type and recounting every pair per merge is O(merges × total
+    # symbols); instead only the types CONTAINING the merged pair are
+    # rewritten, with their old pair contributions subtracted and the
+    # new ones added — identical totals (exact integer arithmetic),
+    # identical tie-breaks, a small Zipf fraction of the work.
+    pc = _pair_counts(types)
     merges: list = []
     for _ in range(int(num_merges)):
-        pc = _pair_counts(types)
         if not pc:
             break
-        best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
-        if best[1] < 2:
+        pair, cnt = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        if cnt < 2:
             break
-        pair = best[0]
         joined = pair[0] + pair[1]
-        types = {_merge_word(s, pair, joined): c for s, c in types.items()}
+        changed = [s for s in types
+                   if pair in zip(s, s[1:])]
+        for s in changed:
+            c = types.pop(s)
+            for pr in zip(s, s[1:]):
+                pc[pr] -= c
+                if pc[pr] <= 0:
+                    del pc[pr]
+            ns = _merge_word(s, pair, joined)
+            types[ns] = types.get(ns, 0) + c
+            for pr in zip(ns, ns[1:]):
+                pc[pr] = pc.get(pr, 0) + c
         merges.append(pair)
     return merges
 
@@ -148,8 +163,7 @@ def bpe_segment(docs: DataFrame, merges: Sequence, *,
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                 lambda t: t != "").alias("toks"))
+        nonempty_tokens(F.col(text_col)).alias("toks"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}

@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .dedup import portable_hash64, portable_hash64_py
-from .text import tokens
+from .text import nonempty_tokens, tokens
 
 
 def _feature_schema(id_field) -> T.StructType:
@@ -263,10 +263,7 @@ def lr_score(docs: DataFrame, weights: Sequence[float], bias: float,
     ))
     toks = docs.select(
         F.col(id_col),
-        F.explode_outer(F.filter(
-            tokens(F.coalesce(F.col(text_col), F.lit(""))),
-            lambda t: t != "",
-        )).alias("tok"),
+        F.explode_outer(nonempty_tokens(F.col(text_col))).alias("tok"),
     )
     counts = toks.groupBy(
         id_col,

@@ -32,7 +32,7 @@ Spark-first shape, every stage bounded:
   probability ∝ ``w^(1/temperature)`` via the Gumbel top-k trick:
   ``key = logw/T + g``, ``g = −ln(−ln(u))`` with a hash-deterministic
   uniform per doc (replay-stable, partitioning-independent — the
-  `weighted_sample_n` discipline), ranked by the 9-dp-rounded key
+  `weighted_sample_n` discipline), ranked by the 6-dp-rounded key
   with an id tie-break through ``TakeOrderedAndProject`` — never a
   global sort.
 
@@ -57,12 +57,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash64
-from .text import tokens
-
-
-def _toks(text: Column) -> Column:
-    return F.filter(tokens(F.coalesce(text, F.lit(""))),
-                    lambda t: t != "")
+from .text import nonempty_tokens
 
 
 def _ngram_buckets(toks: Column, dim: int, bigrams: bool) -> Column:
@@ -92,7 +87,7 @@ def hashed_ngram_counts(docs: DataFrame, *, dim: int = 1024,
     table with at most ``dim`` rows. One scan; the bucket hash
     aggregate partial-combines map-side so the shuffle moves ≤ dim
     rows per input partition regardless of corpus size."""
-    base = docs.select(_toks(F.col(text_col)).alias("toks"))
+    base = docs.select(nonempty_tokens(F.col(text_col)).alias("toks"))
     return (base.select(F.explode(
         _ngram_buckets(F.col("toks"), dim, bigrams)).alias("bucket"))
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
@@ -114,8 +109,12 @@ def dsir_log_ratios(target_counts: DataFrame, raw_counts: DataFrame,
     full = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
     t = target_counts.withColumnRenamed("c", "ct")
     r = raw_counts.withColumnRenamed("c", "cr")
-    tt = target_counts.agg(F.sum("c").alias("Tt"))
-    tr = raw_counts.agg(F.sum("c").alias("Tr"))
+    # coalesce: an empty (or fully token-free) corpus must yield
+    # total 0 → pure-smoothing λ, not NULL λ everywhere (r8 review)
+    tt = target_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("Tt"))
+    tr = raw_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("Tr"))
     ad = F.lit(float(alpha) * dim)
     lam = F.round(
         F.log((F.col("ct") + F.lit(float(alpha)))
@@ -146,7 +145,7 @@ def doc_bucket_counts(raw_docs: DataFrame, *, dim: int,
     exchange subtree and Spark's ReuseExchange executes it once —
     the 100 TB side is scanned once per action."""
     base = raw_docs.select(F.col(id_col),
-                           _toks(F.col(text_col)).alias("toks"))
+                           nonempty_tokens(F.col(text_col)).alias("toks"))
     buckets = base.select(
         F.col(id_col),
         F.explode_outer(
@@ -166,9 +165,12 @@ def corpus_counts_from_doc_counts(counts: DataFrame) -> DataFrame:
 def _weights_from_counts(counts: DataFrame, ratios: DataFrame,
                          id_col: str, out_col: str) -> DataFrame:
     contrib = F.round(F.col("c") * F.col("lam"), 9)
+    # final round COARSER (6 dp) than the 9-dp contributions so
+    # cross-engine summation-order ulp drift can't flip the rounded
+    # value (oracle discipline; r8 review)
     return (counts.join(F.broadcast(ratios), "bucket", "left")
             .groupBy(id_col)
-            .agg(F.round(F.coalesce(F.sum(contrib), F.lit(0.0)), 9)
+            .agg(F.round(F.coalesce(F.sum(contrib), F.lit(0.0)), 6)
                  .alias(out_col)))
 
 
@@ -178,7 +180,7 @@ def dsir_doc_weights(raw_docs: DataFrame, ratios: DataFrame, *,
                      out_col: str = "logw") -> DataFrame:
     """Per-document log importance weight ``Σ_b c_b·λ_b`` — explode →
     bucket → per-(doc, bucket) count → broadcast ``dim``-row λ join →
-    per-doc sum of 9-dp-rounded contributions. Token-free/NULL docs
+    per-doc sum of 9-dp-rounded contributions, 6-dp output. Token-free/NULL docs
     keep a row with weight 0.0 (full coverage, no doc-table
     back-join — the `lr_score` explode_outer/LEFT pattern)."""
     counts = doc_bucket_counts(raw_docs, dim=dim, bigrams=bigrams,
@@ -250,7 +252,8 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int, *,
     # weighted_sample_n rounded-key discipline)
     u = uniform_unit(F.col(id_col), salt)
     g = F.round(-F.log(-F.log(F.greatest(u, F.lit(1e-12)))), 9)
-    key = F.round(F.col("logw") / F.lit(float(temperature)) + g, 9)
+    # 6-dp key for the same coarser-than-terms reason as logw
+    key = F.round(F.col("logw") / F.lit(float(temperature)) + g, 6)
     return (w.select(id_col, "logw", key.alias("key"))
             .orderBy(F.desc("key"), F.col(id_col))
             .limit(n))

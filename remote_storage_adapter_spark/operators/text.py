@@ -39,6 +39,17 @@ def tokens(text: Column) -> Column:
     return F.split(normalized(text), " ")
 
 
+def nonempty_tokens(text: Column) -> Column:
+    """The ONE full-coverage token projection shared by every
+    operator that feeds tokens into hashes/counts: NULL text
+    normalizes to ``''`` and empty tokens are filtered, mirrored by
+    ``list_filter(string_split(NORM_SQL, ' '), t -> t <> '')`` in
+    the oracles. Inlining this idiom per-module desynchronizes the
+    oracle contract — use the helper (r8 review)."""
+    return F.filter(tokens(F.coalesce(text, F.lit(""))),
+                    lambda t: t != "")
+
+
 def bpe_ish_tokens(text: Column) -> Column:
     """Regex token split approximating a BPE pre-tokenizer."""
     return F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
@@ -1004,11 +1015,8 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
         raise ValueError(f"window must be >= 2 tokens, got {window}")
     if hash_mode not in ("portable", "fast"):
         raise ValueError(f"hash_mode must be portable|fast, got {hash_mode}")
-    toks_arr = F.filter(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))),
-        lambda t: t != "")
     base = docs.select(F.col(id_col).alias("id"),
-                       toks_arr.alias("toks"))
+                       nonempty_tokens(F.col(text_col)).alias("toks"))
     k = int(window)
 
     # map-side window hashes: pos is 1-based, windows [pos, pos+k-1];

@@ -1985,7 +1985,7 @@ tots AS (
 ), counts AS (
   SELECT doc_id, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2
 ), dots AS (
-  SELECT doc_id, round(sum(round(c * lam, 9)), 9) AS logw
+  SELECT doc_id, round(sum(round(c * lam, 9)), 6) AS logw
   FROM counts JOIN lam USING (bucket) GROUP BY 1
 ), w AS (
   SELECT d.doc_id, coalesce(dots.logw, 0.0) AS logw
@@ -1994,7 +1994,7 @@ tots AS (
   SELECT doc_id, logw,
          round(logw / 1.0 + round(-ln(-ln(greatest(
            {_ph_sql("'dsir#' || CAST(doc_id AS VARCHAR)")}
-             / 1152921504606846976.0, 1e-12))), 9), 9) AS key
+             / 1152921504606846976.0, 1e-12))), 9), 6) AS key
   FROM w
 )
 SELECT doc_id, logw, key FROM keyed

@@ -85,7 +85,7 @@ def test_weights_match_numpy_replay(spark):
         for b in range(dim):
             if bc[b]:
                 dot += round(bc[b] * lam[b], 9)
-        exp[i] = round(dot, 9)
+        exp[i] = round(dot, 6)  # 6-dp output, coarser than the terms
 
     tc = DS.hashed_ngram_counts(target, dim=dim)
     rc = DS.hashed_ngram_counts(raw, dim=dim)
