@@ -16,11 +16,14 @@ Real decoders for the formats whose public specs need nothing beyond
   code width, clear/EOI handling), interlace pass reordering.
 - **WAV** (`wav_decode`): RIFF chunk walk, PCM 8-bit unsigned /
   16-bit signed little-endian → float32 in [-1, 1].
-- **JPEG** (`jpeg_decode`): BASELINE sequential DCT per ITU-T T.81 —
-  marker walk, DQT/DHT tables, Huffman entropy decode with restart
-  markers and byte-stuffing, dequantize + batched numpy IDCT, chroma
-  upsampling, JFIF YCbCr→RGB. See the JPEG section comment for the
-  exact surface and honest refusals (progressive etc.).
+- **JPEG** (`jpeg_decode`): BASELINE sequential and PROGRESSIVE
+  DCT per ITU-T T.81 — marker walk, DQT/DHT tables, Huffman entropy
+  decode with restart markers and byte-stuffing, progressive
+  spectral-selection + successive-approximation scans (EOBn runs,
+  AC refinement correction bits, Annex G), dequantize + batched
+  numpy IDCT, chroma upsampling, JFIF YCbCr→RGB. See the JPEG
+  section comment for the exact surface and honest refusals
+  (arithmetic/lossless/hierarchical).
 
 These are decode primitives for the multimodal operators
 (``operators/multimodal.py``); they run inside Arrow-batched
@@ -29,10 +32,11 @@ zero external dependencies matter more than per-image micro-speed
 (the per-scanline Python loop in the PNG unfilter is bounded by image
 height; the byte math inside each line is numpy).
 
-Video containers are NOT implemented (H.264/H.265 entropy decode
-genuinely needs a codec library), and JPEG modes beyond baseline
-sequential (progressive, arithmetic, lossless, hierarchical, 12-bit)
-raise an explicit ``NotImplementedError`` rather than a fake.
+Video containers are NOT pixel-decoded (H.264/H.265 entropy decode
+genuinely needs a codec library; MP4 box-walk METADATA is real in
+`operators/multimodal`), and JPEG modes beyond baseline+progressive
+(arithmetic, lossless, hierarchical, 12-bit) raise an explicit
+``NotImplementedError`` rather than a fake.
 
 Reference parity note: the reference repo has no media path at all —
 this module is part of the training-data-pipeline extension surface
@@ -417,9 +421,11 @@ def wav_decode(p: bytes):
 # dequantization, batched float IDCT (A.3.3, computed as the
 # separable 8×8 basis product in numpy), chroma upsampling by
 # sampling-factor replication, and JFIF YCbCr→RGB (BT.601
-# full-range). Progressive (SOF2), arithmetic, lossless, hierarchical
-# and 12-bit modes raise ``NotImplementedError`` — real modes we
-# don't decode, stated honestly, same posture as video containers.
+# full-range). Progressive (SOF2, Annex G) is decoded too: DC/AC
+# first + refinement scans, spectral selection, successive
+# approximation, EOBn runs. Arithmetic, lossless, hierarchical and
+# 12-bit modes raise ``NotImplementedError`` — real modes we don't
+# decode, stated honestly, same posture as video containers.
 
 #: zigzag position k → natural (row-major) coefficient index, T.81 fig 5
 _JPEG_ZIGZAG = np.array([
@@ -429,9 +435,10 @@ _JPEG_ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ], np.intp)
 
-#: SOF markers for modes the baseline decoder honestly refuses
+#: SOF markers for modes the decoder honestly refuses (baseline and
+#: progressive ARE decoded; these are not)
 _JPEG_HARD_MODES = {
-    0xC2: "progressive", 0xC3: "lossless", 0xC5: "differential",
+    0xC3: "lossless", 0xC5: "differential",
     0xC6: "progressive differential", 0xC7: "lossless differential",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "arithmetic differential",
@@ -572,11 +579,11 @@ def jpeg_decode(p: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 array (h, w, 1 gray | 3 RGB).
 
     Pure-stdlib+numpy implementation of ITU-T T.81 baseline
-    sequential decode (see the section comment above for the exact
-    surface). Raises ``ValueError`` on malformed/truncated bytes, on
-    4-component (Adobe CMYK) images, and past ``_JPEG_MAX_PIXELS``;
-    ``NotImplementedError`` on progressive/arithmetic/lossless/
-    hierarchical/12-bit modes."""
+    sequential AND progressive decode (see the section comment above
+    for the exact surface). Raises ``ValueError`` on malformed/
+    truncated bytes, on 4-component (Adobe CMYK) images, and past
+    ``_JPEG_MAX_PIXELS``; ``NotImplementedError`` on arithmetic/
+    lossless/hierarchical/12-bit modes."""
     if p[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     qt, huff = {}, {}
@@ -585,6 +592,7 @@ def jpeg_decode(p: bytes) -> np.ndarray:
     hmax = vmax = mcux = mcuy = 0
     ri = 0
     got_scan = False
+    progressive = False
     i, n = 2, len(p)
     while i + 2 <= n:
         if p[i] != 0xFF:
@@ -627,9 +635,10 @@ def jpeg_decode(p: bytes) -> np.ndarray:
                 huff[(tc, th)] = _JpegHuff(
                     counts, list(seg[j + 17:j + 17 + nsym]))
                 j += 17 + nsym
-        elif m in (0xC0, 0xC1):               # SOF0/SOF1: baseline
+        elif m in (0xC0, 0xC1, 0xC2):    # SOF0/1 baseline, SOF2 prog
             if frame is not None:
                 raise ValueError("JPEG: multiple frame headers")
+            progressive = m == 0xC2
             if len(seg) < 6:
                 raise ValueError("JPEG: truncated SOF")
             prec, fh, fw, nc = seg[0], int.from_bytes(seg[1:3], "big"), \
@@ -679,18 +688,36 @@ def jpeg_decode(p: bytes) -> np.ndarray:
             if ns == 0 or len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG: malformed SOS header")
             by_id = {c[0]: c for c in comps}
+            tail = seg[1 + 2 * ns:1 + 2 * ns + 3]
+            ss_, se_ = tail[0], tail[1]
+            ah_, al_ = tail[2] >> 4, tail[2] & 0x0F
+            # which table classes this scan actually consumes: a
+            # progressive DC-refinement scan needs neither, an AC
+            # scan only its AC table (T.81 G.2) — demanding both
+            # would reject valid files
+            need_dc = not progressive or (ss_ == 0 and ah_ == 0)
+            need_ac = not progressive or ss_ > 0
             scan = []
             for s_ in range(ns):
                 cs, tdta = seg[1 + 2 * s_:3 + 2 * s_]
                 if cs not in by_id:
                     raise ValueError("JPEG: SOS names unknown component")
                 td, ta = tdta >> 4, tdta & 0x0F
-                if (0, td) not in huff or (1, ta) not in huff:
-                    raise ValueError("JPEG: SOS references missing DHT")
-                scan.append((by_id[cs], huff[(0, td)], huff[(1, ta)]))
+                if need_dc and (0, td) not in huff:
+                    raise ValueError("JPEG: SOS references missing DC DHT")
+                if need_ac and (1, ta) not in huff:
+                    raise ValueError("JPEG: SOS references missing AC DHT")
+                scan.append((by_id[cs],
+                             huff.get((0, td)) if need_dc else None,
+                             huff.get((1, ta)) if need_ac else None))
             segs, i = _jpeg_entropy_segments(p, i)
-            _jpeg_decode_scan(scan, segs, ri, frame, coeffs,
-                              hmax, vmax, mcux, mcuy)
+            if progressive:
+                _jpeg_decode_scan_prog(scan, segs, ri, frame, coeffs,
+                                       hmax, vmax, mcux, mcuy,
+                                       ss_, se_, ah_, al_)
+            else:
+                _jpeg_decode_scan(scan, segs, ri, frame, coeffs,
+                                  hmax, vmax, mcux, mcuy)
             got_scan = True
         # else: APPn / COM / DNL — metadata, skipped
     if frame is None or not got_scan:
@@ -741,6 +768,155 @@ def _jpeg_decode_scan(scan, segs, ri, frame, coeffs,
             coeffs[c[0]][by, bx] = zz
 
 
+def _jpeg_ac_first(rd, ac: _JpegHuff, zz, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0) for one block, T.81 G.1.2.2:
+    run/size coding over the Ss..Se band with EOBn end-of-band runs;
+    decoded values enter at magnitude scale 2^Al. Returns the
+    remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(rd)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:                       # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.receive(r)
+                return eobrun
+            k += 16                          # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC band overflow (first scan)")
+            zz[k] = _jpeg_extend(rd.receive(s), s) << al
+            k += 1
+    return 0
+
+
+def _jpeg_ac_refine(rd, ac: _JpegHuff, zz, ss, se, al, eobrun):
+    """Progressive AC refinement scan (Ah=Al+1) for one block, T.81
+    G.1.2.3: newly-significant coefficients arrive as ±2^Al after a
+    run of zero-HISTORY positions; every nonzero-history coefficient
+    passed on the way (and, inside an EOB run, through the band's
+    end) consumes one correction bit that grows its magnitude by 2^Al
+    when set. Python ints give the same two's-complement `& p1` /
+    `|=` semantics as the C ints the spec's flowcharts assume."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(rd)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    # EOBn INCLUDES the block it is read in: its
+                    # remaining band still consumes correction bits
+                    # (the tail below runs, then decrements) — unlike
+                    # the first-scan convention where the remainder
+                    # is zeros by definition
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break
+                val = 0                      # ZRL: 16 zero-history skips
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG: refinement scan size must be 1")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if rd.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                       # EOB-run correction bits
+            if zz[k] != 0:
+                if rd.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan_prog(scan, segs, ri, frame, coeffs,
+                           hmax, vmax, mcux, mcuy, ss, se, ah, al):
+    """One progressive scan (T.81 G.2) into the persistent
+    coefficient grids. DC scans (Ss=Se=0) may be interleaved and use
+    MCU order; AC scans are single-component over the component's own
+    block raster. First scans (Ah=0) enter values at scale 2^Al;
+    refinement scans add the next magnitude bit. Restart intervals
+    reset DC predictors, the bit reader, AND the EOB run."""
+    fh, fw, _comps = frame
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: DC scan must have Se=0")
+    else:
+        if len(scan) > 1:
+            raise ValueError("JPEG: AC scans are single-component")
+        if not (ss <= se <= 63):
+            raise ValueError("JPEG: bad spectral band")
+    if len(scan) > 1:
+        nmcu = mcux * mcuy
+    else:
+        c = scan[0][0]
+        cw = -(-fw * c[1] // hmax)
+        ch = -(-fh * c[2] // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        nmcu = bw * bh
+    preds = {c[0]: 0 for c, _d, _a in scan}
+    seg_idx, eobrun = 0, 0
+    rd = _JpegBits(segs[0])
+    for mcu in range(nmcu):
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG: missing restart marker")
+            rd = _JpegBits(segs[seg_idx])
+            preds = {k_: 0 for k_ in preds}
+            eobrun = 0
+
+        def dc_one(zz_block, comp_id, dc_tab):
+            if ah == 0:
+                t = dc_tab.decode(rd)
+                if t > 11:
+                    raise ValueError("JPEG: DC category out of range")
+                preds[comp_id] += _jpeg_extend(rd.receive(t), t)
+                zz_block[0] = preds[comp_id] << al
+            else:
+                if rd.bit():
+                    zz_block[0] |= 1 << al
+
+        if len(scan) > 1:                    # interleaved DC scan
+            my, mx = divmod(mcu, mcux)
+            for c, dc, _a in scan:
+                _cid, sh, sv, _tq = c
+                grid = coeffs[c[0]]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc_one(grid[my * sv + by, mx * sh + bx],
+                               c[0], dc)
+        else:
+            c, dc, ac = scan[0]
+            by, bx = divmod(mcu, bw)
+            zz = coeffs[c[0]][by, bx]
+            if ss == 0:
+                dc_one(zz, c[0], dc)
+            elif ah == 0:
+                eobrun = _jpeg_ac_first(rd, ac, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _jpeg_ac_refine(rd, ac, zz, ss, se, al, eobrun)
+
+
 def _jpeg_reconstruct(frame, coeffs, qt, hmax, vmax) -> np.ndarray:
     """Dequantize → batched IDCT → plane assembly → upsample → color
     convert. All per-block math is vectorized numpy over every block
@@ -786,8 +962,8 @@ def _jpeg_reconstruct(frame, coeffs, qt, hmax, vmax) -> np.ndarray:
 def decode_pixels(p: bytes) -> np.ndarray:
     """Payload bytes → uint8 (h, w, c) for PNG/BMP/GIF/baseline JPEG.
 
-    Raises ``NotImplementedError`` for JPEG modes beyond baseline
-    sequential (progressive/arithmetic/lossless/hierarchical — real
+    Raises ``NotImplementedError`` for JPEG modes beyond
+    baseline/progressive (arithmetic/lossless/hierarchical — real
     refusals, not fakes) and ``ValueError`` for unrecognized bytes."""
     if p[:8] == _PNG_SIG:
         return png_decode(p)

@@ -980,10 +980,15 @@ def test_jpeg_restart_markers():
 def test_jpeg_honest_refusals_and_hostile_bytes():
     img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
     good = build_jpeg([img], [(1, 1)], [np.ones(64, int)])
-    # progressive: same file with SOF0 marker byte swapped to SOF2
-    prog = good.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        MC.jpeg_decode(prog)
+    # arithmetic coding: same file with SOF0 swapped to SOF9 — an
+    # honest refusal (progressive SOF2 is now DECODED; a baseline
+    # stream mislabeled SOF2 is malformed, not unimplemented)
+    arith = good.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC9]), 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        MC.jpeg_decode(arith)
+    mislabel = good.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]), 1)
+    with pytest.raises(ValueError, match="Se=0"):
+        MC.jpeg_decode(mislabel)
     # truncated entropy data
     with pytest.raises(ValueError, match="truncated|missing"):
         MC.jpeg_decode(good[:len(good) - 6] + b"\xff\xd9")
@@ -1016,6 +1021,358 @@ def test_jpeg_decode_media_and_sniff_agree(spark):
     assert (dec["height"], dec["width"], dec["channels"]) == (24, 17, 1)
     sn = MM.sniff_media_meta(media).collect()[0]
     assert (sn["height"], sn["width"]) == (24, 17)
+
+
+# --------------------------------------------------- progressive JPEG
+#
+# Independent in-test PROGRESSIVE encoder (T.81 Annex G scan
+# structure: spectral selection, successive approximation, EOBn runs,
+# AC-refinement correction-bit buffering in the proven libjpeg
+# ordering). Ground truth: a progressive encoding of the SAME
+# quantized coefficients must decode to EXACTLY the baseline
+# decoder's pixels — the expected output comes from the already-
+# golden baseline path, so encoder/decoder errors cannot cancel
+# against it.
+
+
+#: progressive AC scans need EOBn symbols (0x10..0xE0) that the
+#: Annex-K baseline tables don't define — real progressive encoders
+#: ship custom DHTs. This one covers every rs symbol: 255 codes of
+#: length 8 + one of length 9 (keeps the all-ones 8-bit code free).
+_JAC_FULL = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(255)) + [255])
+
+
+def _jprog_coef_grids(planes, sampling, qzz_tables, fh, fw):
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    grids = []
+    for p_, (sh, sv), q in zip(planes, sampling, qzz_tables):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(p_, ((0, th - p_.shape[0]), (0, tw - p_.shape[1])),
+                    mode="edge")
+        grid = {}
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                grid[(by, bx)] = _jquant_block(pp, by * 8, bx * 8, q)
+        grids.append(grid)
+    return grids, mcux, mcuy
+
+
+def _jprog_ac_raster(comp_idx, sampling, fh, fw):
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    sh, sv = sampling[comp_idx]
+    cw = -(-fw * sh // hmax)
+    ch = -(-fh * sv // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _emit_dc_first(grids, sampling, mcux, mcuy, al, dc_codes, fh, fw):
+    w = _JBitWriter()
+    nc = len(grids)
+    preds = [0] * nc
+    if nc > 1:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dcv = grids[ci][(my * sv + by, mx * sh + bx)][0] >> al
+                        diff = dcv - preds[ci]
+                        preds[ci] = dcv
+                        s = _jcat(diff)
+                        w.put(*reversed(dc_codes[ci][s]))
+                        if s:
+                            _jput_coef(w, diff, s)
+    else:
+        bw_, bh_ = _jprog_ac_raster(0, sampling, fh, fw)
+        for by in range(bh_):
+            for bx in range(bw_):
+                dcv = grids[0][(by, bx)][0] >> al
+                diff = dcv - preds[0]
+                preds[0] = dcv
+                s = _jcat(diff)
+                w.put(*reversed(dc_codes[0][s]))
+                if s:
+                    _jput_coef(w, diff, s)
+    w.align()
+    return bytes(w.out)
+
+
+def _emit_dc_refine(grids, sampling, mcux, mcuy, al, fh, fw):
+    w = _JBitWriter()
+    nc = len(grids)
+    if nc > 1:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(nc):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        w.put((grids[ci][(my * sv + by, mx * sh + bx)][0]
+                               >> al) & 1, 1)
+    else:
+        bw_, bh_ = _jprog_ac_raster(0, sampling, fh, fw)
+        for by in range(bh_):
+            for bx in range(bw_):
+                w.put((grids[0][(by, bx)][0] >> al) & 1, 1)
+    w.align()
+    return bytes(w.out)
+
+
+def _emit_ac_first(grid, bw_, bh_, ss, se, al, ac_codes):
+    w = _JBitWriter()
+    eob = 0
+
+    def flush_eob():
+        nonlocal eob
+        if eob:
+            r = eob.bit_length() - 1
+            w.put(*reversed(ac_codes[r << 4]))
+            if r:
+                w.put(eob - (1 << r), r)
+            eob = 0
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = grid[(by, bx)]
+            vals = [(abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1)
+                    for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eob += 1
+                continue
+            flush_eob()
+            run = 0
+            for idx in range(nz[-1] + 1):
+                v = vals[idx]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*reversed(ac_codes[0xF0]))
+                    run -= 16
+                s = _jcat(v)
+                w.put(*reversed(ac_codes[(run << 4) | s]))
+                _jput_coef(w, v, s)
+                run = 0
+            if nz[-1] < len(vals) - 1:
+                eob += 1
+    flush_eob()
+    w.align()
+    return bytes(w.out)
+
+
+def _emit_ac_refine(grid, bw_, bh_, ss, se, al, ac_codes):
+    """libjpeg encode_mcu_AC_refine structure: correction bits for
+    already-nonzero coefficients buffer and flush after each emitted
+    symbol; trailing runs fold into EOBn with their bits pending."""
+    w = _JBitWriter()
+    eob = 0
+    pending = []
+
+    def flush_eob():
+        nonlocal eob, pending
+        if eob:
+            r = eob.bit_length() - 1
+            w.put(*reversed(ac_codes[r << 4]))
+            if r:
+                w.put(eob - (1 << r), r)
+            eob = 0
+        for b in pending:
+            w.put(b, 1)
+        pending = []
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = grid[(by, bx)]
+            absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+            eobpos = max((i for i, t in enumerate(absv) if t == 1),
+                         default=-1)
+            r, br = 0, []
+            for idx in range(len(absv)):
+                t = absv[idx]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eobpos:
+                    flush_eob()
+                    w.put(*reversed(ac_codes[0xF0]))
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                w.put(*reversed(ac_codes[(r << 4) | 1]))
+                w.put(1 if zz[idx + ss] > 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eob += 1
+                pending.extend(br)
+    flush_eob()
+    w.align()
+    return bytes(w.out)
+
+
+def build_progressive_jpeg(planes, sampling, qzz_tables, script):
+    """T.81 progressive file: DQT + SOF2 + DHTs + one SOS per script
+    entry. Script entries: ('dc_first', al) / ('dc_refine', al) /
+    ('ac_first', comp, ss, se, al) / ('ac_refine', comp, ss, se, al).
+    Component 0 uses the Annex-K luminance Huffman tables, others
+    chrominance (table ids 0/1)."""
+    nc = len(planes)
+    fh, fw = planes[0].shape
+    grids, mcux, mcuy = _jprog_coef_grids(planes, sampling, qzz_tables,
+                                          fh, fw)
+    dc_codes = [_jcodes(*(_JDC_L if c == 0 else _JDC_C))
+                for c in range(nc)]
+    ac_codes = [_jcodes(*_JAC_FULL) for _ in range(nc)]
+    out = bytearray(b"\xff\xd8")
+    for c in range(nc):
+        out += bytes([0xFF, 0xDB, 0x00, 0x43, c]) \
+            + bytes(int(q) for q in qzz_tables[c])
+    out += bytes([0xFF, 0xC2]) + (8 + 3 * nc).to_bytes(2, "big") \
+        + bytes([8]) + fh.to_bytes(2, "big") + fw.to_bytes(2, "big") \
+        + bytes([nc])
+    for c in range(nc):
+        out += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], c])
+    dhts = ([(0, 0, _JDC_L), (1, 0, _JAC_FULL)] if nc == 1 else
+            [(0, 0, _JDC_L), (1, 0, _JAC_FULL),
+             (0, 1, _JDC_C), (1, 1, _JAC_FULL)])
+    for cls, tid, (cnt, sym) in dhts:
+        out += bytes([0xFF, 0xC4]) \
+            + (2 + 1 + 16 + len(sym)).to_bytes(2, "big") \
+            + bytes([(cls << 4) | tid]) + bytes(cnt) + bytes(sym)
+    for entry in script:
+        kind = entry[0]
+        if kind == "dc_first":
+            al = entry[1]
+            ent = _emit_dc_first(grids, sampling, mcux, mcuy, al,
+                                 dc_codes, fh, fw)
+            hdr = bytes([nc]) + b"".join(
+                bytes([c + 1, ((0 if c == 0 else 1) << 4)])
+                for c in range(nc)) + bytes([0, 0, al])
+        elif kind == "dc_refine":
+            al = entry[1]
+            ent = _emit_dc_refine(grids, sampling, mcux, mcuy, al,
+                                  fh, fw)
+            hdr = bytes([nc]) + b"".join(
+                bytes([c + 1, 0]) for c in range(nc)) \
+                + bytes([0, 0, ((al + 1) << 4) | al])
+        else:
+            _k, ci, ss, se, al = entry
+            bw_, bh_ = _jprog_ac_raster(ci, sampling, fh, fw)
+            tid = 0 if ci == 0 else 1
+            if kind == "ac_first":
+                ent = _emit_ac_first(grids[ci], bw_, bh_, ss, se, al,
+                                     ac_codes[ci])
+                ah = 0
+            else:
+                ent = _emit_ac_refine(grids[ci], bw_, bh_, ss, se, al,
+                                      ac_codes[ci])
+                ah = al + 1
+            hdr = bytes([1, ci + 1, tid]) + bytes([ss, se, (ah << 4) | al])
+        out += bytes([0xFF, 0xDA]) + (2 + len(hdr)).to_bytes(2, "big") \
+            + hdr + ent
+    out += bytes([0xFF, 0xD9])
+    return bytes(out)
+
+
+def test_jpeg_progressive_spectral_selection_only():
+    """Pure spectral selection (no successive approximation): DC scan
+    then two AC band scans must reproduce the baseline decode of the
+    same coefficients exactly."""
+    img = RNG.integers(0, 256, (16, 24), dtype=np.uint8)
+    q = np.ones(64, int)
+    base = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q]))
+    prog = MC.jpeg_decode(build_progressive_jpeg(
+        [img], [(1, 1)], [q],
+        [("dc_first", 0),
+         ("ac_first", 0, 1, 5, 0),
+         ("ac_first", 0, 6, 63, 0)]))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_successive_approximation_gray():
+    """Full successive approximation: DC split over two scans, AC
+    bands entered at Al=2 and refined down to 0 (two refinement
+    passes exercise the correction-bit path repeatedly)."""
+    img = RNG.integers(0, 256, (24, 16), dtype=np.uint8)
+    q = (np.arange(64) % 5 + 1)
+    base = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q]))
+    prog = MC.jpeg_decode(build_progressive_jpeg(
+        [img], [(1, 1)], [q],
+        [("dc_first", 1), ("dc_refine", 0),
+         ("ac_first", 0, 1, 5, 2),
+         ("ac_refine", 0, 1, 5, 1),
+         ("ac_refine", 0, 1, 5, 0),
+         ("ac_first", 0, 6, 63, 1),
+         ("ac_refine", 0, 6, 63, 0)]))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_color_420():
+    """3-component 4:2:0 progressive: interleaved DC scans +
+    per-component AC band scans with refinement — the full shape real
+    encoders emit — must match the baseline decode."""
+    y = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    cb = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    cr = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    qs = [np.ones(64, int)] * 3
+    base = MC.jpeg_decode(build_jpeg([y, cb, cr], sampling, qs))
+    script = [("dc_first", 1), ("dc_refine", 0)]
+    for ci in range(3):
+        script += [("ac_first", ci, 1, 63, 1), ("ac_refine", ci, 1, 63, 0)]
+    prog = MC.jpeg_decode(build_progressive_jpeg(
+        [y, cb, cr], sampling, qs, script))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_stress_eobruns():
+    """Randomized multi-block stress: smooth images quantized hard so
+    many band scans are all-zero → multi-block EOBn runs with
+    extension bits (r>0), plus ZRL-in-refinement interactions. Every
+    image must match its baseline decode exactly."""
+    for trial in range(6):
+        h, w = 8 * (2 + trial % 3), 8 * (3 + trial % 2)
+        base_img = RNG.integers(0, 256, (h // 8, w // 8), dtype=np.uint8)
+        img = np.repeat(np.repeat(base_img, 8, 0), 8, 1)  # flat blocks
+        noise = RNG.integers(-6, 7, (h, w))
+        img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+        q = np.full(64, 12, int)  # hard quantization → sparse bands
+        base = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q]))
+        prog = MC.jpeg_decode(build_progressive_jpeg(
+            [img], [(1, 1)], [q],
+            [("dc_first", 2), ("dc_refine", 1), ("dc_refine", 0),
+             ("ac_first", 0, 1, 2, 1),
+             ("ac_refine", 0, 1, 2, 0),
+             ("ac_first", 0, 3, 63, 1),
+             ("ac_refine", 0, 3, 63, 0)]))
+        assert np.array_equal(base, prog), trial
+
+
+def test_jpeg_progressive_decode_media_and_refusals(spark):
+    img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    prog = build_progressive_jpeg(
+        [img], [(1, 1)], [np.ones(64, int)],
+        [("dc_first", 0), ("ac_first", 0, 1, 63, 0)])
+    dec = MM.decode_media(_media_df(spark, [prog])).collect()[0]
+    assert dec["err"] is None and dec["kind"] == "image"
+    assert (dec["height"], dec["width"]) == (8, 8)
+    # arithmetic coding stays an honest refusal
+    arith = prog.replace(bytes([0xFF, 0xC2]), bytes([0xFF, 0xCA]), 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        MC.jpeg_decode(arith)
 
 
 # ------------------------------------------------------- MP4 sniff
