@@ -46,6 +46,8 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        model=None,
                        min_model_score: float | None = None,
                        model_dim: int = 256,
+                       dsir=None,
+                       dsir_bigrams: bool = True,
                        buckets: int = 16,
                        index_buckets: int = 64,
                        id_col: str = "doc_id",
@@ -118,6 +120,18 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     arming the gate mid-corpus does not change the parquet schema.
     ``model_dim`` must match the dimension the weights were trained
     at (`lr_score` validates the weight count).
+
+    ``dsir=(lams, min_logw)`` arms the DSIR IMPORTANCE gate
+    (`operators.dsir` — Xie et al. 2023 target-likeness): ``lams`` is
+    the frozen per-bucket log-likelihood-ratio table (a dim-length
+    float list, derived once from a fixed target corpus +
+    raw-reference sample via `dsir_log_ratios`), and docs whose log
+    importance weight falls below ``min_logw`` get status
+    ``low_dsir``, evaluated after the classifier gate and before the
+    LM gate. Like the model gate, the weight is a pure deterministic
+    function of the batch text and the frozen table (9-dp
+    contributions, 6-dp output), so decide-once replay is untouched;
+    the ``dsir_logw`` column is always present (NULL when unarmed).
     """
     from remote_storage_adapter_spark.operators.dedup import (
         cache_scope,
@@ -199,6 +213,24 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                 # the gate is armed mid-corpus
                 scored = scored.withColumn(
                     "model_score", F.lit(None).cast("double"))
+            dsir_live = dsir is not None
+            if dsir_live:
+                from remote_storage_adapter_spark.operators.dsir import (
+                    dsir_doc_weights,
+                )
+
+                lams, min_dsir_logw = dsir
+                ratios = spark.createDataFrame(
+                    [(i, float(v)) for i, v in enumerate(lams)],
+                    "bucket int, lam double")
+                wts = dsir_doc_weights(
+                    clean, ratios, dim=len(lams), bigrams=dsir_bigrams,
+                    id_col=id_col, text_col=text_col,
+                    out_col="dsir_logw")
+                scored = scored.join(wts, id_col, "left")
+            else:
+                scored = scored.withColumn(
+                    "dsir_logw", F.lit(None).cast("double"))
             scored = scored.withColumn("_status0", (
                 F.when(F.col("_seen_fp").isNotNull(), "dup_seen")
                 .when(F.col(id_col) != F.col("_first_id"), "dup_batch")
@@ -208,6 +240,11 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                     & (F.col("model_score") < min_model_score
                        if model_live else F.lit(False)),
                     "low_model")
+                .when(
+                    F.lit(dsir_live)
+                    & (F.col("dsir_logw") < min_dsir_logw
+                       if dsir_live else F.lit(False)),
+                    "low_dsir")
                 .when(
                     F.lit(lm_live) & (F.col("ppl") > max_ppl
                                       if max_ppl is not None
@@ -229,6 +266,7 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                 status = F.col("_status0")
             curated = scored.select(
                 id_col, text_col, "q_score", "ppl", "model_score",
+                "dsir_logw",
                 status.alias("status"), "fp",
                 F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                        F.lit(buckets)).alias("b"),
@@ -390,6 +428,8 @@ def stream_curate_maintain(
     model=None,
     min_model_score: float | None = None,
     model_dim: int = 256,
+    dsir=None,
+    dsir_bigrams: bool = True,
     buckets: int = 16,
     index_buckets: int = 64,
     id_col: str = "doc_id",
@@ -405,8 +445,10 @@ def stream_curate_maintain(
     maintain the BM25 index, the reference LM, and the MinHash
     near-dup index (which arms the ``near_dup`` gate); ``model`` +
     ``min_model_score`` arm the trained-classifier gate
-    (``low_model`` status) — the full ingest-to-artifacts pipeline in
-    one exactly-once batch apply (see :func:`apply_curate_batch`).
+    (``low_model`` status) and ``dsir=(lams, min_logw)`` the DSIR
+    importance gate (``low_dsir``) — the full ingest-to-artifacts
+    pipeline in one exactly-once batch apply (see
+    :func:`apply_curate_batch`).
 
     Replay ledgers key on the MICRO-BATCH ID, which is stable only
     under deterministic re-batching: a fresh-checkpoint reprocess must
@@ -431,7 +473,7 @@ def stream_curate_maintain(
             minhash_kwargs=minhash_kwargs,
             min_q_score=min_q_score, max_ppl=max_ppl,
             model=model, min_model_score=min_model_score,
-            model_dim=model_dim,
+            model_dim=model_dim, dsir=dsir, dsir_bigrams=dsir_bigrams,
             buckets=buckets, index_buckets=index_buckets,
             id_col=id_col, text_col=text_col))
         .option("checkpointLocation", checkpoint_dir)
@@ -458,6 +500,8 @@ def curation_report(spark, out_dir: str, *,
     # schema is stable either way (r7 ADVICE)
     model_score = (F.col("model_score") if "model_score" in df.columns
                    else F.lit(None).cast("double"))
+    dsir_logw = (F.col("dsir_logw") if "dsir_logw" in df.columns
+                 else F.lit(None).cast("double"))
     return (
         df
         .groupBy("status")
@@ -470,6 +514,7 @@ def curation_report(spark, out_dir: str, *,
             # NULL-tolerant like ppl: rows from unarmed-gate batches
             # (model_score NULL) average over the scored subset only
             F.round(F.avg(model_score), 6).alias("mean_model_score"),
+            F.round(F.avg(dsir_logw), 6).alias("mean_dsir_logw"),
         )
         .orderBy("status")
     )

@@ -1555,6 +1555,70 @@ def test_curation_model_gate_low_model_status(spark, tmp_path):
         == {k: (v["status"], v["model_score"]) for k, v in rows1.items()}
 
 
+def test_curation_dsir_gate_low_dsir_status(spark, tmp_path):
+    """The DSIR importance gate (r8): λ is frozen from a target
+    corpus vs a raw-reference sample; an off-domain doc that passes
+    the rule-quality gate drops with status ``low_dsir``, the
+    committed ``dsir_logw`` records what drove the decision, and the
+    decide-once replay is a no-op with identical rows."""
+    from remote_storage_adapter_spark.operators import dsir as DS
+    from remote_storage_adapter_spark.streaming.curate import (
+        apply_curate_batch,
+    )
+
+    dim = 128
+    target = spark.createDataFrame(
+        [(i, "the quantum gravity of loop amplitudes in the network "
+             f"study {i}") for i in range(6)],
+        "doc_id long, text string")
+    rawref = spark.createDataFrame(
+        [(100 + i, "the casino prize of winning pills in the offer "
+                   f"promo {i}") for i in range(6)]
+        + [(200 + i, "the quantum gravity of loop amplitudes in the "
+                     f"network study extra {i}") for i in range(6)],
+        "doc_id long, text string")
+    lam_rows = {r["bucket"]: r["lam"] for r in DS.dsir_log_ratios(
+        DS.hashed_ngram_counts(target, dim=dim),
+        DS.hashed_ngram_counts(rawref, dim=dim), dim=dim).collect()}
+    lams = [lam_rows[i] for i in range(dim)]
+
+    out, seen = str(tmp_path / "curated"), str(tmp_path / "seen")
+    batch = spark.createDataFrame(
+        [(1, "the quantum gravity of loop amplitudes in the network "
+             "study fresh"),
+         (2, "the casino prize of winning pills in the offer promo "
+             "fresh")],
+        "doc_id long, text string")
+    # threshold between the two weights (both deterministic)
+    w1, w2 = [r["logw"] for r in DS.dsir_doc_weights(
+        batch, spark.createDataFrame(
+            [(i, v) for i, v in enumerate(lams)], "bucket int, lam double"),
+        dim=dim).orderBy("doc_id").collect()]
+    assert w1 > w2  # in-domain doc weighs more
+    thr = (w1 + w2) / 2
+    kwargs = dict(out_dir=out, seen_state=seen, min_q_score=0.1,
+                  dsir=(lams, thr), buckets=2)
+    assert apply_curate_batch(batch, 0, **kwargs) is True
+    rows0 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows0[1]["status"] == "kept"
+    assert rows0[2]["status"] == "low_dsir"
+    assert rows0[1]["dsir_logw"] == w1
+    assert rows0[2]["dsir_logw"] == w2
+    # decide-once replay: no-op, identical committed rows
+    assert apply_curate_batch(batch, 0, **kwargs) is False
+    rows1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert {k: (v["status"], v["dsir_logw"]) for k, v in rows0.items()} \
+        == {k: (v["status"], v["dsir_logw"]) for k, v in rows1.items()}
+    # report is NULL-tolerant for the new column over legacy dirs
+    from remote_storage_adapter_spark.streaming.curate import (
+        curation_report,
+    )
+
+    rep = {r["status"]: r for r in curation_report(spark, out).collect()}
+    assert rep["low_dsir"]["n_docs"] == 1
+    assert rep["low_dsir"]["mean_dsir_logw"] == round(w2, 6)
+
+
 def test_curation_report_pre_model_gate_directory(spark, tmp_path):
     """r7 ADVICE: a curated directory written ENTIRELY by
     pre-model-gate code has no model_score column at all; the report
