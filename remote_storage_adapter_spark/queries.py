@@ -3240,16 +3240,19 @@ def q_curation_stream_statuses(spark, sf_dir):
     verdict #1): feed the documents table through
     ``streaming.curate.apply_curate_batch`` in 4 deterministic batches
     (batch = doc_id % 4, applied in batch order) with the exact-dup,
-    quality, and trained-model gates armed, then read back every
-    committed per-doc status. These three gates make the multi-batch
-    decision sequence CLOSED-FORM: a doc whose fingerprint was KEPT
+    quality, trained-model, and DSIR-importance gates armed, then read
+    back every committed per-doc status. These four gates make the
+    multi-batch decision sequence CLOSED-FORM: a doc whose fingerprint was KEPT
     in an earlier batch commits 'dup_seen' (the seen-state check
     outranks everything — and it holds kept fingerprints only);
     otherwise, within a batch only the smallest id of a fingerprint
     group is a candidate (the rest commit 'dup_batch' regardless of
-    their own gates); the first candidate that passes quality+model
-    is kept; a candidate with no earlier kept copy falls through to
-    its own quality-then-model verdict. The DuckDB oracle replays exactly that cascade with
+    their own gates); the first candidate that passes
+    quality+model+DSIR is kept; a candidate with no earlier kept copy
+    falls through to its own quality→model→DSIR verdict (the DSIR
+    weight is a pure function of the batch text and a frozen analytic
+    λ table — closed-form like the others).
+    The DuckDB oracle replays exactly that cascade with
     window functions over (md5 fingerprint, batch, id) — the
     maintainer's decide-once replay protocol must land on the
     analytic answer. The LM and near-dup gates stay OUT of this leg
@@ -3283,20 +3286,28 @@ def q_curation_stream_statuses(spark, sf_dir):
         .when(F.pmod(F.col("doc_id"), F.lit(10)) == 3, F.lit(_CUR_JUNK))
         .otherwise(F.col("text")).alias("text"))
     w = CL.frozen_weights(64)
+    # DSIR gate λ: same analytic frozen-table discipline as the model
+    # weights, DIFFERENT seed (48271) so the two gates' dot products
+    # decorrelate — both low_dsir and kept stay populated (seed scan:
+    # ~235 low_dsir / ~178 kept among q∧m passers at sf0.001 AND
+    # sf0.01; the planted passage weighs +0.564 so it is still KEPT
+    # on first sight and the dup_seen branch survives)
+    lam = CL.frozen_weights(64, seed=48271)
     for b in range(4):
         batch = planted.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
         apply_curate_batch(batch, b, out_dir=out, seen_state=seen,
                            min_q_score=0.5,
                            model=(w, 0.05), min_model_score=0.5,
-                           model_dim=64, buckets=4)
+                           model_dim=64, dsir=(lam, 0.0), buckets=4)
     return spark.read.parquet(out).select("doc_id", "status")
 
 
 #: planted shared passage / junk for the curation-stream leg — must
 #: pass (resp. fail) the quality gate AND pass the frozen-weight model
-#: gate on both engines (checked by the leg's own oracle row-for-row)
-#: (frozen-weight model score 0.861 — the shared passage must be KEPT
-#: on first sight so later copies exercise the dup_seen branch)
+#: + frozen-λ DSIR gates on both engines (checked by the leg's own
+#: oracle row-for-row) (frozen-weight model score 0.861, DSIR logw
+#: +0.564 — the shared passage must be KEPT on first sight so later
+#: copies exercise the dup_seen branch)
 _CUR_DUP = ("the quick brown fox jumps over the lazy dog near the "
             "quiet river bank today")
 _CUR_JUNK = "!!!"
@@ -3311,6 +3322,29 @@ WITH pdocs AS (
 ),
 q AS ({O_text_quality.replace("FROM documents", "FROM pdocs")}),
 m AS ({O_text_quality_score.replace("FROM documents", "FROM pdocs")}),
+dsg AS (
+  -- DSIR gate (frozen analytic λ, seed 48271): hashed unigram+bigram
+  -- bucket counts → Σ round(c·λ_b, 9) rounded to 6 dp, exactly
+  -- `dsir_doc_weights` (the O_sample_dsir stage with λ frozen)
+  SELECT doc_id,
+         ws || list_transform(range(2, len(ws) + 1),
+                              i -> ws[i-1] || ' ' || ws[i]) AS gs
+  FROM (SELECT doc_id, list_filter(string_split({NORM_SQL}, ' '),
+                                   t -> t <> '') AS ws
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM pdocs))
+), dsw AS (
+  SELECT doc_id,
+         round(sum(round(c * ((CAST(bucket AS BIGINT) * 48271) % 2000
+                              / 1000.0 - 1.0), 9)), 6) AS logw
+  FROM (SELECT doc_id, CAST({_ph_sql('g')} % 64 AS INTEGER) AS bucket,
+               count(*) AS c
+        FROM (SELECT doc_id, unnest(gs) AS g FROM dsg)
+        GROUP BY 1, 2)
+  GROUP BY 1
+), dsd AS (
+  SELECT p.doc_id, coalesce(logw, 0.0) >= 0.0 AS pass_d
+  FROM pdocs p LEFT JOIN dsw USING (doc_id)
+),
 fp AS (
   SELECT doc_id, md5({NORM_SQL}) AS fp, doc_id % 4 AS b
   FROM pdocs
@@ -3320,15 +3354,18 @@ fp AS (
   FROM fp
 ), cand AS (
   SELECT rk.doc_id, rk.fp, rk.b,
-         q.q_score >= 0.5 AS pass_q, m.score >= 0.5 AS pass_m
+         q.q_score >= 0.5 AS pass_q, m.score >= 0.5 AS pass_m,
+         dsd.pass_d AS pass_d
   FROM rk JOIN q USING (doc_id) JOIN m USING (doc_id)
+          JOIN dsd USING (doc_id)
   WHERE rk.rk = 1
 ), prior AS (
   -- per (fp, batch): was any EARLIER batch's candidate kept? (the
   -- first passing candidate is the kept one, so existence of an
   -- earlier passing candidate == existence of an earlier kept copy)
   SELECT fp, b,
-         coalesce(sum(CASE WHEN pass_q AND pass_m THEN 1 ELSE 0 END)
+         coalesce(sum(CASE WHEN pass_q AND pass_m AND pass_d
+                           THEN 1 ELSE 0 END)
              OVER (PARTITION BY fp ORDER BY b
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              0) > 0 AS prior_kept
@@ -3342,6 +3379,7 @@ SELECT rk.doc_id,
             WHEN rk.rk > 1 THEN 'dup_batch'
             WHEN NOT c.pass_q THEN 'low_quality'
             WHEN NOT c.pass_m THEN 'low_model'
+            WHEN NOT c.pass_d THEN 'low_dsir'
             ELSE 'kept' END AS status
 FROM rk
 LEFT JOIN prior p ON p.fp = rk.fp AND p.b = rk.b
