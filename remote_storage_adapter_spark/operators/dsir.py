@@ -200,8 +200,9 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int, *,
     weight. ``temperature → 0`` degenerates to deterministic top-n by
     weight; 1.0 is the paper's sampling regime. The Gumbel noise is
     hash-deterministic per doc id (replay-stable), the rank key is
-    9-dp-rounded with an id tie-break, and the top-n runs as
-    ``TakeOrderedAndProject`` — never a global sort.
+    6-dp-rounded (over 9-dp-rounded Gumbel terms) with an id
+    tie-break, and the top-n runs as ``TakeOrderedAndProject`` —
+    never a global sort.
 
     Weights are RELATIVE log-ratios: a doc with no n-grams scores a
     ratio-neutral ``logw = 0``, which can outrank in-domain docs whose

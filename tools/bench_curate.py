@@ -10,6 +10,7 @@ measured:
 
   quality    exact-dup + rule-quality gates, seen-state maintenance
   +model     … + trained-classifier gate (frozen 64-dim weights)
+  +dsir      … + DSIR importance gate (frozen 64-bucket λ table)
   +lm        … + reference-LM perplexity gate + LM-state maintenance
   +neardup   … + MinHash near-dup gate + MinHash-index maintenance
   +bm25      … + BM25 inverted-index maintenance (the full flow)
@@ -58,7 +59,12 @@ from remote_storage_adapter_spark.streaming.curate import (  # noqa: E402
 )
 
 #: gate ladder — each entry extends the previous with one component
-CONFIGS = ["quality", "+model", "+lm", "+neardup", "+bm25"]
+CONFIGS = ["quality", "+model", "+dsir", "+lm", "+neardup", "+bm25"]
+
+#: frozen DSIR λ (the stream-leg seed — decorrelated from the model
+#: weights) and a threshold that genuinely drops docs, so the gate's
+#: marginal cost includes its full weight computation
+DSIR_LAM = frozen_weights(64, seed=48271)
 
 MINHASH_KW = dict(num_hashes=64, bands=16, shingle_n=3)
 
@@ -76,14 +82,16 @@ def run_config(spark, docs, cfg: str, base: str, n_batches: int):
         kwargs.update(model=(frozen_weights(64), 0.05),
                       min_model_score=0.5, model_dim=64)
     if level >= 2:
-        kwargs.update(lm_state=lm, max_ppl=5000.0)
+        kwargs.update(dsir=(DSIR_LAM, 0.0))
     if level >= 3:
+        kwargs.update(lm_state=lm, max_ppl=5000.0)
+    if level >= 4:
         reset_managed_tables(
             spark, *[f"{prefix}_{t}"
                      for t in ("banded", "sigs", "counts", "applied")])
         kwargs.update(minhash_prefix=prefix, near_dup_threshold=0.2,
                       minhash_kwargs=MINHASH_KW)
-    if level >= 4:
+    if level >= 5:
         kwargs.update(index_path=idx)
 
     batch_walls = []
@@ -146,7 +154,8 @@ def run_replay(spark, docs, base: str, n_batches: int) -> dict:
     out, seen, lm = f"{base}/curated", f"{base}/seen", f"{base}/lm"
     kwargs = dict(min_q_score=0.5, buckets=16, index_buckets=16,
                   model=(frozen_weights(64), 0.05), min_model_score=0.5,
-                  model_dim=64, lm_state=lm, max_ppl=5000.0,
+                  model_dim=64, dsir=(DSIR_LAM, 0.0),
+                  lm_state=lm, max_ppl=5000.0,
                   minhash_prefix="bench_curate_mh",
                   near_dup_threshold=0.2, minhash_kwargs=MINHASH_KW,
                   index_path=f"{base}/bm25")
