@@ -576,7 +576,7 @@ _JPEG_IDCT_M = _jpeg_idct_mat()
 
 
 def jpeg_decode(p: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array (h, w, 1 gray | 3 RGB).
+    """JPEG bytes (baseline or progressive) → uint8 (h, w, 1|3).
 
     Pure-stdlib+numpy implementation of ITU-T T.81 baseline
     sequential AND progressive decode (see the section comment above
@@ -675,7 +675,7 @@ def jpeg_decode(p: bytes) -> np.ndarray:
         elif m in _JPEG_HARD_MODES:
             raise NotImplementedError(
                 f"JPEG: {_JPEG_HARD_MODES[m]} mode is not decoded "
-                "(baseline sequential only)")
+                "(baseline sequential + progressive Huffman only)")
         elif m == 0xDD:                       # DRI
             if len(seg) < 2:
                 raise ValueError("JPEG: malformed DRI")
@@ -876,6 +876,20 @@ def _jpeg_decode_scan_prog(scan, segs, ri, frame, coeffs,
     preds = {c[0]: 0 for c, _d, _a in scan}
     seg_idx, eobrun = 0, 0
     rd = _JpegBits(segs[0])
+
+    # reads the CURRENT rd/preds bindings (rebound at restarts), so
+    # defining it once outside the MCU loop is behavior-identical
+    def dc_one(zz_block, comp_id, dc_tab):
+        if ah == 0:
+            t = dc_tab.decode(rd)
+            if t > 11:
+                raise ValueError("JPEG: DC category out of range")
+            preds[comp_id] += _jpeg_extend(rd.receive(t), t)
+            zz_block[0] = preds[comp_id] << al
+        else:
+            if rd.bit():
+                zz_block[0] |= 1 << al
+
     for mcu in range(nmcu):
         if ri and mcu and mcu % ri == 0:
             seg_idx += 1
@@ -884,17 +898,6 @@ def _jpeg_decode_scan_prog(scan, segs, ri, frame, coeffs,
             rd = _JpegBits(segs[seg_idx])
             preds = {k_: 0 for k_ in preds}
             eobrun = 0
-
-        def dc_one(zz_block, comp_id, dc_tab):
-            if ah == 0:
-                t = dc_tab.decode(rd)
-                if t > 11:
-                    raise ValueError("JPEG: DC category out of range")
-                preds[comp_id] += _jpeg_extend(rd.receive(t), t)
-                zz_block[0] = preds[comp_id] << al
-            else:
-                if rd.bit():
-                    zz_block[0] |= 1 << al
 
         if len(scan) > 1:                    # interleaved DC scan
             my, mx = divmod(mcu, mcux)
@@ -960,7 +963,7 @@ def _jpeg_reconstruct(frame, coeffs, qt, hmax, vmax) -> np.ndarray:
 # ---------------------------------------------------------- dispatch
 
 def decode_pixels(p: bytes) -> np.ndarray:
-    """Payload bytes → uint8 (h, w, c) for PNG/BMP/GIF/baseline JPEG.
+    """Payload bytes → uint8 (h, w, c) for PNG/BMP/GIF/JPEG.
 
     Raises ``NotImplementedError`` for JPEG modes beyond
     baseline/progressive (arithmetic/lossless/hierarchical — real

@@ -6,16 +6,18 @@ Arrow-batched ``mapInPandas`` stages so the JVM⇄Python boundary moves
 whole columns, not rows.
 
 Pixel/sample decode is REAL for the formats whose specs need nothing
-beyond the stdlib: PNG, BMP, GIF, baseline JPEG (pixels) and WAV PCM
-(samples) via :mod:`..functions.mediacodec` — pure
-``zlib``/``struct``/numpy, no media libraries. ``decode_stub=False``
+beyond the stdlib: PNG, BMP, GIF, JPEG (baseline sequential AND
+progressive Huffman, pixels) and WAV PCM (samples) via
+:mod:`..functions.mediacodec` — pure ``zlib``/``struct``/numpy, no
+media libraries. ``decode_stub=False``
 in :func:`extract_features` / :func:`resize` runs genuine
 decode→feature / decode→resample→re-encode; :func:`decode_media` is
 the scan-speed quarantine operator (per-row ``err`` instead of a job
 abort — at 100 TB a corrupt payload must not kill the stage). What
-stays honestly refused with ``NotImplementedError``: video containers
-and the non-baseline JPEG modes (progressive/arithmetic/lossless) —
-those need a codec library the container doesn't ship.
+stays honestly refused with ``NotImplementedError``: video
+codec-stream decode (MP4 box-walk METADATA is real) and the
+arithmetic/lossless/hierarchical/12-bit JPEG modes — those need a
+codec library the container doesn't ship.
 ``decode_stub=True`` keeps the deterministic digest-derived features
 for oracle-checkable plumbing tests.
 """

@@ -1069,12 +1069,25 @@ def _jprog_ac_raster(comp_idx, sampling, fh, fw):
     return -(-cw // 8), -(-ch // 8)
 
 
-def _emit_dc_first(grids, sampling, mcux, mcuy, al, dc_codes, fh, fw):
+def _jrst(w, cnt):
+    """Close the current entropy segment: byte-align, then emit the
+    RSTn marker (markers go in raw, bypassing byte stuffing)."""
+    w.align()
+    w.out += bytes([0xFF, 0xD0 + (cnt & 7)])
+
+
+def _emit_dc_first(grids, sampling, mcux, mcuy, al, dc_codes, fh, fw,
+                   restart=0):
     w = _JBitWriter()
     nc = len(grids)
     preds = [0] * nc
+    nrst = 0
     if nc > 1:
         for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                _jrst(w, nrst)
+                nrst += 1
+                preds = [0] * nc
             my, mx = divmod(mcu, mcux)
             for ci in range(nc):
                 sh, sv = sampling[ci]
@@ -1089,24 +1102,32 @@ def _emit_dc_first(grids, sampling, mcux, mcuy, al, dc_codes, fh, fw):
                             _jput_coef(w, diff, s)
     else:
         bw_, bh_ = _jprog_ac_raster(0, sampling, fh, fw)
-        for by in range(bh_):
-            for bx in range(bw_):
-                dcv = grids[0][(by, bx)][0] >> al
-                diff = dcv - preds[0]
-                preds[0] = dcv
-                s = _jcat(diff)
-                w.put(*reversed(dc_codes[0][s]))
-                if s:
-                    _jput_coef(w, diff, s)
+        for mcu in range(bw_ * bh_):
+            if restart and mcu and mcu % restart == 0:
+                _jrst(w, nrst)
+                nrst += 1
+                preds = [0] * nc
+            by, bx = divmod(mcu, bw_)
+            dcv = grids[0][(by, bx)][0] >> al
+            diff = dcv - preds[0]
+            preds[0] = dcv
+            s = _jcat(diff)
+            w.put(*reversed(dc_codes[0][s]))
+            if s:
+                _jput_coef(w, diff, s)
     w.align()
     return bytes(w.out)
 
 
-def _emit_dc_refine(grids, sampling, mcux, mcuy, al, fh, fw):
+def _emit_dc_refine(grids, sampling, mcux, mcuy, al, fh, fw, restart=0):
     w = _JBitWriter()
     nc = len(grids)
+    nrst = 0
     if nc > 1:
         for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                _jrst(w, nrst)
+                nrst += 1
             my, mx = divmod(mcu, mcux)
             for ci in range(nc):
                 sh, sv = sampling[ci]
@@ -1116,16 +1137,20 @@ def _emit_dc_refine(grids, sampling, mcux, mcuy, al, fh, fw):
                                >> al) & 1, 1)
     else:
         bw_, bh_ = _jprog_ac_raster(0, sampling, fh, fw)
-        for by in range(bh_):
-            for bx in range(bw_):
-                w.put((grids[0][(by, bx)][0] >> al) & 1, 1)
+        for mcu in range(bw_ * bh_):
+            if restart and mcu and mcu % restart == 0:
+                _jrst(w, nrst)
+                nrst += 1
+            by, bx = divmod(mcu, bw_)
+            w.put((grids[0][(by, bx)][0] >> al) & 1, 1)
     w.align()
     return bytes(w.out)
 
 
-def _emit_ac_first(grid, bw_, bh_, ss, se, al, ac_codes):
+def _emit_ac_first(grid, bw_, bh_, ss, se, al, ac_codes, restart=0):
     w = _JBitWriter()
     eob = 0
+    nrst = 0
 
     def flush_eob():
         nonlocal eob
@@ -1136,43 +1161,48 @@ def _emit_ac_first(grid, bw_, bh_, ss, se, al, ac_codes):
                 w.put(eob - (1 << r), r)
             eob = 0
 
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = grid[(by, bx)]
-            vals = [(abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1)
-                    for k in range(ss, se + 1)]
-            nz = [i for i, v in enumerate(vals) if v]
-            if not nz:
-                eob += 1
+    for mcu in range(bw_ * bh_):
+        if restart and mcu and mcu % restart == 0:
+            flush_eob()           # EOB runs must not cross a restart
+            _jrst(w, nrst)
+            nrst += 1
+        by, bx = divmod(mcu, bw_)
+        zz = grid[(by, bx)]
+        vals = [(abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1)
+                for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eob += 1
+            continue
+        flush_eob()
+        run = 0
+        for idx in range(nz[-1] + 1):
+            v = vals[idx]
+            if v == 0:
+                run += 1
                 continue
-            flush_eob()
+            while run > 15:
+                w.put(*reversed(ac_codes[0xF0]))
+                run -= 16
+            s = _jcat(v)
+            w.put(*reversed(ac_codes[(run << 4) | s]))
+            _jput_coef(w, v, s)
             run = 0
-            for idx in range(nz[-1] + 1):
-                v = vals[idx]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.put(*reversed(ac_codes[0xF0]))
-                    run -= 16
-                s = _jcat(v)
-                w.put(*reversed(ac_codes[(run << 4) | s]))
-                _jput_coef(w, v, s)
-                run = 0
-            if nz[-1] < len(vals) - 1:
-                eob += 1
+        if nz[-1] < len(vals) - 1:
+            eob += 1
     flush_eob()
     w.align()
     return bytes(w.out)
 
 
-def _emit_ac_refine(grid, bw_, bh_, ss, se, al, ac_codes):
+def _emit_ac_refine(grid, bw_, bh_, ss, se, al, ac_codes, restart=0):
     """libjpeg encode_mcu_AC_refine structure: correction bits for
     already-nonzero coefficients buffer and flush after each emitted
     symbol; trailing runs fold into EOBn with their bits pending."""
     w = _JBitWriter()
     eob = 0
     pending = []
+    nrst = 0
 
     def flush_eob():
         nonlocal eob, pending
@@ -1186,49 +1216,57 @@ def _emit_ac_refine(grid, bw_, bh_, ss, se, al, ac_codes):
             w.put(b, 1)
         pending = []
 
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = grid[(by, bx)]
-            absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
-            eobpos = max((i for i, t in enumerate(absv) if t == 1),
-                         default=-1)
-            r, br = 0, []
-            for idx in range(len(absv)):
-                t = absv[idx]
-                if t == 0:
-                    r += 1
-                    continue
-                while r > 15 and idx <= eobpos:
-                    flush_eob()
-                    w.put(*reversed(ac_codes[0xF0]))
-                    r -= 16
-                    for b in br:
-                        w.put(b, 1)
-                    br = []
-                if t > 1:
-                    br.append(t & 1)
-                    continue
+    for mcu in range(bw_ * bh_):
+        if restart and mcu and mcu % restart == 0:
+            flush_eob()   # EOB run + its correction bits stay in-seg
+            _jrst(w, nrst)
+            nrst += 1
+        by, bx = divmod(mcu, bw_)
+        zz = grid[(by, bx)]
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eobpos = max((i for i, t in enumerate(absv) if t == 1),
+                     default=-1)
+        r, br = 0, []
+        for idx in range(len(absv)):
+            t = absv[idx]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eobpos:
                 flush_eob()
-                w.put(*reversed(ac_codes[(r << 4) | 1]))
-                w.put(1 if zz[idx + ss] > 0 else 0, 1)
+                w.put(*reversed(ac_codes[0xF0]))
+                r -= 16
                 for b in br:
                     w.put(b, 1)
                 br = []
-                r = 0
-            if r > 0 or br:
-                eob += 1
-                pending.extend(br)
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            w.put(*reversed(ac_codes[(r << 4) | 1]))
+            w.put(1 if zz[idx + ss] > 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eob += 1
+            pending.extend(br)
     flush_eob()
     w.align()
     return bytes(w.out)
 
 
-def build_progressive_jpeg(planes, sampling, qzz_tables, script):
+def build_progressive_jpeg(planes, sampling, qzz_tables, script,
+                           restart=0):
     """T.81 progressive file: DQT + SOF2 + DHTs + one SOS per script
     entry. Script entries: ('dc_first', al) / ('dc_refine', al) /
     ('ac_first', comp, ss, se, al) / ('ac_refine', comp, ss, se, al).
     Component 0 uses the Annex-K luminance Huffman tables, others
-    chrominance (table ids 0/1)."""
+    chrominance (table ids 0/1). ``restart`` emits a DRI segment and
+    splits EVERY scan's entropy data with RSTn markers each
+    ``restart`` MCUs (DC predictors, EOB runs and pending correction
+    bits never cross a boundary)."""
     nc = len(planes)
     fh, fw = planes[0].shape
     grids, mcux, mcuy = _jprog_coef_grids(planes, sampling, qzz_tables,
@@ -1252,19 +1290,21 @@ def build_progressive_jpeg(planes, sampling, qzz_tables, script):
         out += bytes([0xFF, 0xC4]) \
             + (2 + 1 + 16 + len(sym)).to_bytes(2, "big") \
             + bytes([(cls << 4) | tid]) + bytes(cnt) + bytes(sym)
+    if restart:
+        out += bytes([0xFF, 0xDD, 0x00, 0x04]) + restart.to_bytes(2, "big")
     for entry in script:
         kind = entry[0]
         if kind == "dc_first":
             al = entry[1]
             ent = _emit_dc_first(grids, sampling, mcux, mcuy, al,
-                                 dc_codes, fh, fw)
+                                 dc_codes, fh, fw, restart=restart)
             hdr = bytes([nc]) + b"".join(
                 bytes([c + 1, ((0 if c == 0 else 1) << 4)])
                 for c in range(nc)) + bytes([0, 0, al])
         elif kind == "dc_refine":
             al = entry[1]
             ent = _emit_dc_refine(grids, sampling, mcux, mcuy, al,
-                                  fh, fw)
+                                  fh, fw, restart=restart)
             hdr = bytes([nc]) + b"".join(
                 bytes([c + 1, 0]) for c in range(nc)) \
                 + bytes([0, 0, ((al + 1) << 4) | al])
@@ -1274,11 +1314,11 @@ def build_progressive_jpeg(planes, sampling, qzz_tables, script):
             tid = 0 if ci == 0 else 1
             if kind == "ac_first":
                 ent = _emit_ac_first(grids[ci], bw_, bh_, ss, se, al,
-                                     ac_codes[ci])
+                                     ac_codes[ci], restart=restart)
                 ah = 0
             else:
                 ent = _emit_ac_refine(grids[ci], bw_, bh_, ss, se, al,
-                                      ac_codes[ci])
+                                      ac_codes[ci], restart=restart)
                 ah = al + 1
             hdr = bytes([1, ci + 1, tid]) + bytes([ss, se, (ah << 4) | al])
         out += bytes([0xFF, 0xDA]) + (2 + len(hdr)).to_bytes(2, "big") \
@@ -1359,6 +1399,63 @@ def test_jpeg_progressive_stress_eobruns():
              ("ac_first", 0, 3, 63, 1),
              ("ac_refine", 0, 3, 63, 0)]))
         assert np.array_equal(base, prog), trial
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI + RSTn inside progressive scans: the decoder must advance
+    to the next entropy segment and reset DC predictors AND the EOB
+    run at every boundary (the restart behavior unique to
+    progressive). Flat blocks force multi-block EOBn runs that are
+    flushed at each boundary, so segments genuinely carry EOBn codes;
+    DC predictor resets are differential (a decoder that kept preds
+    across a boundary would diverge from the baseline pixels)."""
+    base_img = RNG.integers(0, 256, (3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(base_img, 8, 0), 8, 1)  # 24×32, flat
+    noise = RNG.integers(-5, 6, img.shape)
+    img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+    q = np.full(64, 10, int)
+    base = MC.jpeg_decode(build_jpeg([img], [(1, 1)], [q]))
+    script = [("dc_first", 1), ("dc_refine", 0),
+              ("ac_first", 0, 1, 5, 1), ("ac_refine", 0, 1, 5, 0),
+              ("ac_first", 0, 6, 63, 0)]
+    for ri in (1, 2, 3, 5):
+        p = build_progressive_jpeg([img], [(1, 1)], [q], script,
+                                   restart=ri)
+        assert p.count(b"\xff\xd0") + p.count(b"\xff\xd1") > 0, ri
+        assert np.array_equal(base, MC.jpeg_decode(p)), ri
+
+
+def test_jpeg_progressive_restart_color_interleaved():
+    """Restarts inside an interleaved progressive DC scan reset ALL
+    components' predictors; per-component AC scans restart on their
+    own (component-raster) MCU grid."""
+    y = RNG.integers(0, 256, (16, 32), dtype=np.uint8)
+    cb = RNG.integers(0, 256, (8, 16), dtype=np.uint8)
+    cr = RNG.integers(0, 256, (8, 16), dtype=np.uint8)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    qs = [np.ones(64, int)] * 3
+    base = MC.jpeg_decode(build_jpeg([y, cb, cr], sampling, qs))
+    script = [("dc_first", 1), ("dc_refine", 0)]
+    for ci in range(3):
+        script += [("ac_first", ci, 1, 63, 1),
+                   ("ac_refine", ci, 1, 63, 0)]
+    prog = MC.jpeg_decode(build_progressive_jpeg(
+        [y, cb, cr], sampling, qs, script, restart=1))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_missing_restart_is_valueerror():
+    """A DRI interval whose RSTn markers never arrive must raise the
+    quarantine-friendly ValueError, not hang or IndexError."""
+    img = RNG.integers(0, 256, (16, 24), dtype=np.uint8)
+    p = build_progressive_jpeg(
+        [img], [(1, 1)], [np.ones(64, int)],
+        [("dc_first", 0), ("ac_first", 0, 1, 63, 0)])
+    # declare restart=2 without emitting any RST markers
+    i = p.index(b"\xff\xda")
+    patched = p[:i] + bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x02]) + p[i:]
+    with pytest.raises(ValueError):
+        MC.jpeg_decode(patched)
 
 
 def test_jpeg_progressive_decode_media_and_refusals(spark):
