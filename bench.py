@@ -309,6 +309,46 @@ def bench_bpe_segment(spark, sf_dir):
     return B.bpe_segment(docs, merges)
 
 
+def bench_image_near_dup(spark, sf_dir):
+    """Perceptual image near-dup end to end: plant a COMPLETE valid
+    9×2 grayscale PNG per document (18 doc-dependent grays → 16
+    meaningful dHash bits, so fingerprints are diverse and pair
+    output stays birthday-bound, ~n²/2¹⁶), run the REAL
+    decode→luminance→resize→dHash mapInPandas, then the banded
+    Hamming self-join (`dedup.hamming_pairs`). A 1-row aggregate over
+    the pair columns forces the join output."""
+    from remote_storage_adapter_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    # hash-derived grays (NOT linear in doc_id — a linear recipe mod
+    # 256 makes every doc_id residue class the identical image and
+    # the pair output quadratic in n/256)
+    g = [F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(256))
+         for i in range(18)]
+    # adler32 of the 20 raw bytes [0 g0..g8 0 g9..g17] — closed form;
+    # s1 ≤ 4591 and s2 ≤ 45920, both < 65521 so no modulus
+    s1 = sum(g, F.lit(1))
+    s2 = sum((g[i] * (19 - i) for i in range(9)), F.lit(20)) \
+        + sum(g[9 + i] * (9 - i) for i in range(9))
+    be = lambda c, n: F.unhex(F.lpad(F.hex(c), n, "0"))  # noqa: E731
+    payload = F.concat(
+        F.lit(bytes.fromhex(
+            "89504E470D0A1A0A" "0000000D49484452"
+            "0000000900000002" "0800000000" "00000000"
+            "0000001F49444154" "7801" "011400EBFF" "00")),
+        *[be(c, 2) for c in g[:9]],
+        F.lit(b"\x00"),
+        *[be(c, 2) for c in g[9:]],
+        be(s2 * 65536 + s1, 8),
+        F.lit(bytes.fromhex("00000000" "0000000049454E44" "00000000")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.image_near_dup_pairs(media, max_hamming=3).agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum("hamming").alias("hamming_sum"))
+
+
 BENCH_QUERIES = {
     "read_downsample_q75": Q.q_read_downsample_q75,
     "read_downsample_auto_step": Q.q_read_downsample_auto_step,
@@ -364,6 +404,7 @@ BENCH_QUERIES = {
     "sample_dsir": bench_sample_dsir,
     "bpe_segment": bench_bpe_segment,
     "text_passage_dedup": bench_text_passage_dedup,
+    "image_near_dup": bench_image_near_dup,
 }
 
 
@@ -448,7 +489,8 @@ def main():
                   # new r8 Python-worker rows start on the trimmed
                   # methodology from rep one
                   "multimodal_jpeg": max(reps, 5),
-                  "bpe_segment": max(reps, 5)}
+                  "bpe_segment": max(reps, 5),
+                  "image_near_dup": max(reps, 5)}
     # r7 verdict #7 (contention insurance): the r6 incident showed
     # machine noise lands on whichever rows run LATE — a fixed order
     # lets contamination systematically bias the same rows' series.

@@ -1346,12 +1346,30 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     on ≥1 chunk, so the chunk value is the block/join key. Distance is
     then verified with ``bit_count(a XOR b)``.
     """
+    fp = simhash_fingerprints(
+        docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode)
+    return hamming_pairs(fp, max_hamming=max_hamming)
+
+
+def hamming_pairs(fps: DataFrame, *, max_hamming: int = 3,
+                  id_col: str = "id",
+                  fp_col: str = "fp") -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED 64-bit fingerprints: every
+    (id_a < id_b) pair with Hamming distance ≤ ``max_hamming``, with
+    the distance. The fingerprint-agnostic core of
+    :func:`simhash_pairs` — any 64-bit locality hash rides the same
+    pigeonhole banding (text SimHash, image dHash/pHash from
+    :mod:`.multimodal`, …).
+
+    Scale shape: one exchange on (chunk, key) for the self-join; each
+    pair is emitted from its lowest agreeing chunk only, so the final
+    dedup shuffles verified pairs, not candidates.
+    """
     # persist: fingerprints feed banding AND the verify join within
     # one action; same long-lived-session contract as
     # minhash_lsh_pairs (clearCache/unpersist after the action).
-    fp = _pin(simhash_fingerprints(
-        docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode
-    ))
+    fp = _pin(fps.select(F.col(id_col).alias("id"),
+                         F.col(fp_col).alias("fp")))
     # shared banding with the materialized index (_simhash_banded) so
     # the probe==pairs equality contract can't drift; ck is unused here
     banded = _simhash_banded(fp, max_hamming, 1) \

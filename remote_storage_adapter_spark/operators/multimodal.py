@@ -299,7 +299,7 @@ def extract_features(media: DataFrame, *, dim: int = 16,
 
     Partition-preserving before the explicit id-repartition; each
     Python worker sees whole Arrow batches. ``decode_stub=False`` runs
-    the REAL decoder (:func:`_real_feature`: PNG/BMP/GIF/baseline-JPEG
+    the REAL decoder (:func:`_real_feature`: PNG/BMP/GIF/JPEG
     pixel luminance or WAV amplitude histogram) and raises on payloads
     no stdlib codec covers (video/unknown) — quarantine those with
     :func:`decode_media` first. ``decode_stub=True`` keeps the
@@ -347,7 +347,7 @@ def resize(media: DataFrame, *, width: int, height: int,
     """Image resize stage via Arrow-batched mapInPandas.
 
     ``decode_stub=False`` is REAL: :func:`_resize_real` decodes
-    PNG/BMP/GIF/baseline-JPEG pixels, nearest-neighbor-resamples, and
+    PNG/BMP/GIF/JPEG pixels, nearest-neighbor-resamples, and
     re-encodes as PNG (``meta.format`` becomes ``'png'``); it raises
     on payloads the stdlib codecs don't cover — quarantine with
     :func:`decode_media` first. Stub: deterministic payload reshaping (truncate/cycle to the
@@ -430,12 +430,13 @@ def _decode_one(p: bytes):
 def decode_media(media: DataFrame, *, id_col: str = "media_id",
                  payload_col: str = "payload") -> DataFrame:
     """REAL pixel/sample decode of every payload via Arrow-batched
-    ``mapInPandas`` — stdlib codecs only (PNG/BMP/GIF/baseline-JPEG
+    ``mapInPandas`` — stdlib codecs only (PNG/BMP/GIF/JPEG
     pixels, WAV PCM samples; see :mod:`..functions.mediacodec`).
     Per-row ``err`` quarantines undecodable payloads (video,
-    progressive JPEG, corrupt bytes) instead of failing the job. Partition-preserving, no
-    shuffle; decoded arrays never leave the worker — only bounded
-    per-payload statistics cross back to the JVM."""
+    arithmetic/lossless JPEG, corrupt bytes) instead of failing the
+    job. Partition-preserving, no shuffle; decoded arrays never leave
+    the worker — only bounded per-payload statistics cross back to
+    the JVM."""
 
     cols = ["kind", "height", "width", "channels", "px_mean", "px_std",
             "sample_rate", "n_samples", "rms", "err"]
@@ -452,6 +453,140 @@ def decode_media(media: DataFrame, *, id_col: str = "media_id",
     return media.select(
         F.col(id_col).alias(id_col), F.col(payload_col)
     ).mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+# ------------------------------------------------- perceptual hashes
+
+#: output of :func:`image_hash` — one 64-bit fingerprint per image.
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def _nn_index(src: int, dst: int) -> np.ndarray:
+    """Nearest-neighbor source indices (the floor convention shared
+    with :func:`..functions.mediacodec.resize` and the planted-PNG
+    oracles: ``src_i = floor(i * src / dst)``)."""
+    return (np.arange(dst) * src) // dst
+
+
+def _gray_f64(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 → float64 luminance — channel mean, the same
+    convention as :func:`_real_feature`'s histogram."""
+    return px.astype(np.float64).mean(axis=2)
+
+
+def _pack64(bits: np.ndarray) -> int:
+    """64 bools (element p → bit p) → two's-complement int64, so the
+    packed value lands in Spark's LongType and a SQL oracle can
+    rebuild it as a plain integer sum of powers of two."""
+    v = 0
+    for p, b in enumerate(bits.reshape(-1)[:64]):
+        if b:
+            v |= 1 << p
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dhash_one(p: bytes) -> int:
+    """Difference hash: gray → NN-resize to 9×8 → bit (y·8+x) set iff
+    px[y,x] > px[y,x+1]. Invariant to uniform brightness shifts and
+    any monotone per-pixel tone map; robust to re-encoding/resizing."""
+    g = _gray_f64(MC.decode_pixels(p))
+    h, w = g.shape
+    rs = g[_nn_index(h, 8)][:, _nn_index(w, 9)]
+    return _pack64(rs[:, :8] > rs[:, 1:])
+
+
+_PHASH_DCT = None
+
+
+def _phash_dct_mat() -> np.ndarray:
+    """Orthonormal 32×32 DCT-II matrix (built lazily once per worker)."""
+    global _PHASH_DCT
+    if _PHASH_DCT is None:
+        x = np.arange(32)
+        u = x.reshape(-1, 1)
+        m = np.sqrt(2.0 / 32.0) * np.cos((2 * x + 1) * u * np.pi / 64.0)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _PHASH_DCT = m
+    return _PHASH_DCT
+
+
+def _phash_one(p: bytes) -> int:
+    """Perceptual (DCT) hash, the public imagehash convention: gray →
+    NN-resize to 32×32 → 2-D DCT-II → top-left 8×8 coefficients → bit
+    p set iff coefficient p > median of the 64. Invariant to contrast
+    scaling (all coefficients and their median scale together); the
+    low-frequency crop makes it robust to blur/noise/small edits."""
+    g = _gray_f64(MC.decode_pixels(p))
+    h, w = g.shape
+    rs = g[_nn_index(h, 32)][:, _nn_index(w, 32)]
+    c = _phash_dct_mat()
+    low = (c @ rs @ c.T)[:8, :8].reshape(-1)
+    return _pack64(low > np.median(low))
+
+
+def image_hash(media: DataFrame, *, algo: str = "dhash",
+               id_col: str = "media_id",
+               payload_col: str = "payload") -> DataFrame:
+    """64-bit perceptual fingerprint per image payload
+    (:data:`IMAGE_HASH_SCHEMA`): ``dhash`` (gradient sign grid) or
+    ``phash`` (DCT low-frequency median hash). Real pixel decode via
+    :func:`..functions.mediacodec.decode_pixels`; non-image or corrupt
+    payloads quarantine per-row in ``err`` exactly like
+    :func:`decode_media`.
+
+    Scale shape: Arrow-batched ``mapInPandas``, partition-preserving,
+    no shuffle; decoded pixels never leave the worker — 8 bytes of
+    fingerprint per image cross back to the JVM, so the downstream
+    near-dup join shuffles fingerprints, not images."""
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"unknown image hash algo {algo!r} "
+                         "(want 'dhash' or 'phash')")
+    one = _dhash_one if algo == "dhash" else _phash_one
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                try:
+                    rows.append((one(bytes(p)), None))
+                except Exception as e:  # noqa: BLE001 — quarantine is
+                    # the contract (same argument as _decode_one)
+                    rows.append((None, f"{type(e).__name__}: {e}"))
+            out = pd.DataFrame(rows, columns=["fp", "err"])
+            out.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield out
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=IMAGE_HASH_SCHEMA)
+
+
+def image_near_dup_pairs(media: DataFrame, *, max_hamming: int = 3,
+                         algo: str = "dhash",
+                         id_col: str = "media_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash + banded Hamming
+    join — the multimodal twin of text SimHash dedup. Quarantined
+    (undecodable) payloads are excluded from pairing; recover them
+    with ``image_hash(...).filter("err is not null")``.
+
+    Reuses :func:`..operators.dedup.hamming_pairs`, so the join is the
+    index-compatible pigeonhole banding: one exchange on (chunk, key)
+    over 8-byte fingerprints, lowest-agreeing-chunk emit, distance
+    verified with ``bit_count`` — a 100 TB image corpus shuffles
+    64 bits per image, never pixels."""
+    from .dedup import hamming_pairs
+
+    fps = image_hash(media, algo=algo, id_col=id_col,
+                     payload_col=payload_col).filter(F.col("err").isNull())
+    return hamming_pairs(fps, max_hamming=max_hamming,
+                         id_col="media_id", fp_col="fp")
 
 
 #: output of the REAL :func:`frame_sample` path — sampled frame bytes.

@@ -3952,6 +3952,61 @@ FROM documents
 """
 
 
+def q_multimodal_dhash(spark, sf_dir):
+    """REAL perceptual image hashing, oracle-gated (oracled orphan):
+    plant a COMPLETE valid 4×1 grayscale PNG per document — deflate
+    *stored* block, filter 0 (None) scanline [0, g0, g1, g2, g3],
+    adler32 closed-form (s1 = 1+Σg, s2 = 5+4g0+3g1+2g2+g3, both
+    < 65536 so no modulus) — then recover the planted 64-bit dHash
+    through ``image_hash``'s genuine zlib-inflate → luminance →
+    9×8 NN-resize → gradient-sign pipeline
+    (`operators/multimodal._dhash_one`).
+
+    The oracle knows the hash analytically: NN column indices
+    floor(x·4/9) give the resized row [g0 g0 g0 g1 g1 g2 g2 g3 g3],
+    so only the x∈{2,4,6} comparisons (g0>g1, g1>g2, g2>g3) can set
+    bits, identically in all 8 rows — fp = (4·[g0>g1] + 16·[g1>g2]
+    + 64·[g2>g3]) · 0x0101010101010101. A decoder, resize-convention,
+    bit-order, or packing bug all flip the value. Grays: g0 = doc_id
+    % 256, g1 = (7·doc_id+13) % 256, g2 = (11·doc_id+29) % 256,
+    g3 = (3·doc_id+5) % 256 (the frame-oracle constants)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    g0 = F.col("doc_id") % 256
+    g1 = (F.col("doc_id") * 7 + 13) % 256
+    g2 = (F.col("doc_id") * 11 + 29) % 256
+    g3 = (F.col("doc_id") * 3 + 5) % 256
+    adler = (g0 * 4 + g1 * 3 + g2 * 2 + g3 + 5) * 65536 \
+        + (g0 + g1 + g2 + g3 + 1)
+    payload = F.concat(
+        # signature + IHDR(w=4,h=1,depth 8,gray) + zero CRC
+        F.lit(bytes.fromhex(
+            "89504E470D0A1A0A" "0000000D49484452"
+            "0000000400000001" "0800000000" "00000000")),
+        # IDAT(len 16): zlib hdr, stored block (LEN=5), filter None
+        F.lit(bytes.fromhex("0000001049444154" "7801" "010500FAFF" "00")),
+        _be_bytes(g0, 2), _be_bytes(g1, 2), _be_bytes(g2, 2),
+        _be_bytes(g3, 2), _be_bytes(adler, 8),
+        # IDAT CRC (unchecked by the decoder) + IEND
+        F.lit(bytes.fromhex("00000000" "0000000049454E44" "00000000")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.image_hash(media, algo="dhash").select(
+        "media_id", F.col("fp").alias("dhash"))
+
+
+O_multimodal_dhash = """
+SELECT doc_id AS media_id,
+       (CASE WHEN doc_id % 256 > (doc_id * 7 + 13) % 256
+             THEN 4 ELSE 0 END
+        + CASE WHEN (doc_id * 7 + 13) % 256 > (doc_id * 11 + 29) % 256
+               THEN 16 ELSE 0 END
+        + CASE WHEN (doc_id * 11 + 29) % 256 > (doc_id * 3 + 5) % 256
+               THEN 64 ELSE 0 END) * 72340172838076673 AS dhash
+FROM documents
+"""
+
+
 def q_multimodal_profile(spark, sf_dir):
     """Multimodal plumbing in one row: opaque-payload byte accounting,
     Arrow-batched stub feature extraction, the REAL PNG container

@@ -1580,3 +1580,100 @@ def test_lying_chunk_lengths_raise_valueerror_not_struct_error():
     # GIF truncated inside the 13-byte header+LSD
     with pytest.raises(ValueError, match="truncated"):
         MC.gif_decode(b"GIF89a" + b"\x10\x00")
+
+
+# ------------------------------------------- perceptual image hashes
+
+def test_image_dhash_gradient_goldens():
+    """Hand-computable dHash: a 9×8 image whose rows strictly DECREASE
+    left-to-right sets every comparison bit → fp is all-ones, i.e.
+    two's-complement -1 (locks the bit-63 sign handling); strictly
+    increasing rows set none → fp == 0."""
+    dec = np.tile(np.arange(9, 0, -1, dtype=np.uint8) * 20,
+                  (8, 1))  # 8×9: NN-resize to 9×8 is the identity
+    inc = dec[:, ::-1].copy()
+    assert MM._dhash_one(build_png(dec[..., None], [0] * 8, 0)) == -1
+    assert MM._dhash_one(build_png(inc[..., None], [0] * 8, 0)) == 0
+
+
+def test_image_dhash_brightness_shift_invariant():
+    """dHash compares adjacent pixels, so a uniform brightness shift
+    (no clipping) never changes it."""
+    img = (RNG.integers(0, 200, (16, 20), dtype=np.uint8))
+    shifted = (img + 55).astype(np.uint8)
+    a = MM._dhash_one(build_png(img[..., None], [0] * 16, 0))
+    b = MM._dhash_one(build_png(shifted[..., None], [0] * 16, 0))
+    assert a == b
+
+
+def test_image_phash_contrast_scale_invariant():
+    """pHash thresholds DCT coefficients against their own median, so
+    exact contrast scaling (×2 on a 0-127 image — lossless in uint8)
+    scales coefficients and median together and preserves every bit."""
+    img = RNG.integers(0, 128, (24, 24), dtype=np.uint8)
+    doubled = (img * 2).astype(np.uint8)
+    a = MM._phash_one(build_png(img[..., None], [0] * 24, 0))
+    b = MM._phash_one(build_png(doubled[..., None], [0] * 24, 0))
+    assert a == b
+
+
+def test_image_hash_quarantine_and_dispatch(spark):
+    """Non-image/corrupt payloads quarantine per-row (fp NULL + typed
+    err), valid ones hash; unknown algo is rejected eagerly."""
+    img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    good = build_png(img[..., None], [0] * 8, 0)
+    wav = build_wav(np.zeros((64, 1), dtype=np.int16), 8000)
+    rows = {r["media_id"]: r
+            for r in MM.image_hash(
+                _media_df(spark, [good, wav, b"\x00garbage"])).collect()}
+    assert rows[0]["err"] is None and rows[0]["fp"] is not None
+    assert rows[1]["fp"] is None and rows[1]["err"]
+    assert rows[2]["fp"] is None and rows[2]["err"]
+    with pytest.raises(ValueError, match="algo"):
+        MM.image_hash(_media_df(spark, [good]), algo="ahash")
+
+
+def test_image_near_dup_pairs_finds_planted_pair(spark):
+    """End-to-end image near-dup: a near-copy (one pixel nudged in a
+    flat region) pairs with its original within the Hamming radius;
+    an unrelated image and a corrupt payload do not."""
+    base = np.tile(
+        RNG.integers(0, 256, (4, 4), dtype=np.uint8), (4, 4))  # 16×16
+    near = base.copy()
+    near[0, 0] = min(254, near[0, 0]) + 1
+    other = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    payloads = [build_png(a[..., None], [0] * 16, 0)
+                for a in (base, near, other)] + [b"\xffnot-an-image"]
+    pairs = MM.image_near_dup_pairs(
+        _media_df(spark, payloads), max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["hamming"] <= 3
+
+
+def test_hamming_pairs_matches_brute_force(spark):
+    """The fingerprint-agnostic hamming_pairs core (shared by text
+    SimHash and image hashes) agrees with an exhaustive scan on random
+    64-bit fingerprints, including negative (bit-63) values."""
+    from remote_storage_adapter_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    fps = rng.integers(-(2 ** 63), 2 ** 63, 40, dtype=np.int64)
+
+    def sxor(a, m):          # signed-int64 XOR with a Python mask
+        v = (int(a) ^ m) & (2 ** 64 - 1)
+        return v - (1 << 64) if v >= 2 ** 63 else v
+
+    # plant a few close pairs so the radius genuinely fires
+    fps[1] = sxor(fps[0], 0b101)      # distance 2
+    fps[3] = sxor(fps[2], 1 << 63)    # distance 1 across the sign bit
+    fps[5] = fps[4]                   # distance 0
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(fps)], "id long, fp long")
+    got = sorted((r["id_a"], r["id_b"], r["hamming"])
+                 for r in hamming_pairs(df, max_hamming=3).collect())
+    exp = sorted(
+        (a, b, int(bin((int(fps[a]) ^ int(fps[b])) & (2**64 - 1))
+                   .count("1")))
+        for a in range(len(fps)) for b in range(a + 1, len(fps))
+        if bin((int(fps[a]) ^ int(fps[b])) & (2**64 - 1)).count("1") <= 3)
+    assert got == exp

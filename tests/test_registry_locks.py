@@ -95,6 +95,7 @@ _ORACLED_ORPHANS = [
     "multimodal_mp4",
     "sample_dsir",
     "text_passage_dedup",
+    "multimodal_dhash",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
