@@ -455,6 +455,96 @@ def decode_media(media: DataFrame, *, id_col: str = "media_id",
     ).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+# --------------------------------------------------- audio analysis
+
+#: output of :func:`audio_features` — spectral/temporal descriptors.
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sr", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("centroid_hz", T.DoubleType(), True),
+        T.StructField("rolloff_hz", T.DoubleType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def _audio_features_one(p: bytes):
+    """One WAV payload → (sr, n, duration_ms, rms, zcr, centroid,
+    rolloff). Mono mix (channel mean), whole-clip rfft power spectrum:
+
+    - ``rms``: root-mean-square amplitude.
+    - ``zcr``: fraction of adjacent sample pairs whose sign flips,
+      with sign(0) counted positive (a strict product<0 rule misses
+      tones whose crossings land exactly on zero samples, e.g. 1 kHz
+      at 8 kHz) — 1.0 for a Nyquist square wave, ≈2·f/sr for a tone
+      at f; None when n < 2.
+    - ``centroid_hz``: power-weighted mean frequency Σf·P/ΣP.
+    - ``rolloff_hz``: smallest bin frequency whose cumulative power
+      reaches 85% of the total.
+    - centroid/rolloff are None for silence (zero total power).
+
+    All doubles round to 9 dp (exact-dyadic planted values have ≤7
+    decimals, so 9 dp never hits a cross-engine rounding tie)."""
+    samples, sr = MC.wav_decode(p)
+    x = samples.astype(np.float64).mean(axis=1)
+    n = int(x.size)
+    dur_ms = n * 1000 // sr if sr else None
+    rms = round(float(np.sqrt(np.mean(x * x))), 9) if n else None
+    neg = x < 0
+    zcr = (round(float(np.mean(neg[1:] != neg[:-1])), 9)
+           if n >= 2 else None)
+    centroid = rolloff = None
+    if n:
+        power = np.abs(np.fft.rfft(x)) ** 2
+        total = float(power.sum())
+        if total > 0.0:
+            freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+            centroid = round(float((freqs * power).sum() / total), 9)
+            cum = np.cumsum(power)
+            rolloff = round(
+                float(freqs[int(np.searchsorted(
+                    cum, 0.85 * total))]), 9)
+    return (int(sr), n, dur_ms, rms, zcr, centroid, rolloff)
+
+
+def audio_features(media: DataFrame, *, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Spectral/temporal audio descriptors per WAV payload
+    (:data:`AUDIO_FEATURE_SCHEMA`) — the audio twin of the image
+    decode stats: REAL PCM decode (:func:`..functions.mediacodec
+    .wav_decode`) then numpy rfft, all worker-side. Non-WAV or
+    corrupt payloads quarantine per-row in ``err``.
+
+    Scale shape: Arrow-batched ``mapInPandas``, partition-preserving,
+    no shuffle; samples and spectra never leave the worker — seven
+    bounded descriptors per clip cross back to the JVM."""
+    cols = ["sr", "n_samples", "duration_ms", "rms", "zcr",
+            "centroid_hz", "rolloff_hz", "err"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                try:
+                    rows.append(_audio_features_one(bytes(p)) + (None,))
+                except Exception as e:  # noqa: BLE001 — quarantine is
+                    # the contract (same argument as _decode_one)
+                    rows.append((None,) * 7
+                                + (f"{type(e).__name__}: {e}",))
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield out
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 # ------------------------------------------------- perceptual hashes
 
 #: output of :func:`image_hash` — one 64-bit fingerprint per image.

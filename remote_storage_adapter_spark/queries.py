@@ -4007,6 +4007,55 @@ FROM documents
 """
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio spectral analysis, oracle-gated (oracled orphan):
+    plant a COMPLETE valid 8-bit PCM mono WAV per document — 16
+    samples alternating (128+a, 128−a) with a = doc_id % 127 + 1 at
+    8 kHz — and recover the descriptors through ``audio_features``'s
+    genuine PCM decode + rfft pipeline
+    (`operators/multimodal._audio_features_one`).
+
+    The planted signal is a PURE NYQUIST SQUARE WAVE x[n] =
+    ±a/128·(−1)ⁿ, so every output is closed-form and IEEE-exact:
+    rms = a/128 (dyadic, exact through float32 decode, float64
+    square, and correctly-rounded sqrt), zcr = 1.0 (every adjacent
+    pair flips sign), and the power spectrum is a single line at the
+    Nyquist bin → centroid_hz = rolloff_hz = sr/2 = 4000 (FFT
+    cancellation residuals are ~1e-27 relative — killed by the 9 dp
+    round). A decode-offset, FFT-scaling, or bin-frequency bug all
+    flip a value."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    a = F.col("doc_id") % 127 + 1
+    pair = F.concat(_be_bytes(a + 128, 2), _be_bytes(128 - a, 2))
+    payload = F.concat(
+        # RIFF(52) WAVE fmt(16: PCM, mono, 8000 Hz, 8-bit) data(16)
+        F.lit(bytes.fromhex(
+            "52494646" "34000000" "57415645"
+            "666D7420" "10000000" "0100" "0100"
+            "401F0000" "401F0000" "0100" "0800"
+            "64617461" "10000000")),
+        *[pair] * 8,
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.audio_features(media).select(
+        "media_id", "sr", "n_samples", "duration_ms",
+        "rms", "zcr", "centroid_hz", "rolloff_hz")
+
+
+O_multimodal_audio = """
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sr,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(2 AS BIGINT) AS duration_ms,
+       round((doc_id % 127 + 1) / 128.0, 9) AS rms,
+       CAST(1.0 AS DOUBLE) AS zcr,
+       CAST(4000 AS DOUBLE) AS centroid_hz,
+       CAST(4000 AS DOUBLE) AS rolloff_hz
+FROM documents
+"""
+
+
 def q_multimodal_profile(spark, sf_dir):
     """Multimodal plumbing in one row: opaque-payload byte accounting,
     Arrow-batched stub feature extraction, the REAL PNG container

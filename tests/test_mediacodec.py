@@ -1677,3 +1677,61 @@ def test_hamming_pairs_matches_brute_force(spark):
         for a in range(len(fps)) for b in range(a + 1, len(fps))
         if bin((int(fps[a]) ^ int(fps[b])) & (2**64 - 1)).count("1") <= 3)
     assert got == exp
+
+
+# ---------------------------------------------- audio spectral stats
+
+def test_audio_features_pure_tone():
+    """A 1 kHz sine at 8 kHz: centroid and rolloff land on the tone
+    bin, zcr ≈ 2·f/sr, rms ≈ A/√2."""
+    sr, f0, amp, n = 8000, 1000, 0.5, 8000
+    t = np.arange(n) / sr
+    pcm = np.round(np.sin(2 * np.pi * f0 * t) * amp * 32767) \
+        .astype(np.int16).reshape(-1, 1)
+    out = MM._audio_features_one(build_wav(pcm, sr))
+    got_sr, got_n, dur, rms, zcr, centroid, rolloff = out
+    assert (got_sr, got_n, dur) == (sr, n, 1000)
+    assert abs(rms - amp / np.sqrt(2)) < 1e-3
+    assert abs(zcr - 2 * f0 / sr) < 1e-3
+    assert abs(centroid - f0) < 2.0
+    assert abs(rolloff - f0) < 2.0
+
+
+def test_audio_features_nyquist_square_closed_form():
+    """The planted-oracle signal: alternating ±a/128 is a pure
+    Nyquist line — rms exact-dyadic, zcr exactly 1, centroid and
+    rolloff exactly sr/2."""
+    a = 53
+    data = bytes([128 + a, 128 - a] * 8)
+    wav = (b"RIFF" + (36 + 16).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+           + b"data" + (16).to_bytes(4, "little") + data)
+    out = MM._audio_features_one(wav)
+    assert out == (8000, 16, 2, a / 128, 1.0, 4000.0, 4000.0)
+
+
+def test_audio_features_dc_and_silence():
+    """DC: zero crossings, all power at f=0 → centroid 0. Silence:
+    zero total power → centroid/rolloff None, rms 0."""
+    dc = np.full((64, 1), 1000, dtype=np.int16)
+    sr_, n_, _d, rms, zcr, centroid, rolloff = \
+        MM._audio_features_one(build_wav(dc, 8000))
+    assert zcr == 0.0 and centroid == 0.0 and rolloff == 0.0
+    silent = np.zeros((64, 1), dtype=np.int16)
+    _sr, _n, _d, rms, zcr, centroid, rolloff = \
+        MM._audio_features_one(build_wav(silent, 8000))
+    assert rms == 0.0 and zcr == 0.0
+    assert centroid is None and rolloff is None
+
+
+def test_audio_features_quarantine(spark):
+    """Images and corrupt bytes land in err; WAVs produce rows."""
+    wav = build_wav(np.zeros((8, 1), dtype=np.int16), 8000)
+    png = build_png(np.zeros((2, 2, 1), dtype=np.uint8), [0, 0], 0)
+    rows = {r["media_id"]: r
+            for r in MM.audio_features(
+                _media_df(spark, [wav, png, b"RIFFxxxx"])).collect()}
+    assert rows[0]["err"] is None and rows[0]["sr"] == 8000
+    assert rows[1]["err"] and rows[1]["sr"] is None
+    assert rows[2]["err"]
