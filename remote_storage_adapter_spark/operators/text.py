@@ -59,6 +59,71 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: control characters stripped by :func:`normalize_text` — C0 minus
+#: \t\n (kept as whitespace for the collapse step) plus DEL and C1.
+#: The class is written with explicit \x escapes so the DuckDB oracle
+#: can run the LITERAL same RE2 class.
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+#: ASCII whitespace run — deliberately NOT \s: Python re's \s matches
+#: Unicode whitespace while RE2's is ASCII-only, so the explicit
+#: class is the only cross-engine-identical spelling.
+_WS_CLASS = r"[ \t\n\r\f\v]+"
+
+
+def normalize_text(docs: DataFrame, *, form: str = "NFC",
+                   strip_control: bool = True,
+                   collapse_ws: bool = True,
+                   text_col: str = "text") -> DataFrame:
+    """Unicode text normalization — the curation preprocessing step
+    (CCNet-style) upstream of hashing/dedup, where é-as-two-codepoints
+    vs é-as-one silently splits exact-dup groups and token counts.
+
+    Pipeline per doc (each step mirrored verbatim by the DuckDB
+    oracle): ``unicodedata.normalize(form, ·)`` (NFC/NFD/NFKC/NFKD) →
+    strip control characters (:data:`_CTRL_CLASS`) → collapse ASCII
+    whitespace runs to one space (:data:`_WS_CLASS`). Adds
+    ``norm_text``, ``changed`` (did anything move), and ``delta_chars``
+    (code points removed — negative when decomposition grows the
+    text).
+
+    Scale shape: one Arrow-batched ``pandas_udf`` map — no shuffle, no
+    driver data; the JVM has no Unicode-normalization expression, so
+    this is one of the few contracts that genuinely needs Python
+    (same argument as the media codecs)."""
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    ctrl = re.compile(_CTRL_CLASS)
+    ws = re.compile(_WS_CLASS)
+
+    def _norm(s):
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            if strip_control:
+                t = ctrl.sub("", t)
+            if collapse_ws:
+                t = ws.sub(" ", t)
+            return t
+
+        return s.map(one)
+
+    norm = pandas_udf(_norm, "string")
+
+    return (
+        docs.withColumn("norm_text", norm(F.col(text_col)))
+        .withColumn("changed",
+                    ~F.col("norm_text").eqNullSafe(F.col(text_col)))
+        .withColumn("delta_chars",
+                    F.length(text_col) - F.length("norm_text"))
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: lengths, token stats, punct/stopword
     ratios, plus a single blended [0,1] quality score."""

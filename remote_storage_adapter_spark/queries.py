@@ -2084,6 +2084,47 @@ LEFT JOIN rstats r USING (doc_id) LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode text normalization, oracle-gated (oracled orphan):
+    every document gets a planted suffix holding a decomposed e+COMBINING
+    ACUTE, a decomposed A+COMBINING RING, two BEL control characters
+    and a double space, then runs `text.normalize_text` (NFC → strip
+    control class → collapse ASCII whitespace runs). The DuckDB twin
+    replays the identical pipeline with `nfc_normalize` + the LITERAL
+    same RE2 classes, and the full normalized text (doc-dependent
+    prefix included — the base text's own newlines/space runs collapse
+    too) is value-hashed, so the composition vs the only-suffix parts
+    can't drift. `changed` uses null-safe inequality; `delta_chars`
+    counts removed code points."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" e\u0301 A\u030A\x07\x07  b")).alias("text"))
+    return TX.normalize_text(planted, form="NFC").select(
+        "doc_id", "norm_text", "changed", "delta_chars")
+
+
+O_text_normalize = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' e' || chr(769) || ' A' || chr(778)
+              || chr(7) || chr(7) || '  b' AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(nfc_normalize(text),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+           '[ \t\n\r\f\v]+', ' ', 'g') AS norm_text
+  FROM planted
+)
+SELECT doc_id, norm_text,
+       (norm_text IS DISTINCT FROM text) AS changed,
+       CAST(length(text) - length(norm_text) AS INTEGER) AS delta_chars
+FROM norm
+"""
+
+
 def q_text_search_batch(spark, sf_dir):
     """Batched retrieval: every 250th document's first 5 tokens form
     a query; all queries run in ONE corpus scan (members must rank

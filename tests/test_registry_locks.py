@@ -97,6 +97,7 @@ _ORACLED_ORPHANS = [
     "text_passage_dedup",
     "multimodal_dhash",
     "multimodal_audio",
+    "text_normalize",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
