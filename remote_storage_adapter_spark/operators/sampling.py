@@ -142,6 +142,23 @@ def pack_shards(df: DataFrame, *, budget: int,
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    return (
+        _exclusive_prefix_sum(df, order_col=order_col,
+                              weight_col=weight_col,
+                              num_buckets=num_buckets)
+        .withColumn(out_col, F.expr(f"_cum div {int(budget)}"))
+        .drop("_cum")
+    )
+
+
+def _exclusive_prefix_sum(df: DataFrame, *, order_col: str,
+                          weight_col: str,
+                          num_buckets: int = 32) -> DataFrame:
+    """Distributed two-pass EXCLUSIVE prefix sum of ``weight_col`` in
+    ``order_col`` order, added as a ``_cum`` long column (caller
+    renames/drops). The shared core of :func:`pack_shards` and
+    :func:`pack_sequences` — see pack_shards' docstring for why this
+    is a bucketed two-pass plan and not one global window."""
     bounds = df.approxQuantile(
         order_col,
         [i / num_buckets for i in range(1, num_buckets)], 0.001,
@@ -173,10 +190,55 @@ def pack_shards(df: DataFrame, *, budget: int,
         - F.col(weight_col).cast("long")
         + off.cast("long")
     )
+    return d.withColumn("_cum", cum_excl).drop("_bkt")
+
+
+def pack_sequences(df: DataFrame, *, seq_len: int,
+                   order_col: str, weight_col: str,
+                   num_buckets: int = 32) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT/Pile training-data
+    layout): documents form one global token stream in ``order_col``
+    order, cut into fixed ``seq_len``-token sequences; a document may
+    span a cut. Returns the packing MANIFEST — one row per
+    (document × sequence it overlaps):
+
+    - ``seq_id``: the training sequence,
+    - ``doc_off``: first token of the slice within the document,
+    - ``seq_off``: where the slice starts inside the sequence,
+    - ``len``: slice length in tokens.
+
+    Per sequence, slices tile [0, seq_len) exactly (asserted in
+    tests); zero-token documents contribute no tokens and are absent
+    from the manifest. Deterministic and engine-replayable: the
+    global offset is the same integer two-pass prefix sum as
+    :func:`pack_shards`, and every slice column is pure long
+    arithmetic on it.
+
+    Scale shape: prefix sum = bucketed windows + a ``num_buckets``-row
+    driver fold; the explode emits at most ``weight/seq_len + 1`` rows
+    per document — output-proportional, no global sort anywhere."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    ln = int(seq_len)
+    w = F.col(weight_col).cast("long")
+    d = (
+        _exclusive_prefix_sum(df, order_col=order_col,
+                              weight_col=weight_col,
+                              num_buckets=num_buckets)
+        .withColumnRenamed("_cum", "_start")
+        .withColumn("_end", F.col("_start") + w)
+        .filter(w > 0)
+        .withColumn("seq_id", F.explode(F.sequence(
+            F.expr(f"_start div {ln}"), F.expr(f"(_end - 1) div {ln}"))))
+    )
+    cut = F.greatest(F.col("_start"), F.col("seq_id") * ln)
     return (
-        d.withColumn("_cum", cum_excl)
-        .withColumn(out_col, F.expr(f"_cum div {int(budget)}"))
-        .drop("_bkt", "_cum")
+        d.withColumn("doc_off", cut - F.col("_start"))
+        .withColumn("seq_off", cut - F.col("seq_id") * ln)
+        .withColumn("len",
+                    F.least(F.col("_end"), (F.col("seq_id") + 1) * ln)
+                    - cut)
+        .drop("_start", "_end")
     )
 
 

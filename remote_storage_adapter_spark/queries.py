@@ -3116,6 +3116,59 @@ FROM t
 """
 
 
+def q_text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (oracled orphan): the
+    documents stream, in doc_id order, is cut into 256-token training
+    sequences; the manifest row (doc × overlapped sequence) carries
+    the slice geometry (doc_off/seq_off/len). Same two-pass prefix
+    sum as `text_shard_pack`; the oracle replays it with one window
+    + generate_series, so the distributed bucketed plan is checked
+    against the textbook single-window formulation."""
+    from remote_storage_adapter_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tok"))
+    out = pack_sequences(d, seq_len=256, order_col="doc_id",
+                         weight_col="n_tok")
+    return out.select("doc_id", "n_tok", "seq_id",
+                      "doc_off", "seq_off", "len")
+
+
+O_text_pack_sequences = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS s
+  FROM t
+), spans AS (
+  -- DuckDB sum() over BIGINT widens to HUGEINT; pin back to BIGINT
+  SELECT doc_id, n_tok, CAST(s AS BIGINT) AS s,
+         CAST(s + n_tok AS BIGINT) AS e
+  FROM c WHERE n_tok > 0
+), ex AS (
+  SELECT doc_id, n_tok, s, e,
+         unnest(generate_series(s // 256, (e - 1) // 256)) AS seq_id
+  FROM spans
+)
+SELECT doc_id, n_tok, seq_id,
+       CAST(greatest(s, seq_id * 256) - s AS BIGINT) AS doc_off,
+       CAST(greatest(s, seq_id * 256) - seq_id * 256 AS BIGINT)
+         AS seq_off,
+       CAST(least(e, (seq_id + 1) * 256)
+            - greatest(s, seq_id * 256) AS BIGINT) AS len
+FROM ex
+"""
+
+
 def q_sample_quota_topk(spark, sf_dir):
     """Per-language retention quota: every language keeps its 20
     longest documents (integer token-count score, lowest-id

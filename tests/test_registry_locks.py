@@ -98,6 +98,7 @@ _ORACLED_ORPHANS = [
     "multimodal_dhash",
     "multimodal_audio",
     "text_normalize",
+    "text_pack_sequences",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
