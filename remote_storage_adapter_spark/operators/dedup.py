@@ -1335,6 +1335,20 @@ def simhash_fingerprints(docs: DataFrame, *, bits: int = 64,
         ).alias("fp"))
 
 
+def _simhash_fp_frame(docs: DataFrame, id_col: str, text_col: str,
+                      hash_mode: str, fp_col: str | None) -> DataFrame:
+    """(id, fp) frame for the Hamming-index family: sign text with
+    :func:`simhash_fingerprints`, or — when ``fp_col`` names a
+    PRECOMPUTED 64-bit fingerprint column (e.g. an image dHash/pHash
+    from :mod:`.multimodal`) — project it directly, so the whole
+    index/join/append family serves any 64-bit locality hash."""
+    if fp_col is not None:
+        return docs.select(F.col(id_col).alias("id"),
+                           F.col(fp_col).cast("long").alias("fp"))
+    return simhash_fingerprints(docs, id_col=id_col,
+                                text_col=text_col, hash_mode=hash_mode)
+
+
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
                   id_col: str = "doc_id",
                   text_col: str = "text",
@@ -1848,7 +1862,8 @@ def simhash_write_index(docs: DataFrame, table: str, *,
                         max_hamming: int = 3, buckets: int = 64,
                         table_buckets: int = 8, fanout: int = 1,
                         id_col: str = "doc_id", text_col: str = "text",
-                        hash_mode: str = "xx") -> None:
+                        hash_mode: str = "xx",
+                        fp_col: str | None = None) -> None:
     """Materialize the SimHash index: fingerprint and band the corpus
     ONCE into a catalog table — the sign-once contract the MinHash
     and ANN indexes already have, for the Hamming-radius family.
@@ -1873,8 +1888,7 @@ def simhash_write_index(docs: DataFrame, table: str, *,
     scan groups files by bucket id across partition dirs), so no
     path compactor is needed or applicable."""
     spark = docs.sparkSession
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
-                              hash_mode=hash_mode)
+    fp = _simhash_fp_frame(docs, id_col, text_col, hash_mode, fp_col)
     reset_managed_tables(spark, table, f"{table}_applied")
     _simhash_save(_simhash_banded(fp, max_hamming, buckets), table,
                   mode="overwrite", table_buckets=table_buckets,
@@ -1891,13 +1905,13 @@ def simhash_append(docs: DataFrame, table: str, *,
                    max_hamming: int = 3, buckets: int = 64,
                    table_buckets: int = 8, fanout: int = 1,
                    id_col: str = "doc_id", text_col: str = "text",
-                   hash_mode: str = "xx") -> None:
+                   hash_mode: str = "xx",
+                   fp_col: str | None = None) -> None:
     """Incrementally band new documents into a
     :func:`simhash_write_index` table (plain append — at-least-once;
     the exactly-once form is :func:`simhash_append_exactly_once`).
     Band parameters and ``table_buckets`` must match the build."""
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col,
-                              hash_mode=hash_mode)
+    fp = _simhash_fp_frame(docs, id_col, text_col, hash_mode, fp_col)
     _simhash_save(_simhash_banded(fp, max_hamming, buckets), table,
                   mode="append", table_buckets=table_buckets,
                   n_ck=(max_hamming + 1) * buckets, fanout=fanout)
@@ -1910,7 +1924,8 @@ def simhash_append_exactly_once(docs: DataFrame, table: str,
                                 fanout: int = 1,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
-                                hash_mode: str = "xx") -> bool:
+                                hash_mode: str = "xx",
+                                fp_col: str | None = None) -> bool:
     """:func:`simhash_append` under the catalog-ledger replay
     protocol (the :mod:`streaming.dedup` MinHash maintainer's
     pattern, single-table form): applied batch ids live in a
@@ -1948,12 +1963,14 @@ def simhash_append_exactly_once(docs: DataFrame, table: str,
                             buckets=buckets,
                             table_buckets=table_buckets,
                             fanout=fanout, id_col=id_col,
-                            text_col=text_col, hash_mode=hash_mode)
+                            text_col=text_col, hash_mode=hash_mode,
+                            fp_col=fp_col)
     else:
         simhash_append(docs, table, max_hamming=max_hamming,
                        buckets=buckets, table_buckets=table_buckets,
                        fanout=fanout, id_col=id_col,
-                       text_col=text_col, hash_mode=hash_mode)
+                       text_col=text_col, hash_mode=hash_mode,
+                       fp_col=fp_col)
     spark.createDataFrame([(int(batch_id),)], "batch_id long") \
         .write.mode("append").saveAsTable(ledger)
     return True
@@ -1963,7 +1980,8 @@ def simhash_join_indexed(spark, table: str, incoming: DataFrame, *,
                          max_hamming: int = 3, buckets: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
                          hash_mode: str = "xx",
-                         prune: bool = True) -> DataFrame:
+                         prune: bool = True,
+                         fp_col: str | None = None) -> DataFrame:
     """Hamming-radius join of an incoming batch against a
     materialized :func:`simhash_write_index` — the recurring at-scale
     operation: the reference corpus was fingerprinted once at
@@ -1979,9 +1997,8 @@ def simhash_join_indexed(spark, table: str, incoming: DataFrame, *,
     are dropped, so probing the index's own corpus reproduces
     :func:`simhash_pairs` under an id ordering (equality-locked in
     tests)."""
-    fpq = _pin(simhash_fingerprints(
-        incoming, id_col=id_col, text_col=text_col,
-        hash_mode=hash_mode))
+    fpq = _pin(_simhash_fp_frame(incoming, id_col, text_col,
+                                 hash_mode, fp_col))
     bq = _simhash_banded(fpq, max_hamming, buckets)
     idx = spark.table(table)
     if prune:

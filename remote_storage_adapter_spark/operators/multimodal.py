@@ -679,6 +679,58 @@ def image_near_dup_pairs(media: DataFrame, *, max_hamming: int = 3,
                          id_col="media_id", fp_col="fp")
 
 
+def _image_fp_frame(media: DataFrame, algo: str, id_col: str,
+                    payload_col: str) -> DataFrame:
+    """Hash + drop quarantined rows → the (media_id, fp) frame the
+    Hamming-index family consumes."""
+    return image_hash(media, algo=algo, id_col=id_col,
+                      payload_col=payload_col).filter(
+        F.col("err").isNull()).drop("err")
+
+
+def image_index_write(media: DataFrame, table: str, *,
+                      algo: str = "dhash", max_hamming: int = 3,
+                      buckets: int = 64, table_buckets: int = 8,
+                      id_col: str = "media_id",
+                      payload_col: str = "payload") -> None:
+    """Materialize an IMAGE near-dup index: perceptual-hash the
+    corpus once and band it into the SimHash catalog-table layout
+    (``dedup.simhash_write_index`` with precomputed fingerprints) —
+    partitioned by ``ck``, bucketed by (chunk, key), so every later
+    batch joins against a PRE-DISTRIBUTED reference with zero
+    reference-side Exchange. Incremental maintenance rides the same
+    family: ``dedup.simhash_append[_exactly_once](fps,
+    fp_col="fp", id_col="media_id")`` over :func:`image_hash`
+    output, including the crash-replay ledger protocol."""
+    from .dedup import simhash_write_index
+
+    simhash_write_index(
+        _image_fp_frame(media, algo, id_col, payload_col), table,
+        max_hamming=max_hamming, buckets=buckets,
+        table_buckets=table_buckets, id_col="media_id", fp_col="fp")
+
+
+def image_near_dup_indexed(spark, table: str, media: DataFrame, *,
+                           algo: str = "dhash", max_hamming: int = 3,
+                           buckets: int = 64,
+                           id_col: str = "media_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """Near-dup join of an incoming image batch against a
+    :func:`image_index_write` table — the recurring at-scale
+    operation: the reference corpus was decoded and hashed ONCE;
+    each batch decodes only itself, shuffles 8-byte fingerprints,
+    and partition-prunes the reference scan to its own banded ``ck``
+    set. Returns (id_in, id_ref, hamming). The ``algo`` must match
+    the build (dHash and pHash fingerprints are not comparable)."""
+    from .dedup import simhash_join_indexed
+
+    return simhash_join_indexed(
+        spark, table,
+        _image_fp_frame(media, algo, id_col, payload_col),
+        max_hamming=max_hamming, buckets=buckets,
+        id_col="media_id", fp_col="fp")
+
+
 #: output of the REAL :func:`frame_sample` path — sampled frame bytes.
 FRAME_SCHEMA = T.StructType(
     [

@@ -1735,3 +1735,65 @@ def test_audio_features_quarantine(spark):
     assert rows[0]["err"] is None and rows[0]["sr"] == 8000
     assert rows[1]["err"] and rows[1]["sr"] is None
     assert rows[2]["err"]
+
+
+def test_image_index_matches_pairs_and_appends(spark):
+    """The image near-dup index rides the SimHash catalog-table
+    family via precomputed fingerprints (fp_col): self-probing the
+    index reproduces image_near_dup_pairs exactly, the exactly-once
+    append protocol applies to image batches unchanged (ledger skips
+    the replay), and append == full build."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (16, 16), dtype=np.uint8)
+            for _ in range(30)]
+    imgs.append(imgs[0].copy())              # exact dup of 0
+    near = imgs[1].copy()
+    near[0, 0] = min(254, near[0, 0]) + 1    # near dup of 1
+    imgs.append(near)
+    payloads = [build_png(a[..., None], [0] * 16, 0) for a in imgs]
+    media = _media_df(spark, payloads)
+    table = "img_idx_test"
+    try:
+        MM.image_index_write(media, table, max_hamming=3, buckets=8,
+                             table_buckets=4)
+        direct = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in MM.image_near_dup_pairs(media, max_hamming=3)
+            .collect())
+        assert (0, 30, 0) in direct          # the planted exact dup
+        via_idx = sorted(
+            (r["id_in"], r["id_ref"], r["hamming"])
+            for r in MM.image_near_dup_indexed(
+                spark, table, media, max_hamming=3, buckets=8)
+            .filter(F.col("id_in") < F.col("id_ref")).collect())
+        assert via_idx == direct
+        D.unpersist_pinned()
+
+        # incremental build: first half prebuilt, second half through
+        # the exactly-once append (image fingerprints, same protocol)
+        t_inc = "img_idx_test_inc"
+        ids_a = media.filter(F.col("media_id") < 16)
+        ids_b = media.filter(F.col("media_id") >= 16)
+        MM.image_index_write(ids_a, t_inc, max_hamming=3, buckets=8,
+                             table_buckets=4)
+        fps_b = MM._image_fp_frame(ids_b, "dhash", "media_id",
+                                   "payload")
+        assert D.simhash_append_exactly_once(
+            fps_b, t_inc, 7, max_hamming=3, buckets=8,
+            table_buckets=4, id_col="media_id", fp_col="fp")
+        assert D.simhash_append_exactly_once(
+            fps_b, t_inc, 7, max_hamming=3, buckets=8,
+            table_buckets=4, id_col="media_id", fp_col="fp") is False
+        inc = sorted(
+            (r["id_in"], r["id_ref"], r["hamming"])
+            for r in MM.image_near_dup_indexed(
+                spark, t_inc, media, max_hamming=3, buckets=8)
+            .filter(F.col("id_in") < F.col("id_ref")).collect())
+        assert inc == direct
+        D.unpersist_pinned()
+    finally:
+        D.reset_managed_tables(spark, table, f"{table}_applied",
+                               "img_idx_test_inc",
+                               "img_idx_test_inc_applied")
