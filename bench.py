@@ -309,6 +309,19 @@ def bench_bpe_segment(spark, sf_dir):
     return B.bpe_segment(docs, merges)
 
 
+def bench_text_normalize(spark, sf_dir):
+    """Unicode normalization scan (NFC + control strip + whitespace
+    collapse, Arrow-batched pandas_udf). A bare count() would let
+    Catalyst PRUNE the udf column entirely, so the row aggregates
+    the normalized output."""
+    from remote_storage_adapter_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.normalize_text(docs).agg(
+        F.sum(F.length("norm_text")).alias("chars"),
+        F.sum("delta_chars").alias("removed"))
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -405,6 +418,8 @@ BENCH_QUERIES = {
     "bpe_segment": bench_bpe_segment,
     "text_passage_dedup": bench_text_passage_dedup,
     "image_near_dup": bench_image_near_dup,
+    "text_normalize": bench_text_normalize,
+    "multimodal_audio": Q.q_multimodal_audio,
 }
 
 
@@ -490,7 +505,9 @@ def main():
                   # methodology from rep one
                   "multimodal_jpeg": max(reps, 5),
                   "bpe_segment": max(reps, 5),
-                  "image_near_dup": max(reps, 5)}
+                  "image_near_dup": max(reps, 5),
+                  "text_normalize": max(reps, 5),
+                  "multimodal_audio": max(reps, 5)}
     # r7 verdict #7 (contention insurance): the r6 incident showed
     # machine noise lands on whichever rows run LATE — a fixed order
     # lets contamination systematically bias the same rows' series.
