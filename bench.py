@@ -343,7 +343,7 @@ def bench_image_near_dup(spark, sf_dir):
     s1 = sum(g, F.lit(1))
     s2 = sum((g[i] * (19 - i) for i in range(9)), F.lit(20)) \
         + sum(g[9 + i] * (9 - i) for i in range(9))
-    be = lambda c, n: F.unhex(F.lpad(F.hex(c), n, "0"))  # noqa: E731
+    be = Q._be_bytes  # the one shared byte-planting recipe
     payload = F.concat(
         F.lit(bytes.fromhex(
             "89504E470D0A1A0A" "0000000D49484452"

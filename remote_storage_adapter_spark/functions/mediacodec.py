@@ -885,7 +885,13 @@ def _jpeg_decode_scan_prog(scan, segs, ri, frame, coeffs,
             if t > 11:
                 raise ValueError("JPEG: DC category out of range")
             preds[comp_id] += _jpeg_extend(rd.receive(t), t)
-            zz_block[0] = preds[comp_id] << al
+            v = preds[comp_id] << al
+            # hostile max-category diffs at a large Al can overflow the
+            # int32 grid: keep the ValueError quarantine contract
+            # instead of numpy's OverflowError (or a silent wraparound)
+            if not (-(1 << 31) <= v < (1 << 31)):
+                raise ValueError("JPEG: DC coefficient overflow")
+            zz_block[0] = v
         else:
             if rd.bit():
                 zz_block[0] |= 1 << al

@@ -337,9 +337,8 @@ def _resize_real(p: bytes, width: int, height: int) -> bytes:
     → PNG re-encode. Deterministic bytes for fixed input."""
     px = MC.decode_pixels(p)
     src_h, src_w = px.shape[:2]
-    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
-    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
-    return MC.png_encode(px[ys][:, xs])
+    return MC.png_encode(px[_nn_index(src_h, height)]
+                         [:, _nn_index(src_w, width)])
 
 
 def resize(media: DataFrame, *, width: int, height: int,
@@ -559,8 +558,8 @@ IMAGE_HASH_SCHEMA = T.StructType(
 
 def _nn_index(src: int, dst: int) -> np.ndarray:
     """Nearest-neighbor source indices (the floor convention shared
-    with :func:`..functions.mediacodec.resize` and the planted-PNG
-    oracles: ``src_i = floor(i * src / dst)``)."""
+    with :func:`_resize_real` and the planted-PNG oracles:
+    ``src_i = floor(i * src / dst)``)."""
     return (np.arange(dst) * src) // dst
 
 
@@ -673,10 +672,9 @@ def image_near_dup_pairs(media: DataFrame, *, max_hamming: int = 3,
     64 bits per image, never pixels."""
     from .dedup import hamming_pairs
 
-    fps = image_hash(media, algo=algo, id_col=id_col,
-                     payload_col=payload_col).filter(F.col("err").isNull())
-    return hamming_pairs(fps, max_hamming=max_hamming,
-                         id_col="media_id", fp_col="fp")
+    return hamming_pairs(
+        _image_fp_frame(media, algo, id_col, payload_col),
+        max_hamming=max_hamming, id_col="media_id", fp_col="fp")
 
 
 def _image_fp_frame(media: DataFrame, algo: str, id_col: str,

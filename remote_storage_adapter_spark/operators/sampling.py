@@ -158,7 +158,21 @@ def _exclusive_prefix_sum(df: DataFrame, *, order_col: str,
     ``order_col`` order, added as a ``_cum`` long column (caller
     renames/drops). The shared core of :func:`pack_shards` and
     :func:`pack_sequences` — see pack_shards' docstring for why this
-    is a bucketed two-pass plan and not one global window."""
+    is a bucketed two-pass plan and not one global window.
+
+    Negative weights fail fast (distributed ``raise_error`` map): a
+    corrupted count would otherwise shift every later row's offset —
+    silently corrupting shard/sequence geometry — while the bad row
+    itself may be filtered out of the caller's output."""
+    w_raw = F.col(weight_col).cast("long")
+    df = df.withColumn("_w", F.when(
+        w_raw < 0,
+        F.raise_error(F.concat(
+            F.lit(f"negative {weight_col} ("), w_raw.cast("string"),
+            F.lit(") at "), F.col(order_col).cast("string"),
+        )).cast("long"),
+    ).otherwise(w_raw))
+    weight_col = "_w"
     bounds = df.approxQuantile(
         order_col,
         [i / num_buckets for i in range(1, num_buckets)], 0.001,
@@ -190,7 +204,7 @@ def _exclusive_prefix_sum(df: DataFrame, *, order_col: str,
         - F.col(weight_col).cast("long")
         + off.cast("long")
     )
-    return d.withColumn("_cum", cum_excl).drop("_bkt")
+    return d.withColumn("_cum", cum_excl).drop("_bkt", "_w")
 
 
 def pack_sequences(df: DataFrame, *, seq_len: int,

@@ -60,7 +60,12 @@ def token_count(text: Column) -> Column:
 
 
 #: control characters stripped by :func:`normalize_text` — C0 minus
-#: \t\n (kept as whitespace for the collapse step) plus DEL and C1.
+#: \t\n\r (those three survive as whitespace for the collapse step)
+#: plus DEL and C1. Note \x0B/\x0C appear here AND in _WS_CLASS: with
+#: strip_control=True they are DELETED ('a\x0Cb' → 'ab'), only with
+#: strip_control=False do they collapse to a space — the oracle
+#: replays the literal classes in this order, so do not "fix" the
+#: apparent asymmetry without re-deriving q_text_normalize.
 #: The class is written with explicit \x escapes so the DuckDB oracle
 #: can run the LITERAL same RE2 class.
 _CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"

@@ -1458,6 +1458,37 @@ def test_jpeg_progressive_missing_restart_is_valueerror():
         MC.jpeg_decode(patched)
 
 
+def test_jpeg_progressive_dc_overflow_is_valueerror():
+    """A hostile DC-first scan at Al=13 accumulating max-category
+    (+2047) diffs overflows the int32 coefficient grid on block 129
+    (2047·129·2^13 > 2^31) — the decoder must keep the ValueError
+    quarantine contract, not surface numpy's OverflowError (or wrap
+    silently on older numpy). Baseline never shifts, so only the
+    progressive path can hit this."""
+    n_blocks = 129
+    w = _JBitWriter()
+    codes = _jcodes(*_JDC_L)
+    for _ in range(n_blocks):
+        w.put(*reversed(codes[11]))
+        _jput_coef(w, 2047, 11)
+    w.align()
+    fh, fw = 8, 8 * n_blocks
+    out = bytearray(b"\xff\xd8")
+    out += bytes([0xFF, 0xDB, 0x00, 0x43, 0]) + bytes([1] * 64)
+    out += bytes([0xFF, 0xC2, 0x00, 0x0B, 8]) \
+        + fh.to_bytes(2, "big") + fw.to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    cnt, sym = _JDC_L
+    out += bytes([0xFF, 0xC4]) \
+        + (2 + 1 + 16 + len(sym)).to_bytes(2, "big") \
+        + bytes([0x00]) + bytes(cnt) + bytes(sym)
+    out += bytes([0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 0, 13]) \
+        + bytes(w.out)
+    out += bytes([0xFF, 0xD9])
+    with pytest.raises(ValueError, match="overflow"):
+        MC.jpeg_decode(bytes(out))
+
+
 def test_jpeg_progressive_decode_media_and_refusals(spark):
     img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
     prog = build_progressive_jpeg(
