@@ -252,6 +252,311 @@ def _is_wav(p: bytes) -> bool:
     return p[:4] == b"RIFF" and p[8:12] == b"WAVE"
 
 
+# ------------------------------------------------------- EXIF metadata
+#
+# Real TIFF/EXIF IFD walk (public specs: TIFF 6.0 + EXIF 2.3) — the
+# metadata triage a 100 TB image-curation pass needs BEFORE any pixel
+# decode: camera provenance, orientation, capture time, and the GPS
+# coordinates that are the canonical multimodal PII risk. Reference
+# parity: the reference engine has no media surface at all
+# (main.go handles metric samples); this extends the task brief's
+# multimodal component the same way the codecs do.
+
+#: output of :func:`exif_metadata` — triage semantics like
+#: :data:`SNIFF_SCHEMA`: unparsable/absent EXIF yields all-NULL
+#: fields, never a job abort.
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("exif_width", T.IntegerType(), True),
+        T.StructField("exif_height", T.IntegerType(), True),
+        T.StructField("gps_lat", T.DoubleType(), True),
+        T.StructField("gps_lon", T.DoubleType(), True),
+    ]
+)
+
+#: TIFF 6.0 field-type byte widths (type 6/8/11/12 never carry the
+#: tags we read; unknown types are skipped, not errors).
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _tiff_entries(t: bytes, ifd_off: int, le: bool,
+                  max_entries: int = 512):
+    """Yield (tag, type, value_bytes) for one bounds-checked IFD.
+    Hostile counts/offsets skip the entry or stop the walk — triage
+    callers never raise. ``max_entries`` bounds a lying entry count;
+    real EXIF IFDs hold a few dozen entries."""
+    order = "little" if le else "big"
+    if ifd_off < 0 or ifd_off + 2 > len(t):
+        return
+    n = min(int.from_bytes(t[ifd_off:ifd_off + 2], order), max_entries)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(t):
+            return
+        tag = int.from_bytes(t[e:e + 2], order)
+        typ = int.from_bytes(t[e + 2:e + 4], order)
+        cnt = int.from_bytes(t[e + 4:e + 8], order)
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0 or size > 1 << 16:  # bounds a lying count
+            continue
+        if size <= 4:  # inline, left-justified in the value field
+            val = t[e + 8:e + 8 + size]
+        else:
+            off = int.from_bytes(t[e + 8:e + 12], order)
+            if off + size > len(t):
+                continue
+            val = t[off:off + size]
+        yield tag, typ, val
+
+
+def _tiff_uint(val: bytes, typ: int, le: bool):
+    """First SHORT/LONG of a value slice (orientation, pixel dims)."""
+    order = "little" if le else "big"
+    w = 2 if typ == 3 else 4
+    return int.from_bytes(val[:w], order) if len(val) >= w else None
+
+
+def _tiff_ascii(val: bytes):
+    s = val.split(b"\x00", 1)[0].decode("latin-1", "replace").strip()
+    return s or None
+
+
+def _gps_degrees(val: bytes, ref, neg_ref: str, le: bool):
+    """GPSLatitude/GPSLongitude: 3 RATIONALs (deg, min, sec) + the
+    hemisphere ref → signed decimal degrees. The float expression is
+    kept in this exact order (d + m/60 + s/3600, each term a plain
+    IEEE division) so a SQL oracle replays it bit-identically."""
+    if len(val) < 24 or ref is None:
+        return None
+    order = "little" if le else "big"
+    parts = []
+    for i in range(3):
+        num = int.from_bytes(val[8 * i:8 * i + 4], order)
+        den = int.from_bytes(val[8 * i + 4:8 * i + 8], order)
+        if den == 0:
+            return None
+        parts.append(num / den)
+    deg = parts[0] + parts[1] / 60.0 + parts[2] / 3600.0
+    return -deg if ref.startswith(neg_ref) else deg
+
+
+def _exif_parse(p: bytes):
+    """EXIF fields from a JPEG's APP1 segment via the real TIFF IFD
+    walk: IFD0 (Make/Model/Orientation/DateTime + the ExifIFD/GPSIFD
+    pointers), ExifIFD (DateTimeOriginal, PixelX/YDimension), GPSIFD
+    (lat/lon rationals + hemisphere refs). Returns an 8-tuple of
+    Nones when there is no parsable EXIF — triage, not quarantine."""
+    none = (None,) * 8
+    if p[:2] != b"\xff\xd8":
+        return none
+    tiff = None
+    i = 2
+    while i + 4 <= len(p) and p[i] == 0xFF:
+        m = p[i + 1]
+        if m == 0xDA or m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seglen = int.from_bytes(p[i + 2:i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(p):
+            break
+        # XMP also rides APP1 — match on the Exif signature, not the
+        # marker alone
+        if m == 0xE1 and p[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = p[i + 10:i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return none
+    if tiff[:2] == b"II":
+        le = True
+    elif tiff[:2] == b"MM":
+        le = False
+    else:
+        return none
+    order = "little" if le else "big"
+    if int.from_bytes(tiff[2:4], order) != 42:
+        return none
+    make = model = dt = dt0 = None
+    orient = w = h = exif_ptr = gps_ptr = None
+    lat_ref = lon_ref = lat_val = lon_val = None
+    ifd0 = int.from_bytes(tiff[4:8], order)
+    for tag, typ, val in _tiff_entries(tiff, ifd0, le):
+        if tag == 0x010F:
+            make = _tiff_ascii(val)
+        elif tag == 0x0110:
+            model = _tiff_ascii(val)
+        elif tag == 0x0112 and typ == 3:
+            orient = _tiff_uint(val, typ, le)
+        elif tag == 0x0132:
+            dt = _tiff_ascii(val)
+        elif tag == 0x8769 and typ == 4:
+            exif_ptr = _tiff_uint(val, typ, le)
+        elif tag == 0x8825 and typ == 4:
+            gps_ptr = _tiff_uint(val, typ, le)
+    if exif_ptr is not None:
+        for tag, typ, val in _tiff_entries(tiff, exif_ptr, le):
+            if tag == 0x9003:
+                dt0 = _tiff_ascii(val)
+            elif tag == 0xA002 and typ in (3, 4):
+                w = _tiff_uint(val, typ, le)
+            elif tag == 0xA003 and typ in (3, 4):
+                h = _tiff_uint(val, typ, le)
+    if gps_ptr is not None:
+        for tag, typ, val in _tiff_entries(tiff, gps_ptr, le):
+            if tag == 1:
+                lat_ref = _tiff_ascii(val)
+            elif tag == 2 and typ == 5:
+                lat_val = val
+            elif tag == 3:
+                lon_ref = _tiff_ascii(val)
+            elif tag == 4 and typ == 5:
+                lon_val = val
+    lat = (_gps_degrees(lat_val, lat_ref, "S", le)
+           if lat_val is not None else None)
+    lon = (_gps_degrees(lon_val, lon_ref, "W", le)
+           if lon_val is not None else None)
+    return (make, model, orient, dt0 or dt, w, h, lat, lon)
+
+
+def exif_metadata(media: DataFrame, *, id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Parse EXIF camera/orientation/capture-time/GPS metadata out of
+    every JPEG payload via the REAL TIFF IFD walk — the provenance
+    and PII-triage scan of an image-curation pipeline (GPS
+    coordinates are the canonical stripped-before-training field).
+    Arrow-batched ``mapInPandas``, partition-preserving, no shuffle;
+    non-JPEG / EXIF-free / hostile payloads yield all-NULL fields
+    (triage, like :func:`sniff_media_meta`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["make", "model", "orientation", "datetime",
+                "exif_width", "exif_height", "gps_lat", "gps_lon"]
+        for pdf in batches:
+            parsed = pd.DataFrame(
+                [_exif_parse(bytes(p)) if p is not None else (None,) * 8
+                 for p in pdf[payload_col]],
+                columns=cols)
+            parsed.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield parsed
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+#: JPEG metadata segments removed by :func:`strip_metadata`: APP1
+#: (Exif + XMP), APP13 (IPTC/Photoshop), COM. Pixel-affecting
+#: segments (DQT/DHT/SOF/SOS/...) are never touched.
+_JPEG_META_MARKERS = frozenset({0xE1, 0xED, 0xFE})
+#: PNG ancillary metadata chunks removed: textual metadata, raw EXIF,
+#: last-modified time. Critical chunks and rendering-relevant
+#: ancillaries (PLTE/tRNS/gAMA/...) are kept.
+_PNG_META_CHUNKS = frozenset({b"tEXt", b"zTXt", b"iTXt", b"eXIf",
+                              b"tIME"})
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _strip_one(p: bytes) -> bytes:
+    """Metadata-stripped copy of one payload: JPEG drops the
+    _JPEG_META_MARKERS segments (entropy data from SOS on is copied
+    verbatim — pixels byte-identical), PNG drops the
+    _PNG_META_CHUNKS chunks, anything else passes through unchanged.
+    Raises ValueError on structurally lying JPEG/PNG bytes —
+    quarantine contract."""
+    if p[:2] == b"\xff\xd8":
+        out = bytearray(b"\xff\xd8")
+        i = 2
+        while i + 2 <= len(p) and p[i] == 0xFF:
+            m = p[i + 1]
+            if m == 0xDA:           # scan start: verbatim to the end
+                out += p[i:]
+                return bytes(out)
+            if m == 0xD9:
+                out += p[i:i + 2]
+                return bytes(out)
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                out += p[i:i + 2]
+                i += 2
+                continue
+            if i + 4 > len(p):
+                raise ValueError("JPEG: truncated segment header")
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            if seglen < 2 or i + 2 + seglen > len(p):
+                raise ValueError("JPEG: lying segment length")
+            if m not in _JPEG_META_MARKERS:
+                out += p[i:i + 2 + seglen]
+            i += 2 + seglen
+        raise ValueError("JPEG: truncated before SOS/EOI")
+    if p[:8] == _PNG_SIG:
+        out = bytearray(_PNG_SIG)
+        i = 8
+        while i + 8 <= len(p):
+            clen = int.from_bytes(p[i:i + 4], "big")
+            ctype = p[i + 4:i + 8]
+            end = i + 12 + clen
+            if clen > len(p) or end > len(p):
+                raise ValueError("PNG: lying chunk length")
+            if ctype not in _PNG_META_CHUNKS:
+                out += p[i:end]
+            i = end
+            if ctype == b"IEND":
+                return bytes(out)
+        raise ValueError("PNG: missing IEND")
+    return bytes(p)
+
+
+STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("removed", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def strip_metadata(media: DataFrame, *, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """PII/metadata scrub for image corpora: re-emit every payload
+    with its metadata segments spliced out — EXIF (GPS, camera
+    serial), XMP, IPTC, comments for JPEG; textual/eXIf/tIME chunks
+    for PNG — WITHOUT re-encoding (pixel bytes are copied verbatim,
+    so the scrub is lossless and cheap: a byte splice, not a decode).
+    Returns (media_id, payload, removed, err); structurally lying
+    bytes land in per-row ``err`` quarantine with a NULL payload
+    (same contract as :func:`decode_media` — a hostile file must not
+    abort a 100 TB scrub). Partition-preserving, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                try:
+                    if p is None:
+                        raise ValueError("NULL payload")
+                    b = bytes(p)
+                    s = _strip_one(b)
+                    rows.append((s, len(b) - len(s), None))
+                except Exception as e:  # noqa: BLE001 — quarantine is
+                    # the contract (same argument as _decode_one)
+                    rows.append((None, None, f"{type(e).__name__}: {e}"))
+            out = pd.DataFrame(rows, columns=["payload", "removed",
+                                              "err"])
+            out.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield out
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, schema=STRIP_SCHEMA)
+
+
 def _real_feature(payload: bytes, dim: int) -> list:
     """REAL decoded-content feature: an L1-normalized ``dim``-bucket
     histogram — of pixel luminance (mean over channels, [0, 256)) for

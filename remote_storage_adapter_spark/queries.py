@@ -4188,6 +4188,152 @@ JOIN jp USING (media_id)
 """
 
 
+def _exif_planted_app1(docs):
+    """APP1(Exif) Column with doc-dependent fields, closed-form per
+    the planted-file-format discipline: big-endian (``MM``) TIFF so
+    every numeric hole is a straight :func:`_be_bytes` splice. IFD0
+    (orientation + ExifIFD/GPSIFD pointers at fixed offsets 0x32 /
+    0x50), ExifIFD (pixel dims), GPSIFD (hemisphere refs + 3-rational
+    coordinates at 0x86 / 0x9E). TIFF = 182 bytes, APP1 = 192 with
+    marker. Layout cross-checked against the independent test builder
+    (tests/test_mediacodec.build_exif_jpeg)."""
+    d = F.col("doc_id")
+    o = d % 8 + 1
+    w = d % 4096 + 1
+    h = d % 2160 + 1
+    lat_ref = F.when(d % 2 == 0, 78).otherwise(83)     # 'N' / 'S'
+    lon_ref = F.when(d % 3 == 0, 69).otherwise(87)     # 'E' / 'W'
+    return F.concat(
+        # FFE1 len=0x00BE "Exif\0\0" MM 42 ifd0@8; IFD0 n=3
+        F.lit(bytes.fromhex(
+            "FFE1" "00BE" "457869660000" "4D4D002A" "00000008"
+            "0003"
+            "0112" "0003" "00000001" "00")),
+        _be_bytes(o, 2), F.lit(bytes.fromhex(
+            "0000"
+            "8769" "0004" "00000001" "00000032"
+            "8825" "0004" "00000001" "00000050"
+            "00000000"
+            # ExifIFD n=2: PixelXDimension / PixelYDimension (LONG)
+            "0002"
+            "A002" "0004" "00000001" "0000")),
+        _be_bytes(w, 4), F.lit(bytes.fromhex(
+            "A003" "0004" "00000001" "0000")),
+        _be_bytes(h, 4), F.lit(bytes.fromhex(
+            "00000000"
+            # GPSIFD n=4: LatRef, Lat(3 RAT @0x86), LonRef, Lon(@0x9E)
+            "0004"
+            "0001" "0002" "00000002")),
+        _be_bytes(lat_ref, 2), F.lit(bytes.fromhex(
+            "000000"
+            "0002" "0005" "00000003" "00000086"
+            "0003" "0002" "00000002")),
+        _be_bytes(lon_ref, 2), F.lit(bytes.fromhex(
+            "000000"
+            "0004" "0005" "00000003" "0000009E"
+            "00000000")),
+        # lat: deg/1, min/1, sec10/10 — den 10 keeps seconds fractional
+        F.lit(bytes.fromhex("000000")), _be_bytes(d % 90, 2),
+        F.lit(bytes.fromhex("00000001" "000000")), _be_bytes(d % 60, 2),
+        F.lit(bytes.fromhex("00000001" "0000")), _be_bytes(d % 600, 4),
+        F.lit(bytes.fromhex("0000000A")),
+        # lon
+        F.lit(bytes.fromhex("000000")), _be_bytes(d % 180, 2),
+        F.lit(bytes.fromhex("00000001" "000000")),
+        _be_bytes((d * 7) % 60, 2),
+        F.lit(bytes.fromhex("00000001" "0000")),
+        _be_bytes((d * 11) % 600, 4),
+        F.lit(bytes.fromhex("0000000A")),
+    )
+
+
+#: the GPS decimal-degree expression both engines must evaluate in
+#: the SAME IEEE order: deg + min/60 + (sec10/10)/3600, then sign.
+_O_EXIF_GPS = """
+ROUND(CASE WHEN doc_id % {neg} THEN
+        -((doc_id % {pd}) + ((doc_id {m}) % 60) / 60.0
+          + (((doc_id {s}) % 600) / 10.0) / 3600.0)
+      ELSE
+        ((doc_id % {pd}) + ((doc_id {m}) % 60) / 60.0
+         + (((doc_id {s}) % 600) / 10.0) / 3600.0)
+      END, 9)"""
+
+
+def q_multimodal_exif(spark, sf_dir):
+    """REAL EXIF metadata decode, oracle-gated (oracled orphan):
+    plant a complete valid JPEG APP1(Exif) per document — big-endian
+    TIFF, IFD0 orientation + ExifIFD pixel dims + GPSIFD 3-rational
+    coordinates with hemisphere refs — and recover every field
+    through the genuine TIFF IFD walk
+    (`operators/multimodal._exif_parse`). The GPS degrees are the
+    PII-triage output: deg + min/60 + sec/3600 evaluated in the same
+    IEEE order both engines (9-dp rounded). A pointer-arithmetic,
+    endianness, rational, or hemisphere-sign bug all flip a value."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    payload = F.concat(F.lit(b"\xff\xd8"), _exif_planted_app1(docs),
+                       F.lit(b"\xff\xd9"))
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    return MM.exif_metadata(media).select(
+        "media_id", "orientation", "exif_width", "exif_height",
+        F.round("gps_lat", 9).alias("gps_lat"),
+        F.round("gps_lon", 9).alias("gps_lon"))
+
+
+O_multimodal_exif = f"""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       CAST(doc_id % 4096 + 1 AS INTEGER) AS exif_width,
+       CAST(doc_id % 2160 + 1 AS INTEGER) AS exif_height,
+       {_O_EXIF_GPS.format(neg="2 = 1", pd=90, m="", s="")} AS gps_lat,
+       {_O_EXIF_GPS.format(neg="3 <> 0", pd=180, m="* 7",
+                           s="* 11")} AS gps_lon
+FROM documents
+"""
+
+
+def q_multimodal_exif_strip(spark, sf_dir):
+    """Lossless metadata scrub, oracle-gated (oracled orphan): plant
+    SOI + APP1(Exif w/ GPS) + COM (doc-dependent length) + SOF0
+    header (doc-dependent dims) + EOI, run the REAL byte-splice strip
+    (`operators/multimodal.strip_metadata`), and verify three
+    analytic facts about the result: the removed byte count (APP1
+    192 + COM 4+n), the SOF dimensions still parse out of the
+    stripped file (pixels untouched), and the EXIF orientation of
+    the stripped file is NULL (the PII is gone)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    n = F.col("doc_id") % 32 + 1
+    h = F.col("doc_id") % 2160 + 1
+    w = F.col("doc_id") % 4096 + 1
+    payload = F.concat(
+        F.lit(b"\xff\xd8"), _exif_planted_app1(docs),
+        F.lit(bytes.fromhex("FFFE")), _be_bytes(n + 2, 4),
+        F.encode(F.repeat(F.lit("c"), n.cast("int")), "US-ASCII"),
+        F.lit(bytes.fromhex("FFC0" "000B" "08")),
+        _be_bytes(h, 4), _be_bytes(w, 4),
+        F.lit(bytes.fromhex("01" "011100" "FFD9")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    stripped = MM.strip_metadata(media).select("media_id", "payload",
+                                               "removed")
+    sn = MM.sniff_media_meta(stripped).select("media_id", "width",
+                                              "height")
+    ex = MM.exif_metadata(stripped).select("media_id", "orientation")
+    return (stripped.select("media_id", "removed")
+            .join(sn, "media_id").join(ex, "media_id"))
+
+
+O_multimodal_exif_strip = """
+SELECT doc_id AS media_id,
+       CAST(196 + doc_id % 32 + 1 AS BIGINT) AS removed,
+       CAST(doc_id % 4096 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 2160 + 1 AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS orientation
+FROM documents
+"""
+
+
 def q_sink_wire_formats(spark, sf_dir):
     """All three remote-write wire codecs in one tagged union —
     Graphite plaintext (W10/W11/W14), Influx line protocol (W9/K3),

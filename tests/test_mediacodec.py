@@ -1828,3 +1828,186 @@ def test_image_index_matches_pairs_and_appends(spark):
         D.reset_managed_tables(spark, table, f"{table}_applied",
                                "img_idx_test_inc",
                                "img_idx_test_inc_applied")
+
+
+# ------------------------------------------------------ EXIF metadata
+# Independent TIFF construction: entries are packed with struct
+# straight from the TIFF 6.0 layout, offsets computed incrementally —
+# not via the module's walker.
+
+
+def _tiff_entry(tag, typ, cnt, val4, order):
+    e = "<" if order == "little" else ">"
+    assert len(val4) == 4
+    return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+
+def _num(v, n, order):
+    return int(v).to_bytes(n, order)
+
+
+def _rats(vals, order):
+    return b"".join(_num(n, 4, order) + _num(d, 4, order)
+                    for n, d in vals)
+
+
+def build_exif_jpeg(order="little", orient=6, make=b"Canon",
+                    dims=(1024, 768), lat=((40, 1), (26, 1), (469, 100)),
+                    lat_ref=b"N", lon=((79, 1), (58, 1), (5598, 100)),
+                    lon_ref=b"W", dt=b"2023:01:02 03:04:05",
+                    tail=b"\xff\xd9"):
+    """SOI + APP1(Exif TIFF) + tail. IFD0: Make, Orientation,
+    DateTime, ExifIFD ptr, GPS ptr; ExifIFD: PixelX/YDimension
+    (LONG); GPSIFD: refs + 3-rational coords."""
+    mk = make + b"\x00"
+    dts = dt + b"\x00"
+    ifd0_off = 8
+    ifd0_len = 2 + 5 * 12 + 4
+    exif_off = ifd0_off + ifd0_len
+    exif_len = 2 + 2 * 12 + 4
+    gps_off = exif_off + exif_len
+    gps_len = 2 + 4 * 12 + 4
+    mk_off = gps_off + gps_len
+    dt_off = mk_off + len(mk)
+    lat_off = dt_off + len(dts)
+    lon_off = lat_off + 24
+    short_inline = lambda v: _num(v, 2, order) + b"\x00\x00"  # noqa: E731
+    long_inline = lambda v: _num(v, 4, order)  # noqa: E731
+    ref_inline = lambda r: r + b"\x00\x00\x00"  # noqa: E731
+    n2 = lambda n: _num(n, 2, order)  # noqa: E731
+    ifd0 = n2(5) + b"".join([
+        _tiff_entry(0x010F, 2, len(mk), long_inline(mk_off), order),
+        _tiff_entry(0x0112, 3, 1, short_inline(orient), order),
+        _tiff_entry(0x0132, 2, len(dts), long_inline(dt_off), order),
+        _tiff_entry(0x8769, 4, 1, long_inline(exif_off), order),
+        _tiff_entry(0x8825, 4, 1, long_inline(gps_off), order),
+    ]) + b"\x00\x00\x00\x00"
+    exif = n2(2) + b"".join([
+        _tiff_entry(0xA002, 4, 1, long_inline(dims[0]), order),
+        _tiff_entry(0xA003, 4, 1, long_inline(dims[1]), order),
+    ]) + b"\x00\x00\x00\x00"
+    gps = n2(4) + b"".join([
+        _tiff_entry(1, 2, 2, ref_inline(lat_ref), order),
+        _tiff_entry(2, 5, 3, long_inline(lat_off), order),
+        _tiff_entry(3, 2, 2, ref_inline(lon_ref), order),
+        _tiff_entry(4, 5, 3, long_inline(lon_off), order),
+    ]) + b"\x00\x00\x00\x00"
+    endian = b"II*\x00" if order == "little" else b"MM\x00*"
+    tiff = (endian + _num(ifd0_off, 4, order) + ifd0 + exif + gps
+            + mk + dts + _rats(lat, order) + _rats(lon, order))
+    app1 = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8\xff\xe1" + (len(app1) + 2).to_bytes(2, "big")
+            + app1 + tail)
+
+
+def _expect_deg(triple, sign):
+    (dn, dd), (mn, md), (sn, sd) = triple
+    return sign * ((dn / dd) + (mn / md) / 60.0 + (sn / sd) / 3600.0)
+
+
+@pytest.mark.parametrize("order", ["little", "big"])
+def test_exif_parse_golden(order):
+    p = build_exif_jpeg(order=order)
+    make, model, orient, dt, w, h, lat, lon = MM._exif_parse(p)
+    assert (make, model, orient) == ("Canon", None, 6)
+    assert dt == "2023:01:02 03:04:05"
+    assert (w, h) == (1024, 768)
+    assert lat == _expect_deg(
+        ((40, 1), (26, 1), (469, 100)), 1.0)
+    assert lon == _expect_deg(
+        ((79, 1), (58, 1), (5598, 100)), -1.0)
+
+
+def test_exif_parse_south_and_datetimeoriginal_precedence():
+    p = build_exif_jpeg(lat_ref=b"S", lon_ref=b"E")
+    *_, lat, lon = MM._exif_parse(p)
+    assert lat < 0 < lon
+
+
+def test_exif_parse_triage_on_hostile_bytes():
+    """Lying counts/offsets/magic must yield all-None, never raise,
+    never hang (bounded walk)."""
+    base = build_exif_jpeg()
+    hostiles = [
+        b"", b"\xff\xd8", b"not a jpeg",
+        base[:20],                        # truncated mid-APP1
+        base[:4] + b"\x00\x01" + base[6:],  # lying seglen (too small)
+        base.replace(b"II*\x00", b"II+\x00", 1),   # bad magic
+        base.replace(b"II*\x00", b"XX*\x00", 1),   # bad byte order
+        # lying IFD0 entry count (0xFFFF) — bounded by max_entries
+        base[:14] + b"\xff\xff" + base[16:],
+        # GPS rational with zero denominator
+        base.replace(_num(100, 4, "little"),
+                     _num(0, 4, "little")),
+        # every byte zeroed after the Exif signature
+        base[:16] + bytes(len(base) - 16),
+    ]
+    for p in hostiles:
+        out = MM._exif_parse(p)
+        assert len(out) == 8
+    # pointer aimed back at IFD0: parses (no recursion), no hang
+    cyc = build_exif_jpeg()
+    assert len(MM._exif_parse(cyc)) == 8
+
+
+def test_exif_metadata_operator_and_triage(spark):
+    jp = build_exif_jpeg()
+    rows = {r["media_id"]: r
+            for r in MM.exif_metadata(
+                _media_df(spark, [jp, b"\x89PNG\r\n\x1a\nxxxx",
+                                  b"junk"])).collect()}
+    assert rows[0]["orientation"] == 6
+    assert rows[0]["gps_lat"] == pytest.approx(40.4346361, abs=1e-6)
+    assert rows[0]["make"] == "Canon"
+    assert rows[1]["make"] is None and rows[2]["gps_lat"] is None
+
+
+def test_strip_jpeg_roundtrip_pixels_identical():
+    """Inserting APP1+COM into a real baseline JPEG and stripping
+    must return the ORIGINAL bytes exactly (pure byte splice), and
+    the stripped file must still decode to identical pixels."""
+    img = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    q = np.ones(64, int)
+    orig = build_jpeg([img], [(1, 1)], [q])
+    app1 = build_exif_jpeg()[2:-2]           # APP1 segment only
+    com = b"\xff\xfe\x00\x0chello jpeg"
+    fat = orig[:2] + app1 + com + orig[2:]
+    assert MM._exif_parse(fat)[2] == 6       # EXIF visible pre-strip
+    stripped = MM._strip_one(fat)
+    assert stripped == orig
+    assert MM._exif_parse(stripped)[2] is None
+    assert np.array_equal(MC.jpeg_decode(stripped),
+                          MC.jpeg_decode(orig))
+    # idempotent
+    assert MM._strip_one(stripped) == stripped
+
+
+def test_strip_png_meta_chunks():
+    px = RNG.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    orig = MC.png_encode(px)
+    ihdr_end = orig.index(b"IDAT") - 4
+    fat = (orig[:ihdr_end]
+           + _chunk(b"tEXt", b"Comment\x00made by a camera")
+           + _chunk(b"tIME", bytes(7))
+           + orig[ihdr_end:]
+           + b"trailing-garbage")            # dropped with the meta
+    stripped = MM._strip_one(fat)
+    assert stripped == orig
+    assert np.array_equal(MC.png_decode(stripped), px)
+    assert MM._strip_one(b"binary passthrough") == b"binary passthrough"
+
+
+def test_strip_metadata_operator_quarantine(spark):
+    img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    jp = build_jpeg([img], [(1, 1)], [np.ones(64, int)])
+    fat = jp[:2] + build_exif_jpeg()[2:-2] + jp[2:]
+    lying = b"\xff\xd8\xff\xe1\xff\xff"      # APP1 length beyond EOF
+    rows = {r["media_id"]: r
+            for r in MM.strip_metadata(
+                _media_df(spark, [fat, b"passthru", lying])).collect()}
+    assert bytes(rows[0]["payload"]) == jp
+    assert rows[0]["removed"] == len(fat) - len(jp)
+    assert bytes(rows[1]["payload"]) == b"passthru"
+    assert rows[1]["removed"] == 0
+    assert rows[2]["payload"] is None
+    assert "ValueError" in rows[2]["err"]

@@ -99,6 +99,8 @@ _ORACLED_ORPHANS = [
     "multimodal_audio",
     "text_normalize",
     "text_pack_sequences",
+    "multimodal_exif",
+    "multimodal_exif_strip",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
