@@ -322,6 +322,37 @@ def bench_text_normalize(spark, sf_dir):
         F.sum("delta_chars").alias("removed"))
 
 
+def bench_exif_scrub(spark, sf_dir):
+    """EXIF triage + metadata scrub end to end: plant a complete
+    JPEG (APP1 Exif w/ GPS + COM + SOF0 header) per document, parse
+    the GPS coordinates through the real TIFF IFD walk AND strip the
+    metadata segments with the lossless byte splice — the two halves
+    of an image-PII pass. Aggregates over both outputs so neither
+    mapInPandas column can be pruned."""
+    from remote_storage_adapter_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("doc_id") % 32 + 1
+    payload = F.concat(
+        F.lit(b"\xff\xd8"), Q._exif_planted_app1(docs),
+        F.lit(bytes.fromhex("FFFE")), Q._be_bytes(n + 2, 4),
+        F.encode(F.repeat(F.lit("c"), n.cast("int")), "US-ASCII"),
+        F.lit(bytes.fromhex("FFC0" "000B" "08")),
+        Q._be_bytes(F.col("doc_id") % 2160 + 1, 4),
+        Q._be_bytes(F.col("doc_id") % 4096 + 1, 4),
+        F.lit(bytes.fromhex("01" "011100" "FFD9")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    parsed = MM.exif_metadata(media).agg(
+        F.sum("gps_lat").alias("lat_sum"),
+        F.count("orientation").alias("n_exif"))
+    scrubbed = MM.strip_metadata(media).agg(
+        F.sum("removed").alias("removed"),
+        F.sum(F.length("payload")).alias("kept"))
+    return parsed.crossJoin(scrubbed)
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -420,6 +451,7 @@ BENCH_QUERIES = {
     "image_near_dup": bench_image_near_dup,
     "text_normalize": bench_text_normalize,
     "multimodal_audio": Q.q_multimodal_audio,
+    "exif_scrub": bench_exif_scrub,
 }
 
 
@@ -507,6 +539,7 @@ def main():
                   "bpe_segment": max(reps, 5),
                   "image_near_dup": max(reps, 5),
                   "text_normalize": max(reps, 5),
+                  "exif_scrub": max(reps, 5),
                   "multimodal_audio": max(reps, 5)}
     # r7 verdict #7 (contention insurance): the r6 incident showed
     # machine noise lands on whichever rows run LATE — a fixed order
