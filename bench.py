@@ -353,6 +353,41 @@ def bench_exif_scrub(spark, sf_dir):
     return parsed.crossJoin(scrubbed)
 
 
+def bench_url_curation(spark, sf_dir):
+    """URL provenance pass end to end: plant a messy URL per document
+    (case noise, userinfo, ports, unsorted tracking params, fragment;
+    doc_id % 4096 residues so ~24 docs share each canonical URL at
+    sf0.1), normalize + dedup (one hash agg + one join on norm_url)
+    and roll up registrable-domain stats. Aggregates over canon_id
+    and domain so neither branch can be pruned."""
+    from remote_storage_adapter_spark.operators import web as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4096
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(k % 2 == 1, "HTTP").otherwise("https"), F.lit("://"),
+        F.when(k % 7 == 0, "user:pw@").otherwise(""),
+        F.lit("WWW"), s(k % 97), F.lit(".Site"), s(k % 89), F.lit("."),
+        F.when(k % 5 == 0, "co.uk").otherwise("com"),
+        F.when(k % 2 == 1, ":80").otherwise(":443"),
+        F.lit("/p/"), s(k % 13),
+        F.concat(F.lit("?utm_source=track&b="), s(k % 7),
+                 F.lit("&a="), s(k % 5)),
+        F.when(k % 2 == 0, "#sec").otherwise(""),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    out = W.url_dedup(d, url_col="url", id_col="doc_id")
+    host = W.host_of(F.col("url"))
+    return out.withColumn(
+        "domain", W.registrable_domain(host)).agg(
+        F.countDistinct("norm_url").alias("n_urls"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum("canon_id").alias("canon_sum"),
+        F.sum((F.col("doc_id") == F.col("canon_id")).cast("long"))
+        .alias("kept"))
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -452,6 +487,7 @@ BENCH_QUERIES = {
     "text_normalize": bench_text_normalize,
     "multimodal_audio": Q.q_multimodal_audio,
     "exif_scrub": bench_exif_scrub,
+    "url_curation": bench_url_curation,
 }
 
 

@@ -1,0 +1,152 @@
+"""Web-crawl curation operators: URL canonicalization, host /
+registrable-domain extraction, and URL-level dedup — the provenance
+axis of a crawl corpus, where the same page is fetched under many
+textually-different URLs (scheme/host case, default ports, tracking
+parameters, fragments, param order) and per-domain quotas/blocklists
+are the first curation gate.
+
+Everything here is a PURE COLUMN EXPRESSION (regexp + array
+built-ins): the whole pass stays inside whole-stage codegen — zero
+Python, zero UDFs, zero shuffles until the caller aggregates — and a
+SQL oracle can replay it verbatim. Reference parity: the reference
+engine has no web surface (its namespace is metric label matching,
+``main.go``); this extends the task brief's training-data-pipeline
+operators the same way the text/dedup families do.
+
+Normalization semantics (documented contract, oracle-locked):
+
+- scheme and authority lowercased; path/query case preserved
+  (case-significant per RFC 3986);
+- userinfo (``user:pw@``) dropped — it is PII and never part of the
+  resource identity;
+- default ports stripped (``:80`` for http, ``:443`` for https);
+  other ports kept;
+- fragment dropped;
+- empty path becomes ``/``;
+- query parameters: tracking params (:data:`TRACKING_PARAMS`) and
+  empty fragments from ``&&`` dropped, the rest byte-sorted and
+  re-joined — param ORDER never splits a dedup group; an
+  all-tracking query drops the ``?`` entirely;
+- duplicate slashes in the path are KEPT (``//x`` is a different
+  resource per RFC; collapse upstream if your crawler says so);
+- a string with no ``scheme://`` is not a URL → NULL (triage).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that identify the CLICK, not the resource —
+#: dropped by :func:`url_normalize`. The usual analytics/affiliate
+#: suspects; extend per-corpus via the ``tracking`` argument.
+TRACKING_PARAMS = ("utm_[^=&]*", "fbclid", "gclid", "msclkid",
+                   "igshid", "mc_eid", "_ga", "ref_src")
+
+#: two-level public suffixes for :func:`registrable_domain` — the
+#: common subset of the Mozilla Public Suffix List (public data);
+#: production callers pass their full PSL snapshot instead. A host
+#: whose last two labels are here registers at the third label.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "com.br", "net.br", "org.br", "com.mx", "com.ar",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "com.tw", "com.hk",
+    "com.sg", "com.my", "co.za", "com.tr", "co.il", "com.pl",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def _parts(url: Column):
+    """(scheme, host, port, path, query) Columns of a trimmed,
+    fragment-free URL. Internal — each part is an anchored
+    single-match regexp so a SQL oracle replays it without global
+    flags."""
+    u = F.regexp_replace(F.trim(url), r"#[\s\S]*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.lower(
+        F.regexp_replace(  # userinfo is PII, never resource identity
+            F.regexp_extract(rest, r"^([^/?]*)", 1), r"^[^/?]*@", ""))
+    host = F.regexp_replace(auth, r":[0-9]*$", "")
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.when(tail.contains("?"),
+                   F.regexp_replace(tail, r"^[^?]*\?", "")
+                   ).otherwise(F.lit(""))
+    return scheme, host, port, path, query
+
+
+def url_normalize(url: Column,
+                  tracking: Sequence[str] = TRACKING_PARAMS) -> Column:
+    """Canonical form of a URL per the module contract — the key to
+    group on for URL-level exact dedup. NULL for non-URLs."""
+    scheme, host, port, path, query = _parts(url)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    track_re = "^(" + "|".join(tracking) + ")(=|$)"
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(track_re)))
+    qs = F.array_join(params, "&")
+    norm = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        F.when(path == "", "/").otherwise(path),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""))
+    return F.when(scheme != "", norm)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of a URL — no userinfo, no port; NULL for
+    non-URLs."""
+    scheme, host, _port, _path, _query = _parts(url)
+    return F.when(scheme != "", host)
+
+
+def registrable_domain(host: Column,
+                       two_level: Sequence[str] = TWO_LEVEL_SUFFIXES,
+                       ) -> Column:
+    """Registrable domain of a host: the public suffix plus one
+    label — ``a.b.example.com`` → ``example.com``,
+    ``www.example.co.uk`` → ``example.co.uk`` — the unit crawl
+    quotas, blocklists, and per-site stats key on. ``two_level``
+    lists the suffixes that are themselves two labels (PSL-derived);
+    hosts with fewer labels pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3),
+                        F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    return (F.when((n >= 3) & last2.isin(*two_level), last3)
+            .when(n >= 2, last2).otherwise(host))
+
+
+def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
+              tracking: Sequence[str] = TRACKING_PARAMS) -> DataFrame:
+    """URL-level exact dedup: adds ``norm_url`` and ``canon_id`` (the
+    smallest ``id_col`` sharing the normalized URL — deterministic,
+    engine-independent winners; rows with un-normalizable URLs keep
+    their own id). Keep-one is ``filter(col(id) == col("canon_id"))``.
+
+    Scale shape: one hash aggregation + one shuffle join, both keyed
+    on ``norm_url`` — the same plan as ``dedup.exact_pairs``; no
+    windows, no driver collect."""
+    norm = url_normalize(F.col(url_col), tracking)
+    with_norm = df.withColumn("norm_url", norm)
+    canon = (with_norm.filter(F.col("norm_url").isNotNull())
+             .groupBy("norm_url")
+             .agg(F.min(id_col).alias("canon_id")))
+    return (with_norm.join(canon, "norm_url", "left")
+            .withColumn("canon_id",
+                        F.coalesce("canon_id", F.col(id_col))))

@@ -40,6 +40,7 @@ from remote_storage_adapter_spark.operators import similarity as S
 from remote_storage_adapter_spark.operators import sketch as SK
 from remote_storage_adapter_spark.operators import text as TX
 from remote_storage_adapter_spark.operators import multimodal as MM
+from remote_storage_adapter_spark.operators import web as WB
 from remote_storage_adapter_spark.operators import classify as CL
 from remote_storage_adapter_spark.operators import dsir as DS
 from remote_storage_adapter_spark.functions import graphite as G
@@ -4331,6 +4332,68 @@ SELECT doc_id AS media_id,
        CAST(doc_id % 2160 + 1 AS INTEGER) AS height,
        CAST(NULL AS INTEGER) AS orientation
 FROM documents
+"""
+
+
+def q_web_urls(spark, sf_dir):
+    """URL canonicalization + host/registrable-domain extraction +
+    URL-level dedup, oracle-gated (oracled orphan): plant a
+    textually-messy URL per document from k = doc_id % 40 — mixed
+    scheme/host case, PII userinfo, default AND non-default ports,
+    tracking params in unsorted order, fragments — run the real
+    expression-only normalizer (`operators/web.py`), and compare to
+    the CLOSED-FORM canonical URL the oracle derives directly from k
+    (an independent derivation, not a replay of the normalizer).
+    Distinct k always yield distinct canonical URLs ((k%11, k%13)
+    alone is injective below 143 > 40), and doc_ids are dense from
+    0, so the dedup group winner is exactly doc_id % 40."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    k = F.col("doc_id") % 40
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(k % 2 == 1, "HTTP").otherwise("https"), F.lit("://"),
+        F.when(k % 7 == 0, "user:pw@").otherwise(""),
+        F.lit("WWW"), s(k % 3), F.lit(".Site"), s(k % 11), F.lit("."),
+        F.when(k % 5 == 0, "co.uk").otherwise("com"),
+        F.when(k % 2 == 1, ":80").when(k % 4 == 2, ":443")
+        .otherwise(":8080"),
+        F.when(k % 3 > 0,
+               F.concat(F.lit("/p/"), s(k % 13))).otherwise(""),
+        F.when(k % 3 == 0,
+               F.concat(F.lit("?utm_source=track&b="), s(k % 7),
+                        F.lit("&a="), s(k % 5)))
+        .when(k % 6 == 1,
+              F.concat(F.lit("?z=9&utm_campaign=c&y="), s(k % 4)))
+        .otherwise(""),
+        F.when(k % 2 == 0, "#sec").otherwise(""),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    out = WB.url_dedup(d, url_col="url", id_col="doc_id")
+    host = WB.host_of(F.col("url"))
+    return out.select(
+        "doc_id", "norm_url", host.alias("host"),
+        WB.registrable_domain(host).alias("domain"), "canon_id")
+
+
+O_web_urls = """
+WITH k AS (SELECT doc_id, doc_id % 40 AS k FROM documents)
+SELECT doc_id,
+       (CASE WHEN k % 2 = 1 THEN 'http' ELSE 'https' END
+        || '://www' || (k % 3) || '.site' || (k % 11) || '.'
+        || CASE WHEN k % 5 = 0 THEN 'co.uk' ELSE 'com' END
+        || CASE WHEN k % 2 = 1 THEN '' WHEN k % 4 = 2 THEN ''
+                ELSE ':8080' END
+        || CASE WHEN k % 3 > 0 THEN '/p/' || (k % 13) ELSE '/' END
+        || CASE WHEN k % 3 = 0
+                THEN '?a=' || (k % 5) || '&b=' || (k % 7)
+                WHEN k % 6 = 1 THEN '?y=' || (k % 4) || '&z=9'
+                ELSE '' END) AS norm_url,
+       ('www' || (k % 3) || '.site' || (k % 11) || '.'
+        || CASE WHEN k % 5 = 0 THEN 'co.uk' ELSE 'com' END) AS host,
+       ('site' || (k % 11) || '.'
+        || CASE WHEN k % 5 = 0 THEN 'co.uk' ELSE 'com' END) AS domain,
+       CAST(k AS BIGINT) AS canon_id
+FROM k
 """
 
 

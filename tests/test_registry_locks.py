@@ -101,6 +101,7 @@ _ORACLED_ORPHANS = [
     "text_pack_sequences",
     "multimodal_exif",
     "multimodal_exif_strip",
+    "web_urls",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]

@@ -1,0 +1,122 @@
+"""URL canonicalization / host / registrable-domain / URL dedup
+(operators/web.py). Ground truth is hand-written expected strings
+straight from the module's documented contract — not derived from
+the expressions under test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from remote_storage_adapter_spark.operators import web as W
+
+
+def _norm_map(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    rows = df.select("i", W.url_normalize(F.col("url")).alias("n"),
+                     W.host_of(F.col("url")).alias("h")).collect()
+    return ({r["i"]: r["n"] for r in rows},
+            {r["i"]: r["h"] for r in rows})
+
+
+def test_url_normalize_contract(spark):
+    cases = [
+        # scheme/host case, userinfo, default port, tracking params,
+        # param sort, fragment — all at once
+        ("HTTP://User:pw@WWW.Example.COM:80/A/b?utm_source=x&b=2&a=1#f",
+         "http://www.example.com/A/b?a=1&b=2"),
+        # https default port; duplicate slashes KEPT (documented)
+        ("https://example.co.uk:443//x", "https://example.co.uk//x"),
+        # empty path -> '/'
+        ("https://example.com", "https://example.com/"),
+        # non-default port kept; non-http(s) scheme ports untouched
+        ("https://example.com:8080/p", "https://example.com:8080/p"),
+        ("ftp://Example.com:21/f", "ftp://example.com:21/f"),
+        # an all-tracking query drops the '?'
+        ("https://e.com/p?utm_source=a&fbclid=b", "https://e.com/p"),
+        # '&&' empties dropped; '=' -less param kept and sorted
+        ("https://e.com/?b&&a=1", "https://e.com/?a=1&b"),
+        # ':80' only strips with the colon (lookalike port kept)
+        ("http://e.com:980/", "http://e.com:980/"),
+        # path/query case preserved
+        ("https://e.com/CaseSig?Q=Vv", "https://e.com/CaseSig?Q=Vv"),
+        # not a URL
+        ("hello world", None),
+        ("", None),
+    ]
+    norms, hosts = _norm_map(spark, [u for u, _ in cases])
+    for i, (u, want) in enumerate(cases):
+        assert norms[i] == want, (u, norms[i], want)
+    assert hosts[0] == "www.example.com"
+    assert hosts[3] == "example.com"        # port stripped from host
+    assert hosts[9] is None
+
+
+def test_url_normalize_idempotent(spark):
+    urls = ["HTTP://User@B.Com:80/x?b=2&utm_source=t&a=1#z",
+            "https://e.com", "https://e.com:8443/p?x"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r[0] for r in
+            df.select(W.url_normalize(F.col("url"))).collect()]
+    twice = [r[0] for r in spark.createDataFrame(
+        [(u,) for u in once], "url string")
+        .select(W.url_normalize(F.col("url"))).collect()]
+    assert once == twice
+
+
+def test_registrable_domain(spark):
+    cases = [
+        ("a.b.example.com", "example.com"),
+        ("www.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("com.au", "com.au"),               # bare suffix: unchanged
+        ("deep.sub.x.com.au", "x.com.au"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in
+                                enumerate(cases)], "i long, h string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", W.registrable_domain(F.col("h")).alias("d")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_url_dedup_canonical_ids(spark):
+    rows = [
+        (0, "https://E.com/p?b=1&a=2"),
+        (1, "https://e.com:443/p?a=2&b=1#frag"),   # same resource
+        (2, "HTTPS://e.com/p?a=2&b=1&utm_source=x"),
+        (3, "https://e.com/q"),
+        (4, "not a url"),
+        (5, "also not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["canon_id"]
+           for r in W.url_dedup(df, url_col="url",
+                                id_col="doc_id").collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == 3
+    assert out[4] == 4 and out[5] == 5      # non-URLs keep their id
+    kept = W.url_dedup(df, url_col="url", id_col="doc_id") \
+        .filter(F.col("doc_id") == F.col("canon_id"))
+    assert kept.count() == 4
+
+
+def test_url_ops_plan_is_pure_expression(spark):
+    """The whole pass must stay inside whole-stage codegen: no
+    Exchange, no Python (BatchEvalPython/ArrowEvalPython) before the
+    caller aggregates."""
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7),
+                 F.lit(".example.com/p?x="), F.col("id")).alias("url"))
+    plan = df.select(
+        W.url_normalize(F.col("url")).alias("n"),
+        W.registrable_domain(W.host_of(F.col("url"))).alias("d"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    # NB: the array filter() lambda keeps the Project out of
+    # whole-stage codegen, but it is still a JVM expression — the
+    # two asserts above are the scale contract (no shuffle, no
+    # Python worker)
