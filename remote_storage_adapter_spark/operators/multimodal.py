@@ -346,32 +346,45 @@ def _gps_degrees(val: bytes, ref, neg_ref: str, le: bool):
 
 
 def _exif_parse(p: bytes):
-    """EXIF fields from a JPEG's APP1 segment via the real TIFF IFD
-    walk: IFD0 (Make/Model/Orientation/DateTime + the ExifIFD/GPSIFD
-    pointers), ExifIFD (DateTimeOriginal, PixelX/YDimension), GPSIFD
-    (lat/lon rationals + hemisphere refs). Returns an 8-tuple of
-    Nones when there is no parsable EXIF — triage, not quarantine."""
+    """EXIF fields via the real TIFF IFD walk: IFD0
+    (Make/Model/Orientation/DateTime + the ExifIFD/GPSIFD pointers),
+    ExifIFD (DateTimeOriginal, PixelX/YDimension), GPSIFD (lat/lon
+    rationals + hemisphere refs). The TIFF blob comes from a JPEG
+    APP1(Exif) segment or a PNG ``eXIf`` chunk — the two containers
+    that carry EXIF. Returns an 8-tuple of Nones when there is no
+    parsable EXIF — triage, not quarantine."""
     none = (None,) * 8
-    if p[:2] != b"\xff\xd8":
-        return none
     tiff = None
-    i = 2
-    while i + 4 <= len(p) and p[i] == 0xFF:
-        m = p[i + 1]
-        if m == 0xDA or m == 0xD9:
-            break
-        if m == 0x01 or 0xD0 <= m <= 0xD7:
-            i += 2
-            continue
-        seglen = int.from_bytes(p[i + 2:i + 4], "big")
-        if seglen < 2 or i + 2 + seglen > len(p):
-            break
-        # XMP also rides APP1 — match on the Exif signature, not the
-        # marker alone
-        if m == 0xE1 and p[i + 4:i + 10] == b"Exif\x00\x00":
-            tiff = p[i + 10:i + 2 + seglen]
-            break
-        i += 2 + seglen
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(p) and p[i] == 0xFF:
+            m = p[i + 1]
+            if m == 0xDA or m == 0xD9:
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            if seglen < 2 or i + 2 + seglen > len(p):
+                break
+            # XMP also rides APP1 — match on the Exif signature, not
+            # the marker alone
+            if m == 0xE1 and p[i + 4:i + 10] == b"Exif\x00\x00":
+                tiff = p[i + 10:i + 2 + seglen]
+                break
+            i += 2 + seglen
+    elif p[:8] == _PNG_SIG:
+        i = 8
+        while i + 8 <= len(p):
+            clen = int.from_bytes(p[i:i + 4], "big")
+            if clen > len(p) or i + 12 + clen > len(p):
+                break
+            if p[i + 4:i + 8] == b"eXIf":  # chunk data IS the TIFF
+                tiff = p[i + 8:i + 8 + clen]
+                break
+            i += 12 + clen
+    else:
+        return none
     if tiff is None or len(tiff) < 8:
         return none
     if tiff[:2] == b"II":
@@ -428,7 +441,8 @@ def _exif_parse(p: bytes):
 def exif_metadata(media: DataFrame, *, id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:
     """Parse EXIF camera/orientation/capture-time/GPS metadata out of
-    every JPEG payload via the REAL TIFF IFD walk — the provenance
+    every JPEG (APP1) or PNG (``eXIf`` chunk) payload via the REAL
+    TIFF IFD walk — the provenance
     and PII-triage scan of an image-curation pipeline (GPS
     coordinates are the canonical stripped-before-training field).
     Arrow-batched ``mapInPandas``, partition-preserving, no shuffle;

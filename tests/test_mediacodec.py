@@ -1918,6 +1918,23 @@ def test_exif_parse_golden(order):
         ((79, 1), (58, 1), (5598, 100)), -1.0)
 
 
+def test_exif_parse_png_exif_chunk():
+    """PNG carries the same TIFF blob in an eXIf chunk — the walk
+    must find it there too, and strip_metadata must remove it."""
+    tiff = build_exif_jpeg()[12:-2]          # TIFF = APP1 minus hdr
+    assert tiff[:2] == b"II"
+    px = RNG.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    png = MC.png_encode(px)
+    ihdr_end = png.index(b"IDAT") - 4
+    fat = png[:ihdr_end] + _chunk(b"eXIf", tiff) + png[ihdr_end:]
+    make, _m, orient, _dt, w, h, lat, lon = MM._exif_parse(fat)
+    assert (make, orient, w, h) == ("Canon", 6, 1024, 768)
+    assert lat > 0 > lon
+    stripped = MM._strip_one(fat)
+    assert stripped == png
+    assert MM._exif_parse(stripped)[2] is None
+
+
 def test_exif_parse_south_and_datetimeoriginal_precedence():
     p = build_exif_jpeg(lat_ref=b"S", lon_ref=b"E")
     *_, lat, lon = MM._exif_parse(p)
