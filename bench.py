@@ -331,19 +331,8 @@ def bench_exif_scrub(spark, sf_dir):
     mapInPandas column can be pruned."""
     from remote_storage_adapter_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents")
-    n = F.col("doc_id") % 32 + 1
-    payload = F.concat(
-        F.lit(b"\xff\xd8"), Q._exif_planted_app1(docs),
-        F.lit(bytes.fromhex("FFFE")), Q._be_bytes(n + 2, 4),
-        F.encode(F.repeat(F.lit("c"), n.cast("int")), "US-ASCII"),
-        F.lit(bytes.fromhex("FFC0" "000B" "08")),
-        Q._be_bytes(F.col("doc_id") % 2160 + 1, 4),
-        Q._be_bytes(F.col("doc_id") % 4096 + 1, 4),
-        F.lit(bytes.fromhex("01" "011100" "FFD9")),
-    )
-    media = docs.select(F.col("doc_id").alias("media_id"),
-                        payload.alias("payload"))
+    media = Q.exif_strip_planted_media(
+        load_table(spark, sf_dir, "documents"))
     parsed = MM.exif_metadata(media).agg(
         F.sum("gps_lat").alias("lat_sum"),
         F.count("orientation").alias("n_exif"))

@@ -98,6 +98,45 @@ SNIFF_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = MC._PNG_SIG  # one signature constant, never re-typed
+
+
+def _jpeg_segments(p: bytes):
+    """Yield (marker, seg_start, seg_end) for every JPEG marker
+    segment after SOI — ``p[seg_start:seg_end]`` is the whole
+    segment including its 2 marker bytes (standalone markers span
+    exactly 2). The ONE segment walk shared by :func:`_sniff`,
+    :func:`_exif_parse` and :func:`_strip_one` (three hand-rolled
+    copies drifted in round 8 — the fill-byte fix below had to land
+    once, not three times). Spec-legal 0xFF fill bytes before a
+    marker (T.81 B.1.1.2) are skipped. Stops after yielding SOS/EOI
+    (entropy data follows SOS; the caller copies/ignores it).
+    Raises ValueError on structurally lying bytes — strict callers
+    propagate (quarantine), triage callers catch and keep what was
+    walked so far."""
+    i = 2
+    while i + 2 <= len(p) and p[i] == 0xFF:
+        m = p[i + 1]
+        if m == 0xFF:           # fill byte before the real marker
+            i += 1
+            continue
+        if m == 0xDA or m == 0xD9:
+            yield m, i, i + 2
+            return
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            yield m, i, i + 2
+            i += 2
+            continue
+        if i + 4 > len(p):
+            raise ValueError("JPEG: truncated segment header")
+        seglen = int.from_bytes(p[i + 2:i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(p):
+            raise ValueError("JPEG: lying segment length")
+        yield m, i, i + 2 + seglen
+        i += 2 + seglen
+    raise ValueError("JPEG: truncated before SOS/EOI")
+
+
 def _mp4_boxes(p: bytes, start: int, end: int):
     """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes
     in p[start:end]. Handles 64-bit largesize (size==1) and
@@ -179,7 +218,7 @@ def _sniff(p: bytes):
     triage step before the full pixel/sample decode
     (:func:`decode_media`).
     """
-    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 \
+    if p[:8] == _PNG_SIG and len(p) >= 24 \
             and p[12:16] == b"IHDR":
         return ("png", int.from_bytes(p[16:20], "big"),
                 int.from_bytes(p[20:24], "big"), None, None, None)
@@ -192,17 +231,17 @@ def _sniff(p: bytes):
                 abs(int.from_bytes(p[22:26], "little", signed=True)),
                 None, None, None)
     if p[:2] == b"\xff\xd8":
-        i = 2
-        while i + 9 <= len(p) and p[i] == 0xFF:
-            marker = p[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
-                return ("jpeg", int.from_bytes(p[i + 7:i + 9], "big"),
-                        int.from_bytes(p[i + 5:i + 7], "big"),
-                        None, None, None)
-            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
-                i += 2  # standalone marker, no length field
-                continue
-            i += 2 + int.from_bytes(p[i + 2:i + 4], "big")
+        try:
+            for m, s, e in _jpeg_segments(p):
+                if m in (0xC0, 0xC1, 0xC2, 0xC3) and e - s >= 9:
+                    return ("jpeg",
+                            int.from_bytes(p[s + 7:s + 9], "big"),
+                            int.from_bytes(p[s + 5:s + 7], "big"),
+                            None, None, None)
+                if m == 0xDA:
+                    break
+        except ValueError:  # triage: unparsable dims, not a job abort
+            pass
         return ("jpeg", None, None, None, None, None)
     if len(p) >= 12 and p[4:8] == b"ftyp":
         return _sniff_mp4(p)
@@ -356,23 +395,17 @@ def _exif_parse(p: bytes):
     none = (None,) * 8
     tiff = None
     if p[:2] == b"\xff\xd8":
-        i = 2
-        while i + 4 <= len(p) and p[i] == 0xFF:
-            m = p[i + 1]
-            if m == 0xDA or m == 0xD9:
-                break
-            if m == 0x01 or 0xD0 <= m <= 0xD7:
-                i += 2
-                continue
-            seglen = int.from_bytes(p[i + 2:i + 4], "big")
-            if seglen < 2 or i + 2 + seglen > len(p):
-                break
-            # XMP also rides APP1 — match on the Exif signature, not
-            # the marker alone
-            if m == 0xE1 and p[i + 4:i + 10] == b"Exif\x00\x00":
-                tiff = p[i + 10:i + 2 + seglen]
-                break
-            i += 2 + seglen
+        try:
+            for m, s, e in _jpeg_segments(p):
+                if m == 0xDA or m == 0xD9:
+                    break
+                # XMP also rides APP1 — match on the Exif signature,
+                # not the marker alone
+                if m == 0xE1 and p[s + 4:s + 10] == b"Exif\x00\x00":
+                    tiff = p[s + 10:e]
+                    break
+        except ValueError:  # triage: no EXIF found, not a job abort
+            pass
     elif p[:8] == _PNG_SIG:
         i = 8
         while i + 8 <= len(p):
@@ -474,7 +507,6 @@ _JPEG_META_MARKERS = frozenset({0xE1, 0xED, 0xFE})
 #: ancillaries (PLTE/tRNS/gAMA/...) are kept.
 _PNG_META_CHUNKS = frozenset({b"tEXt", b"zTXt", b"iTXt", b"eXIf",
                               b"tIME"})
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _strip_one(p: bytes) -> bytes:
@@ -486,27 +518,15 @@ def _strip_one(p: bytes) -> bytes:
     quarantine contract."""
     if p[:2] == b"\xff\xd8":
         out = bytearray(b"\xff\xd8")
-        i = 2
-        while i + 2 <= len(p) and p[i] == 0xFF:
-            m = p[i + 1]
+        for m, s, e in _jpeg_segments(p):
             if m == 0xDA:           # scan start: verbatim to the end
-                out += p[i:]
+                out += p[s:]
                 return bytes(out)
             if m == 0xD9:
-                out += p[i:i + 2]
+                out += p[s:e]
                 return bytes(out)
-            if m == 0x01 or 0xD0 <= m <= 0xD7:
-                out += p[i:i + 2]
-                i += 2
-                continue
-            if i + 4 > len(p):
-                raise ValueError("JPEG: truncated segment header")
-            seglen = int.from_bytes(p[i + 2:i + 4], "big")
-            if seglen < 2 or i + 2 + seglen > len(p):
-                raise ValueError("JPEG: lying segment length")
             if m not in _JPEG_META_MARKERS:
-                out += p[i:i + 2 + seglen]
-            i += 2 + seglen
+                out += p[s:e]
         raise ValueError("JPEG: truncated before SOS/EOI")
     if p[:8] == _PNG_SIG:
         out = bytearray(_PNG_SIG)

@@ -74,7 +74,11 @@ def _parts(url: Column):
     auth = F.lower(
         F.regexp_replace(  # userinfo is PII, never resource identity
             F.regexp_extract(rest, r"^([^/?]*)", 1), r"^[^/?]*@", ""))
-    host = F.regexp_replace(auth, r":[0-9]*$", "")
+    # absolute DNS names ('example.com.') are the same host — the
+    # trailing dot would otherwise split dedup groups and collapse
+    # registrable_domain to the bare suffix
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r":[0-9]*$", ""), r"\.$", "")
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
     tail = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
@@ -142,6 +146,12 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
     Scale shape: one hash aggregation + one shuffle join, both keyed
     on ``norm_url`` — the same plan as ``dedup.exact_pairs``; no
     windows, no driver collect."""
+    for reserved in ("norm_url", "canon_id"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"url_dedup: input already has a '{reserved}' column "
+                f"(reserved as this operator's output) — rename it or "
+                f"drop it first")
     norm = url_normalize(F.col(url_col), tracking)
     with_norm = df.withColumn("norm_url", norm)
     canon = (with_norm.filter(F.col("norm_url").isNotNull())

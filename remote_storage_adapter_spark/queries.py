@@ -4293,16 +4293,13 @@ FROM documents
 """
 
 
-def q_multimodal_exif_strip(spark, sf_dir):
-    """Lossless metadata scrub, oracle-gated (oracled orphan): plant
-    SOI + APP1(Exif w/ GPS) + COM (doc-dependent length) + SOF0
-    header (doc-dependent dims) + EOI, run the REAL byte-splice strip
-    (`operators/multimodal.strip_metadata`), and verify three
-    analytic facts about the result: the removed byte count (APP1
-    192 + COM 4+n), the SOF dimensions still parse out of the
-    stripped file (pixels untouched), and the EXIF orientation of
-    the stripped file is NULL (the PII is gone)."""
-    docs = load_table(_prep(spark), sf_dir, "documents")
+def exif_strip_planted_media(docs):
+    """The planted strip-path JPEG (SOI + APP1(Exif) + COM of
+    doc-dependent length + SOF0 header with doc-dependent dims +
+    EOI) as a media frame. ONE builder shared by the
+    `multimodal_exif_strip` oracle and `bench_exif_scrub` so the
+    bench always measures the oracle-locked payload (removed =
+    196 + doc_id % 32 + 1 by construction)."""
     n = F.col("doc_id") % 32 + 1
     h = F.col("doc_id") % 2160 + 1
     w = F.col("doc_id") % 4096 + 1
@@ -4314,8 +4311,21 @@ def q_multimodal_exif_strip(spark, sf_dir):
         _be_bytes(h, 4), _be_bytes(w, 4),
         F.lit(bytes.fromhex("01" "011100" "FFD9")),
     )
-    media = docs.select(F.col("doc_id").alias("media_id"),
-                        payload.alias("payload"))
+    return docs.select(F.col("doc_id").alias("media_id"),
+                       payload.alias("payload"))
+
+
+def q_multimodal_exif_strip(spark, sf_dir):
+    """Lossless metadata scrub, oracle-gated (oracled orphan): plant
+    SOI + APP1(Exif w/ GPS) + COM (doc-dependent length) + SOF0
+    header (doc-dependent dims) + EOI, run the REAL byte-splice strip
+    (`operators/multimodal.strip_metadata`), and verify three
+    analytic facts about the result: the removed byte count (APP1
+    192 + COM 4+n), the SOF dimensions still parse out of the
+    stripped file (pixels untouched), and the EXIF orientation of
+    the stripped file is NULL (the PII is gone)."""
+    media = exif_strip_planted_media(
+        load_table(_prep(spark), sf_dir, "documents"))
     stripped = MM.strip_metadata(media).select("media_id", "payload",
                                                "removed")
     sn = MM.sniff_media_meta(stripped).select("media_id", "width",

@@ -1962,9 +1962,27 @@ def test_exif_parse_triage_on_hostile_bytes():
     for p in hostiles:
         out = MM._exif_parse(p)
         assert len(out) == 8
-    # pointer aimed back at IFD0: parses (no recursion), no hang
-    cyc = build_exif_jpeg()
-    assert len(MM._exif_parse(cyc)) == 8
+    # ExifIFD pointer aimed back at IFD0 (offset 74 -> 8): the walk
+    # must not recurse or hang — IFD0 re-read as ExifIFD simply has
+    # no dimension tags, and pointers found there are never followed
+    cyc = build_exif_jpeg().replace(
+        _num(74, 4, "little"), _num(8, 4, "little"), 1)
+    out = MM._exif_parse(cyc)
+    assert out[2] == 6 and out[4] is None and out[5] is None
+
+
+def test_exif_and_strip_skip_fill_bytes():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; some
+    encoders emit them. The shared segment walk must skip them, not
+    misparse the fill byte as a marker (pre-fix: real EXIF was lost
+    to triage and valid files were quarantined by the scrub)."""
+    base = build_exif_jpeg()
+    filled = base[:2] + b"\xff\xff" + base[2:]
+    assert MM._exif_parse(filled)[2] == 6
+    img = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    orig = build_jpeg([img], [(1, 1)], [np.ones(64, int)])
+    fat = orig[:2] + b"\xff" + base[2:-2] + orig[2:]
+    assert MM._strip_one(fat) == orig
 
 
 def test_exif_metadata_operator_and_triage(spark):

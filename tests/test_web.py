@@ -40,6 +40,9 @@ def test_url_normalize_contract(spark):
         ("http://e.com:980/", "http://e.com:980/"),
         # path/query case preserved
         ("https://e.com/CaseSig?Q=Vv", "https://e.com/CaseSig?Q=Vv"),
+        # absolute DNS name: trailing dot is the same host
+        ("https://example.com./p", "https://example.com/p"),
+        ("https://example.co.uk.:8443/p", "https://example.co.uk:8443/p"),
         # not a URL
         ("hello world", None),
         ("", None),
@@ -49,7 +52,8 @@ def test_url_normalize_contract(spark):
         assert norms[i] == want, (u, norms[i], want)
     assert hosts[0] == "www.example.com"
     assert hosts[3] == "example.com"        # port stripped from host
-    assert hosts[9] is None
+    assert hosts[9] == "example.com"        # trailing dot stripped
+    assert hosts[11] is None
 
 
 def test_url_normalize_idempotent(spark):
@@ -101,6 +105,15 @@ def test_url_dedup_canonical_ids(spark):
     kept = W.url_dedup(df, url_col="url", id_col="doc_id") \
         .filter(F.col("doc_id") == F.col("canon_id"))
     assert kept.count() == 4
+
+
+def test_url_dedup_reserved_columns_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "https://e.com", 9)],
+                               "doc_id long, url string, canon_id long")
+    with pytest.raises(ValueError, match="canon_id"):
+        W.url_dedup(df, url_col="url", id_col="doc_id")
 
 
 def test_url_ops_plan_is_pure_expression(spark):
