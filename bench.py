@@ -377,6 +377,46 @@ def bench_url_curation(spark, sf_dir):
         .alias("kept"))
 
 
+def bench_warc_extract(spark, sf_dir):
+    """The composed crawl front-end: plant a single-response WARC
+    archive per document (real doc text wrapped in HTML inside an
+    HTTP message), walk the records (mapInPandas), extract visible
+    text from the body (expression-only html_to_text) and normalize
+    the target URI — WARC → documents in one pipeline. Aggregates
+    over text length and distinct canonical URLs so nothing prunes."""
+    from remote_storage_adapter_spark.operators import web as W
+    from remote_storage_adapter_spark.sources import warc as WR
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><head><script>var x='"), s(d % 97),
+        F.lit("';</script></head><body><h1>H</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &amp; tail</p></body></html>"))
+    uri = F.concat(F.lit("HTTPS://W"), s(d % 997),
+                   F.lit(".Example.com:443/p/"), s(d % 131),
+                   F.lit("?utm_source=t&b=1&a=2"))
+    payload = F.encode(F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
+              "Content-Length: "), s(F.octet_length(html) + 44),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html"
+              "\r\n\r\n"), html, F.lit("\r\n\r\n"),
+    ), "UTF-8")
+    recs = WR.warc_records(
+        docs.select(d.alias("src_id"), payload.alias("payload")))
+    resp = recs.filter(F.col("warc_type") == "response")
+    return resp.select(
+        W.html_to_text(F.decode(F.col("body"), "UTF-8")).alias("t"),
+        W.url_normalize(F.col("target_uri")).alias("u"),
+    ).agg(F.sum(F.length("t")).alias("chars"),
+          F.countDistinct("u").alias("n_urls"),
+          F.count(F.lit(1)).alias("n_docs"))
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -477,6 +517,7 @@ BENCH_QUERIES = {
     "multimodal_audio": Q.q_multimodal_audio,
     "exif_scrub": bench_exif_scrub,
     "url_curation": bench_url_curation,
+    "warc_extract": bench_warc_extract,
 }
 
 
@@ -565,6 +606,7 @@ def main():
                   "image_near_dup": max(reps, 5),
                   "text_normalize": max(reps, 5),
                   "exif_scrub": max(reps, 5),
+                  "warc_extract": max(reps, 5),
                   "multimodal_audio": max(reps, 5)}
     # r7 verdict #7 (contention insurance): the r6 incident showed
     # machine noise lands on whichever rows run LATE — a fixed order

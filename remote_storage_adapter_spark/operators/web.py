@@ -136,6 +136,41 @@ def registrable_domain(host: Column,
             .when(n >= 2, last2).otherwise(host))
 
 
+#: the minimal named-entity set :func:`html_to_text` decodes —
+#: ``&amp;`` LAST so entity-escaped entities (``&amp;lt;``) decode
+#: exactly one level, like a real HTML parser. Numeric entities
+#: beyond ``&#39;`` are left as-is (a full decoder needs the HTML5
+#: entity table; this is the C4-style curation extractor, not a
+#: browser).
+_HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML document — the C4/CCNet-style
+    extraction step between a crawl's HTTP body and the ``documents``
+    table: drop script/style/noscript blocks and comments, strip
+    tags, decode the common entities, collapse whitespace. Pure
+    Column expressions (global Java-regex replaces with inline
+    ``(?is)`` flags — every pattern is RE2-compatible so a SQL
+    oracle replays it with the ``'isg'`` options string; no ``\\s``,
+    explicit ASCII classes per the cross-engine rule). NULL → ``''``
+    (the text-operator contract). This is deliberately the simple
+    whole-document extractor; boilerplate/main-content splitting
+    (trafilatura-style DOM scoring) needs a real parser and is out
+    of scope."""
+    h = F.coalesce(html, F.lit(""))
+    for tag in ("script", "style", "noscript"):
+        h = F.regexp_replace(h, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+    h = F.regexp_replace(h, r"(?is)<!--.*?-->", " ")
+    h = F.regexp_replace(h, r"(?is)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        h = F.replace(h, F.lit(ent), F.lit(ch))
+    # the same explicit ASCII whitespace class as text._WS_CLASS
+    # (\s is Unicode-wide in Java, ASCII-only in RE2)
+    return F.trim(F.regexp_replace(h, r"[ \t\n\r\f\v]+", " "))
+
+
 def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
               tracking: Sequence[str] = TRACKING_PARAMS) -> DataFrame:
     """URL-level exact dedup: adds ``norm_url`` and ``canon_id`` (the

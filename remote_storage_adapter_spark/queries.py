@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from remote_storage_adapter_spark.session import tune
 from remote_storage_adapter_spark.sources.tables import load_table
 from remote_storage_adapter_spark.sources.events import metrics_from_events
+from remote_storage_adapter_spark.sources import warc as WR
 from remote_storage_adapter_spark.plans.matchers import LabelMatcher, PromQuery
 from remote_storage_adapter_spark.plans.read import (
     assemble_series,
@@ -4404,6 +4405,116 @@ SELECT doc_id,
         || CASE WHEN k % 5 = 0 THEN 'co.uk' ELSE 'com' END) AS domain,
        CAST(k AS BIGINT) AS canon_id
 FROM k
+"""
+
+
+def q_web_html_text(spark, sf_dir):
+    """HTML text extraction, oracle-gated (oracled orphan): wrap
+    every REAL document text in planted HTML (script/style/noscript
+    noise, comments, entities, raw newlines) and run the
+    expression-only extractor (`operators/web.html_to_text`). The
+    oracle replays the LITERAL same regex pipeline in DuckDB (RE2
+    inline ``(?is)`` + ``'g'`` option mirrors Java's global
+    replace; explicit ASCII whitespace class per the cross-engine
+    rule), value-hashing the full extracted text — so the real doc
+    bodies exercise the pipeline, not just the planted suffixes."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><head><title>T"), s(d % 7),
+        F.lit("</title><script>var k='<p>"), s(d % 97),
+        F.lit("';</script><style>.a{color:red}</style></head>"
+              "<body>\n<h1 class='h'>H</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &amp; tail &lt;"), s(d % 13),
+        F.lit("&gt;&nbsp;end</p><!-- hidden --></body></html>"),
+    )
+    return docs.select(
+        "doc_id", WB.html_to_text(html).alias("text_out"))
+
+
+O_web_html_text = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>T' || (doc_id % 7)
+         || '</title><script>var k=''<p>' || (doc_id % 97)
+         || ''';</script><style>.a{color:red}</style></head>'
+         || '<body>' || chr(10) || '<h1 class=''h''>H</h1><p>'
+         || coalesce(text, '')
+         || ' &amp; tail &lt;' || (doc_id % 13)
+         || '&gt;&nbsp;end</p><!-- hidden --></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+               '(?is)<!--.*?-->', ' ', 'g'),
+               '(?is)<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         '[ \t\n\r\f\v]+', ' ', 'g')) AS text_out
+FROM h
+"""
+
+
+def q_web_warc(spark, sf_dir):
+    """WARC record parsing, oracle-gated (oracled orphan): plant a
+    complete 2-record WARC archive per document — a warcinfo record
+    and an HTTP response record whose Content-Length (44 + k) and
+    body (``'b' * k``, k = doc_id % 50 + 1) are closed-form — and
+    recover every typed field through the genuine record walk
+    (`sources/warc._parse_warc` + `_split_http`). The oracle states
+    the expected rows directly (md5 of the body via
+    ``md5(repeat('b', k))``). The per-member-gzip path is
+    pytest-locked (gzip bytes are not SQL-constructible)."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k = d % 50 + 1
+    uri = F.concat(F.lit("https://w"), s(d % 23),
+                   F.lit(".example.com/p/"), s(d % 13))
+    # HTTP head is exactly 40 bytes; block = head + CRLFCRLF + body
+    payload = F.encode(F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+              "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Length: 0\r\n\r\n\r\n\r\n"
+              "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
+              "Content-Length: "), s(k + 44),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html"
+              "\r\n\r\n"),
+        F.repeat(F.lit("b"), k.cast("int")),
+        F.lit("\r\n\r\n"),
+    ), "US-ASCII")
+    media = docs.select(F.col("doc_id").alias("src_id"),
+                        payload.alias("payload"))
+    return WR.warc_records(media).select(
+        "src_id", "rec_idx", "warc_type", "target_uri", "http_status",
+        F.length("body").alias("body_len"),
+        F.md5("body").alias("body_md5"))
+
+
+O_web_warc = """
+WITH d AS (SELECT doc_id, doc_id % 50 + 1 AS k FROM documents)
+SELECT doc_id AS src_id, CAST(0 AS INTEGER) AS rec_idx,
+       'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+       CAST(NULL AS INTEGER) AS http_status,
+       CAST(0 AS INTEGER) AS body_len, md5('') AS body_md5
+FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER), 'response',
+       'https://w' || (doc_id % 23) || '.example.com/p/'
+         || (doc_id % 13),
+       CAST(200 AS INTEGER), CAST(k AS INTEGER),
+       md5(repeat('b', CAST(k AS INTEGER)))
+FROM d
 """
 
 

@@ -102,6 +102,8 @@ _ORACLED_ORPHANS = [
     "multimodal_exif",
     "multimodal_exif_strip",
     "web_urls",
+    "web_html_text",
+    "web_warc",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]

@@ -107,6 +107,32 @@ def test_url_dedup_canonical_ids(spark):
     assert kept.count() == 4
 
 
+def test_html_to_text_contract(spark):
+    cases = [
+        ("<html><head><title>T</title><script>var x='<p>';</script>"
+         "<style>.c{color:red}</style></head>"
+         "<body><h1>Head</h1>\n<p>A &amp; B &lt;ok&gt;</p>"
+         "<!-- hidden --></body></html>",
+         "T Head A & B <ok>"),
+        # entity-escaped entity decodes exactly one level
+        ("a &amp;lt; b", "a &lt; b"),
+        # case-insensitive tags, attributes with '>' inside quotes
+        # are OUT of scope (documented simple extractor): plain attrs
+        ("<DIV class='x'>hi<BR>there</DIV>", "hi there"),
+        ("&quot;q&quot; &#39;s&#39; n&nbsp;b", '"q" \'s\' n b'),
+        ("<noscript>enable js</noscript>visible", "visible"),
+        ("", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)],
+        "i long, html string")
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", W.html_to_text(F.col("html")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+
 def test_url_dedup_reserved_columns_guard(spark):
     import pytest
 
