@@ -136,6 +136,50 @@ def registrable_domain(host: Column,
             .when(n >= 2, last2).otherwise(host))
 
 
+def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
+                  id_col: str) -> DataFrame:
+    """Crawl-compliance gate: adds an ``allowed`` boolean per row by
+    checking each URL against its host's robots rules (a
+    :func:`..sources.robots.robots_rules` frame). Precedence is the
+    public convention: among matching rules the LONGEST pattern
+    wins, allow beats disallow on ties; a host with no rules (or no
+    robots.txt) is fully allowed. Matching covers path+query, per
+    RFC 9309.
+
+    Scale shape: one join keyed on host (Catalyst/AQE picks
+    broadcast when the flattened rule table is small — it usually
+    is, even for millions of hosts it is rule-count rows, not
+    corpus rows), one regexp match per (url, candidate-rule) pair
+    (JVM ``regexp_like`` with the precompiled-per-rule pattern
+    column), one max-struct aggregation, one join back on
+    ``id_col``. No Python, no windows."""
+    if "allowed" in df.columns:
+        raise ValueError("robots_filter: input already has an "
+                         "'allowed' column (reserved as this "
+                         "operator's output)")
+    u = F.col(url_col)
+    scheme, host, _port, path, query = _parts(u)
+    target = F.concat(
+        F.when(path == "", "/").otherwise(path),
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""))
+    with_t = df.withColumn("_rb_host", host).withColumn("_rb_t", target)
+    cand = with_t.select(id_col, "_rb_host", "_rb_t").join(
+        rules.filter(F.col("err").isNull()).select(
+            F.col("host").alias("_rb_host"), "allow", "pattern",
+            "pattern_re"),
+        "_rb_host")
+    dec = (cand.filter(F.regexp_like(F.col("_rb_t"),
+                                     F.col("pattern_re")))
+           .groupBy(id_col)
+           .agg(F.max(F.struct(
+               F.length("pattern").alias("l"),
+               F.col("allow"))).alias("_rb_d")))
+    return (with_t.join(dec, id_col, "left")
+            .withColumn("allowed",
+                        F.coalesce(F.col("_rb_d.allow"), F.lit(True)))
+            .drop("_rb_host", "_rb_t", "_rb_d"))
+
+
 #: the minimal named-entity set :func:`html_to_text` decodes —
 #: ``&amp;`` LAST so entity-escaped entities (``&amp;lt;``) decode
 #: exactly one level, like a real HTML parser. Numeric entities

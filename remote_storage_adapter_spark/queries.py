@@ -27,6 +27,7 @@ from remote_storage_adapter_spark.session import tune
 from remote_storage_adapter_spark.sources.tables import load_table
 from remote_storage_adapter_spark.sources.events import metrics_from_events
 from remote_storage_adapter_spark.sources import warc as WR
+from remote_storage_adapter_spark.sources import robots as RB
 from remote_storage_adapter_spark.plans.matchers import LabelMatcher, PromQuery
 from remote_storage_adapter_spark.plans.read import (
     assemble_series,
@@ -4515,6 +4516,78 @@ SELECT doc_id, CAST(1 AS INTEGER), 'response',
        CAST(200 AS INTEGER), CAST(k AS INTEGER),
        md5(repeat('b', CAST(k AS INTEGER)))
 FROM d
+"""
+
+
+#: the planted robots.txt for q_web_robots: the ``*`` group denies
+#: everything, so the result is only right if the parser selects the
+#: trainingbot group (RFC 9309 longest-agent-match); the {k} rule
+#: makes a cross-host join wiring visible (each host denies only its
+#: OWN /only{k}/ tree).
+_ROBOTS_TXT = ("User-agent: *\nDisallow: /\n\n"
+               "User-agent: trainingbot\n"
+               "Disallow: /private*\n"
+               "Allow: /private/ok$\n"
+               "Disallow: /tmp/\n"
+               "Disallow: /only{k}/\n")
+
+
+def q_web_robots(spark, sf_dir):
+    """robots.txt compliance gate, oracle-gated (oracled orphan):
+    plant a per-host robots policy (20 hosts from doc_id % 20, each
+    denying its OWN ``/only{k}/`` tree plus shared wildcard/$ rules;
+    a ``*`` group that denies everything guards agent-group
+    selection) and 7 URL branches per doc exercising every
+    precedence case — wildcard match, longest-pattern allow
+    override, ``$`` anchor miss, no-match default, own-host vs
+    other-host rule. The oracle states the expected verdicts in
+    closed form: allowed ⇔ doc_id % 7 ∈ {1, 4, 5}. A group-selection,
+    pattern-translation, precedence, or join-wiring bug flips
+    rows."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k = d % 20
+    host = F.concat(F.lit("h"), s(k), F.lit(".example.com"))
+    m = d % 7
+    path = (F.when(m == 0, "/private/x")
+            .when(m == 1, "/private/ok")
+            .when(m == 2, "/private/okx")
+            .when(m == 3, "/tmp/f")
+            .when(m == 4, "/fine")
+            .when(m == 5, F.concat(F.lit("/only"), s((k + 1) % 20),
+                                   F.lit("/x")))
+            .otherwise(F.concat(F.lit("/only"), s(k), F.lit("/x"))))
+    urls = docs.select("doc_id",
+                       F.concat(F.lit("https://"), host,
+                                path).alias("url"))
+    hosts = docs.select(
+        F.concat(F.lit("h"), s(k), F.lit(".example.com")).alias("host")
+    ).distinct().withColumn(
+        "robots_txt",
+        F.concat(F.lit(_ROBOTS_TXT.split("{k}")[0]),
+                 F.regexp_extract("host", r"^h([0-9]+)\.", 1),
+                 F.lit(_ROBOTS_TXT.split("{k}")[1])))
+    rules = RB.robots_rules(hosts, agent="trainingbot/1.2")
+    return WB.robots_filter(urls, rules, url_col="url",
+                            id_col="doc_id").select(
+        "doc_id", "url", "allowed")
+
+
+O_web_robots = """
+SELECT doc_id,
+       'https://h' || (doc_id % 20) || '.example.com' ||
+       CASE doc_id % 7
+         WHEN 0 THEN '/private/x'
+         WHEN 1 THEN '/private/ok'
+         WHEN 2 THEN '/private/okx'
+         WHEN 3 THEN '/tmp/f'
+         WHEN 4 THEN '/fine'
+         WHEN 5 THEN '/only' || ((doc_id % 20 + 1) % 20) || '/x'
+         ELSE '/only' || (doc_id % 20) || '/x'
+       END AS url,
+       (doc_id % 7) IN (1, 4, 5) AS allowed
+FROM documents
 """
 
 

@@ -5,6 +5,7 @@ the expressions under test."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from remote_storage_adapter_spark.operators import web as W
@@ -159,3 +160,92 @@ def test_url_ops_plan_is_pure_expression(spark):
     # whole-stage codegen, but it is still a JVM expression — the
     # two asserts above are the scale contract (no shuffle, no
     # Python worker)
+
+
+def test_robots_rules_group_selection_and_filter(spark):
+    from remote_storage_adapter_spark.sources import robots as RB
+
+    robots = (
+        "# policy\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: trainingbot\n"
+        "DISALLOW: /private*   # key case-insensitive\n"
+        "Allow: /private/ok$\n"
+        "Disallow: /tmp/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /all\n"
+    )
+    hosts = spark.createDataFrame(
+        [("h.com", robots), ("open.com", None),
+         ("empty.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    rules = RB.robots_rules(hosts, agent="TrainingBot-2.1")
+    assert {(r["allow"], r["pattern"]) for r in rules.collect()} == {
+        (False, "/private*"), (True, "/private/ok$"),
+        (False, "/tmp/")}
+    # unknown agent falls back to the * group
+    star = RB.robots_rules(hosts, agent="otherbot")
+    assert {r["pattern"] for r in star.collect()} == {"/all"}
+
+    urls = [(0, "https://h.com/private/x"),
+            (1, "https://h.com/private/ok"),
+            (2, "https://h.com/private/okx"),   # $ rule must NOT match
+            (3, "https://h.com/tmp/f"),
+            (4, "https://h.com/fine"),
+            (5, "https://h.com/private"),
+            (6, "https://h.com"),               # empty path -> '/'
+            (9, "https://open.com/private/x"),  # no robots: allowed
+            (10, "https://empty.com/anything")]  # empty Disallow:
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = {r["doc_id"]: r["allowed"]
+           for r in W.robots_filter(df, rules, url_col="url",
+                                    id_col="doc_id").collect()}
+    assert out == {0: False, 1: True, 2: False, 3: False, 4: True,
+                   5: False, 6: True, 9: True, 10: True}
+    with pytest.raises(ValueError, match="allowed"):
+        W.robots_filter(df.withColumn("allowed", F.lit(True)), rules,
+                        url_col="url", id_col="doc_id")
+
+
+def test_robots_pattern_regex_translation():
+    import re
+
+    from remote_storage_adapter_spark.sources.robots import (
+        _pattern_regex,
+    )
+
+    r = _pattern_regex("/a*b$")
+    assert r == "^/a.*b$"
+    assert re.search(r, "/axxb") and not re.search(r, "/axxbc")
+    # regex metacharacters in the path are literal
+    r2 = _pattern_regex("/p?x=*")
+    assert re.search(r2, "/p?x=anything")
+    assert not re.search(r2, "/pax=anything")
+    # no $: prefix match anywhere after start
+    r3 = _pattern_regex("/pre")
+    assert re.search(r3, "/prefix/more") and not re.search(r3, "/a/pre")
+
+
+def test_robots_parse_edges():
+    from remote_storage_adapter_spark.sources.robots import (
+        _parse_robots,
+    )
+
+    # rules before any user-agent line belong to '*'
+    assert _parse_robots("Disallow: /x\n", "any") == [(False, "/x")]
+    # two groups for the same agent merge
+    txt = ("User-agent: a\nDisallow: /1\n\n"
+           "User-agent: a\nAllow: /2\n")
+    assert _parse_robots(txt, "a") == [(False, "/1"), (True, "/2")]
+    # longest agent prefix wins
+    txt2 = ("User-agent: bot\nDisallow: /b\n\n"
+            "User-agent: botx\nDisallow: /bx\n")
+    assert _parse_robots(txt2, "botxtra") == [(False, "/bx")]
+    # a user-agent line after rules starts a NEW group
+    txt3 = ("User-agent: a\nDisallow: /1\nUser-agent: b\n"
+            "Disallow: /2\n")
+    assert _parse_robots(txt3, "a") == [(False, "/1")]
+    assert _parse_robots(txt3, "b") == [(False, "/2")]
