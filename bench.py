@@ -417,6 +417,37 @@ def bench_warc_extract(spark, sf_dir):
           F.count(F.lit(1)).alias("n_docs"))
 
 
+def bench_robots_gate(spark, sf_dir):
+    """Crawl-compliance gate at corpus scale: 1000 planted per-host
+    policies (4 rules each), one URL per document, the host-keyed
+    join + per-candidate regexp_like + longest-pattern max-struct.
+    Aggregates the verdict counts so the join can't prune."""
+    from remote_storage_adapter_spark.operators import web as W
+    from remote_storage_adapter_spark.sources import robots as RB
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k = d % 1000
+    host = F.concat(F.lit("h"), s(k), F.lit(".example.com"))
+    path = (F.when(d % 3 == 0,
+                   F.concat(F.lit("/private/p"), s(d % 17)))
+            .when(d % 3 == 1, F.concat(F.lit("/ok/"), s(d % 29)))
+            .otherwise(F.concat(F.lit("/tmp/"), s(d % 11))))
+    urls = docs.select("doc_id", F.concat(F.lit("https://"), host,
+                                          path).alias("url"))
+    hosts = urls.select(
+        W.host_of(F.col("url")).alias("host")).distinct().withColumn(
+        "robots_txt",
+        F.lit("User-agent: *\nDisallow: /private*\n"
+              "Allow: /private/p1$\nDisallow: /tmp/\nAllow: /ok\n"))
+    rules = RB.robots_rules(hosts)
+    return W.robots_filter(urls, rules, url_col="url",
+                           id_col="doc_id").agg(
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.count(F.lit(1)).alias("n"))
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -518,6 +549,7 @@ BENCH_QUERIES = {
     "exif_scrub": bench_exif_scrub,
     "url_curation": bench_url_curation,
     "warc_extract": bench_warc_extract,
+    "robots_gate": bench_robots_gate,
 }
 
 
