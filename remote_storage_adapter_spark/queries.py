@@ -4347,22 +4347,15 @@ FROM documents
 """
 
 
-def q_web_urls(spark, sf_dir):
-    """URL canonicalization + host/registrable-domain extraction +
-    URL-level dedup, oracle-gated (oracled orphan): plant a
-    textually-messy URL per document from k = doc_id % 40 — mixed
-    scheme/host case, PII userinfo, default AND non-default ports,
-    tracking params in unsorted order, fragments — run the real
-    expression-only normalizer (`operators/web.py`), and compare to
-    the CLOSED-FORM canonical URL the oracle derives directly from k
-    (an independent derivation, not a replay of the normalizer).
-    Distinct k always yield distinct canonical URLs ((k%11, k%13)
-    alone is injective below 143 > 40), and doc_ids are dense from
-    0, so the dedup group winner is exactly doc_id % 40."""
-    docs = load_table(_prep(spark), sf_dir, "documents")
+def _web_planted_url(docs):
+    """The textually-messy planted URL Column (k = doc_id % 40):
+    mixed scheme/host case, PII userinfo, default AND non-default
+    ports, tracking params in unsorted order, fragments. ONE builder
+    shared by `web_urls` and the `pipeline_crawl` capstone; its
+    closed-form canonical twin is :data:`_O_WEB_NORM`."""
     k = F.col("doc_id") % 40
     s = lambda c: c.cast("string")  # noqa: E731
-    url = F.concat(
+    return F.concat(
         F.when(k % 2 == 1, "HTTP").otherwise("https"), F.lit("://"),
         F.when(k % 7 == 0, "user:pw@").otherwise(""),
         F.lit("WWW"), s(k % 3), F.lit(".Site"), s(k % 11), F.lit("."),
@@ -4379,17 +4372,12 @@ def q_web_urls(spark, sf_dir):
         .otherwise(""),
         F.when(k % 2 == 0, "#sec").otherwise(""),
     )
-    d = docs.select("doc_id", url.alias("url"))
-    out = WB.url_dedup(d, url_col="url", id_col="doc_id")
-    host = WB.host_of(F.col("url"))
-    return out.select(
-        "doc_id", "norm_url", host.alias("host"),
-        WB.registrable_domain(host).alias("domain"), "canon_id")
 
 
-O_web_urls = """
-WITH k AS (SELECT doc_id, doc_id % 40 AS k FROM documents)
-SELECT doc_id,
+#: closed-form canonical twin of :func:`_web_planted_url` (an
+#: independent derivation, not a replay of the normalizer) — expects
+#: a CTE/view exposing (doc_id, k = doc_id % 40).
+_O_WEB_NORM = """
        (CASE WHEN k % 2 = 1 THEN 'http' ELSE 'https' END
         || '://www' || (k % 3) || '.site' || (k % 11) || '.'
         || CASE WHEN k % 5 = 0 THEN 'co.uk' ELSE 'com' END
@@ -4399,7 +4387,34 @@ SELECT doc_id,
         || CASE WHEN k % 3 = 0
                 THEN '?a=' || (k % 5) || '&b=' || (k % 7)
                 WHEN k % 6 = 1 THEN '?y=' || (k % 4) || '&z=9'
-                ELSE '' END) AS norm_url,
+                ELSE '' END)"""
+
+
+def q_web_urls(spark, sf_dir):
+    """URL canonicalization + host/registrable-domain extraction +
+    URL-level dedup, oracle-gated (oracled orphan): plant a
+    textually-messy URL per document from k = doc_id % 40 — mixed
+    scheme/host case, PII userinfo, default AND non-default ports,
+    tracking params in unsorted order, fragments — run the real
+    expression-only normalizer (`operators/web.py`), and compare to
+    the CLOSED-FORM canonical URL the oracle derives directly from k
+    (an independent derivation, not a replay of the normalizer).
+    Distinct k always yield distinct canonical URLs ((k%11, k%13)
+    alone is injective below 143 > 40), and doc_ids are dense from
+    0, so the dedup group winner is exactly doc_id % 40."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = docs.select("doc_id", _web_planted_url(docs).alias("url"))
+    out = WB.url_dedup(d, url_col="url", id_col="doc_id")
+    host = WB.host_of(F.col("url"))
+    return out.select(
+        "doc_id", "norm_url", host.alias("host"),
+        WB.registrable_domain(host).alias("domain"), "canon_id")
+
+
+O_web_urls = f"""
+WITH k AS (SELECT doc_id, doc_id % 40 AS k FROM documents)
+SELECT doc_id,
+       {_O_WEB_NORM} AS norm_url,
        ('www' || (k % 3) || '.site' || (k % 11) || '.'
         || CASE WHEN k % 5 = 0 THEN 'co.uk' ELSE 'com' END) AS host,
        ('site' || (k % 11) || '.'
@@ -4407,6 +4422,52 @@ SELECT doc_id,
        CAST(k AS BIGINT) AS canon_id
 FROM k
 """
+
+
+def _web_planted_html(docs):
+    """The planted hostile HTML Column wrapping REAL doc text
+    (script/style noise, comments, entities, raw newlines). ONE
+    builder shared by `web_html_text` and the `pipeline_crawl`
+    capstone; its DuckDB construction twin is
+    :data:`_O_WEB_PLANT_HTML` and the extraction replay is
+    :data:`_O_WEB_EXTRACT`."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("<html><head><title>T"), s(d % 7),
+        F.lit("</title><script>var k='<p>"), s(d % 97),
+        F.lit("';</script><style>.a{color:red}</style></head>"
+              "<body>\n<h1 class='h'>H</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &amp; tail &lt;"), s(d % 13),
+        F.lit("&gt;&nbsp;end</p><!-- hidden --></body></html>"),
+    )
+
+
+#: DuckDB construction twin of :func:`_web_planted_html` (expects a
+#: documents row scope) and the literal-regex extraction replay of
+#: ``web.html_to_text`` (apply to a column named by format()).
+_O_WEB_PLANT_HTML = """
+         '<html><head><title>T' || (doc_id % 7)
+         || '</title><script>var k=''<p>' || (doc_id % 97)
+         || ''';</script><style>.a{color:red}</style></head>'
+         || '<body>' || chr(10) || '<h1 class=''h''>H</h1><p>'
+         || coalesce(text, '')
+         || ' &amp; tail &lt;' || (doc_id % 13)
+         || '&gt;&nbsp;end</p><!-- hidden --></body></html>'"""
+_O_WEB_EXTRACT = r"""
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace({col},
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+               '(?is)<!--.*?-->', ' ', 'g'),
+               '(?is)<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         '[ \t\n\r\f\v]+', ' ', 'g'))"""
 
 
 def q_web_html_text(spark, sf_dir):
@@ -4420,46 +4481,18 @@ def q_web_html_text(spark, sf_dir):
     rule), value-hashing the full extracted text — so the real doc
     bodies exercise the pipeline, not just the planted suffixes."""
     docs = load_table(_prep(spark), sf_dir, "documents")
-    d = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    html = F.concat(
-        F.lit("<html><head><title>T"), s(d % 7),
-        F.lit("</title><script>var k='<p>"), s(d % 97),
-        F.lit("';</script><style>.a{color:red}</style></head>"
-              "<body>\n<h1 class='h'>H</h1><p>"),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit(" &amp; tail &lt;"), s(d % 13),
-        F.lit("&gt;&nbsp;end</p><!-- hidden --></body></html>"),
-    )
     return docs.select(
-        "doc_id", WB.html_to_text(html).alias("text_out"))
+        "doc_id",
+        WB.html_to_text(_web_planted_html(docs)).alias("text_out"))
 
 
-O_web_html_text = r"""
+O_web_html_text = f"""
 WITH h AS (
-  SELECT doc_id,
-         '<html><head><title>T' || (doc_id % 7)
-         || '</title><script>var k=''<p>' || (doc_id % 97)
-         || ''';</script><style>.a{color:red}</style></head>'
-         || '<body>' || chr(10) || '<h1 class=''h''>H</h1><p>'
-         || coalesce(text, '')
-         || ' &amp; tail &lt;' || (doc_id % 13)
-         || '&gt;&nbsp;end</p><!-- hidden --></body></html>' AS html
+  SELECT doc_id, {_O_WEB_PLANT_HTML} AS html
   FROM documents
 )
 SELECT doc_id,
-       trim(regexp_replace(
-         replace(replace(replace(replace(replace(replace(
-           regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(regexp_replace(html,
-               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-               '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
-               '(?is)<!--.*?-->', ' ', 'g'),
-               '(?is)<[^>]*>', ' ', 'g'),
-           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-         '[ \t\n\r\f\v]+', ' ', 'g')) AS text_out
+       {_O_WEB_EXTRACT.format(col="html")} AS text_out
 FROM h
 """
 
@@ -4588,6 +4621,72 @@ SELECT doc_id,
        END AS url,
        (doc_id % 7) IN (1, 4, 5) AS allowed
 FROM documents
+"""
+
+
+#: robots policy for the crawl capstone: the ``*`` group denies
+#: everything, so the composed result is only right when agent-group
+#: selection, wildcard-free prefix matching, and the allowed default
+#: all hold together.
+_CRAWL_ROBOTS = ("User-agent: *\nDisallow: /\n\n"
+                 "User-agent: trainingbot\nDisallow: /p/1\n")
+
+
+def q_pipeline_crawl(spark, sf_dir):
+    """E2E crawl-ingest capstone, oracle-gated (oracled orphan): the
+    full web front-end as ONE composed flow — planted WARC response
+    archives (messy Target-URI + hostile HTML wrapping REAL doc
+    text) → `sources/warc.warc_records` → `web.robots_filter`
+    (per-host policy, agent-group selection) → keep allowed →
+    `web.url_dedup` (canonical winners) → `web.html_to_text`. The
+    oracle derives every output in closed form: kept rows ⇔ NOT
+    (k%3>0 ∧ k%13 ∈ {1,10,11,12}) (the '/p/1' prefix rule catching
+    paths /p/1, /p/10, /p/11, /p/12), canon_id = doc_id % 40,
+    norm_url from :data:`_O_WEB_NORM`, text via the literal regex
+    replay — so a bug in ANY stage (record walk, robots precedence,
+    normalizer, extractor, or their composition) breaks the row."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    url = _web_planted_url(docs)
+    html = _web_planted_html(docs)
+    payload = F.encode(F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2024-01-02T03:04:05Z\r\n"
+              "Content-Length: "),
+        (F.octet_length(html) + 44).cast("string"),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html"
+              "\r\n\r\n"), html, F.lit("\r\n\r\n")), "UTF-8")
+    archives = docs.select(F.col("doc_id").alias("src_id"),
+                           payload.alias("payload"))
+    recs = WR.warc_records(archives).filter(
+        F.col("warc_type") == "response")
+    hosts = recs.select(
+        WB.host_of(F.col("target_uri")).alias("host")
+    ).distinct().withColumn("robots_txt", F.lit(_CRAWL_ROBOTS))
+    rules = RB.robots_rules(hosts, agent="trainingbot/2.0")
+    gated = WB.robots_filter(
+        recs.select("src_id", "target_uri", "body"), rules,
+        url_col="target_uri", id_col="src_id")
+    deduped = WB.url_dedup(gated.filter(F.col("allowed")),
+                           url_col="target_uri", id_col="src_id")
+    return deduped.select(
+        F.col("src_id").alias("doc_id"), "norm_url", "canon_id",
+        WB.html_to_text(F.decode(F.col("body"),
+                                 "UTF-8")).alias("text_out"))
+
+
+O_pipeline_crawl = f"""
+WITH k AS (SELECT doc_id, doc_id % 40 AS k FROM documents),
+kept AS (
+  SELECT doc_id, k FROM k
+  WHERE NOT (k % 3 > 0 AND (k % 13) IN (1, 10, 11, 12))
+),
+h AS (SELECT doc_id, {_O_WEB_PLANT_HTML} AS html FROM documents)
+SELECT kept.doc_id,
+       {_O_WEB_NORM} AS norm_url,
+       CAST(k AS BIGINT) AS canon_id,
+       {_O_WEB_EXTRACT.format(col="h.html")} AS text_out
+FROM kept JOIN h ON kept.doc_id = h.doc_id
 """
 
 

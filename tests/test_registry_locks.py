@@ -105,6 +105,7 @@ _ORACLED_ORPHANS = [
     "web_html_text",
     "web_warc",
     "web_robots",
+    "pipeline_crawl",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
