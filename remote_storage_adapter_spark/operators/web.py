@@ -137,7 +137,8 @@ def registrable_domain(host: Column,
 
 
 def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
-                  id_col: str) -> DataFrame:
+                  id_col: str,
+                  broadcast_rules: bool | None = None) -> DataFrame:
     """Crawl-compliance gate: adds an ``allowed`` boolean per row by
     checking each URL against its host's robots rules (a
     :func:`..sources.robots.robots_rules` frame). Precedence is the
@@ -146,13 +147,19 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
     robots.txt) is fully allowed. Matching covers path+query, per
     RFC 9309.
 
-    Scale shape: one join keyed on host (Catalyst/AQE picks
-    broadcast when the flattened rule table is small — it usually
-    is, even for millions of hosts it is rule-count rows, not
-    corpus rows), one regexp match per (url, candidate-rule) pair
-    (JVM ``regexp_like`` with the precompiled-per-rule pattern
-    column), one max-struct aggregation, one join back on
-    ``id_col``. No Python, no windows."""
+    Scale shape: one join keyed on host, one regexp match per
+    (url, candidate-rule) pair (JVM ``regexp_like`` with the
+    precompiled-per-rule pattern column), one max-struct
+    aggregation, one join back on ``id_col``. No Python, no windows.
+
+    ``broadcast_rules`` is the repo's tri-state stats-side
+    convention (see ``text._stats_side``): ``None`` (default)
+    attaches no hint — Catalyst's ``autoBroadcastJoinThreshold`` +
+    AQE decide at runtime (mapInPandas output has no stats, so the
+    pre-AQE plan is a shuffle join); ``True`` forces a broadcast
+    (right for the usual rule table: rule-count rows, not corpus
+    rows); ``False`` forces the skew-safe shuffle join (right for a
+    web-scale host census that would OOM the driver)."""
     if "allowed" in df.columns:
         raise ValueError("robots_filter: input already has an "
                          "'allowed' column (reserved as this "
@@ -163,11 +170,15 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
         F.when(path == "", "/").otherwise(path),
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""))
     with_t = df.withColumn("_rb_host", host).withColumn("_rb_t", target)
+    rule_side = rules.filter(F.col("err").isNull()).select(
+        F.col("host").alias("_rb_host"), "allow", "pattern",
+        "pattern_re")
+    if broadcast_rules is True:
+        rule_side = F.broadcast(rule_side)
+    elif broadcast_rules is False:
+        rule_side = rule_side.hint("merge")
     cand = with_t.select(id_col, "_rb_host", "_rb_t").join(
-        rules.filter(F.col("err").isNull()).select(
-            F.col("host").alias("_rb_host"), "allow", "pattern",
-            "pattern_re"),
-        "_rb_host")
+        rule_side, "_rb_host")
     dec = (cand.filter(F.regexp_like(F.col("_rb_t"),
                                      F.col("pattern_re")))
            .groupBy(id_col)

@@ -249,3 +249,31 @@ def test_robots_parse_edges():
             "Disallow: /2\n")
     assert _parse_robots(txt3, "a") == [(False, "/1")]
     assert _parse_robots(txt3, "b") == [(False, "/2")]
+
+
+def test_robots_filter_broadcast_tristate(spark):
+    """broadcast_rules follows the repo's stats-side convention:
+    True -> BroadcastHashJoin on the host join, False -> the
+    skew-safe merge join, None -> no hint (AQE decides)."""
+    from remote_storage_adapter_spark.sources import robots as RB
+
+    hosts = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    rules = RB.robots_rules(hosts)
+    df = spark.createDataFrame([(0, "https://h.com/x")],
+                               "doc_id long, url string")
+
+    def plan(br):
+        return W.robots_filter(
+            df, rules, url_col="url", id_col="doc_id",
+            broadcast_rules=br,
+        )._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan(True)
+    assert "SortMergeJoin" in plan(False)
+    out = {b: sorted(
+        (r["doc_id"], r["allowed"]) for r in W.robots_filter(
+            df, rules, url_col="url", id_col="doc_id",
+            broadcast_rules=b).collect()) for b in (None, True, False)}
+    assert out[None] == out[True] == out[False] == [(0, False)]
