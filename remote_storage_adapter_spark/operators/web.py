@@ -160,10 +160,12 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
     (right for the usual rule table: rule-count rows, not corpus
     rows); ``False`` forces the skew-safe shuffle join (right for a
     web-scale host census that would OOM the driver)."""
-    if "allowed" in df.columns:
-        raise ValueError("robots_filter: input already has an "
-                         "'allowed' column (reserved as this "
-                         "operator's output)")
+    for reserved in ("allowed", "_rb_host", "_rb_t", "_rb_d"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"robots_filter: input already has a '{reserved}' "
+                f"column (reserved by this operator) — rename it or "
+                f"drop it first")
     u = F.col(url_col)
     scheme, host, _port, path, query = _parts(u)
     target = F.concat(
@@ -177,15 +179,18 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
         rule_side = F.broadcast(rule_side)
     elif broadcast_rules is False:
         rule_side = rule_side.hint("merge")
+    # decisions key on (id, target), NOT id alone: an id shared by
+    # several rows (e.g. every record of one WARC archive carries
+    # the same src_id) must not merge verdicts across its URLs
     cand = with_t.select(id_col, "_rb_host", "_rb_t").join(
         rule_side, "_rb_host")
     dec = (cand.filter(F.regexp_like(F.col("_rb_t"),
                                      F.col("pattern_re")))
-           .groupBy(id_col)
+           .groupBy(id_col, "_rb_t")
            .agg(F.max(F.struct(
                F.length("pattern").alias("l"),
                F.col("allow"))).alias("_rb_d")))
-    return (with_t.join(dec, id_col, "left")
+    return (with_t.join(dec, [id_col, "_rb_t"], "left")
             .withColumn("allowed",
                         F.coalesce(F.col("_rb_d.allow"), F.lit(True)))
             .drop("_rb_host", "_rb_t", "_rb_d"))
@@ -221,9 +226,12 @@ def html_to_text(html: Column) -> Column:
     h = F.regexp_replace(h, r"(?is)<[^>]*>", " ")
     for ent, ch in _HTML_ENTITIES:
         h = F.replace(h, F.lit(ent), F.lit(ch))
-    # the same explicit ASCII whitespace class as text._WS_CLASS
-    # (\s is Unicode-wide in Java, ASCII-only in RE2)
-    return F.trim(F.regexp_replace(h, r"[ \t\n\r\f\v]+", " "))
+    # explicit ASCII whitespace class, spelled \x0B NOT \v: in JAVA
+    # regex \v is the vertical-whitespace CLASS (adds U+0085/U+2028/
+    # U+2029) while in RE2/Python it is only \x0B — text._WS_CLASS
+    # can say \v because it runs under Python re; this one runs JVM-
+    # side and the oracle replays the literal pattern in RE2
+    return F.trim(F.regexp_replace(h, r"[ \t\n\r\f\x0B]+", " "))
 
 
 def url_dedup(df: DataFrame, *, url_col: str, id_col: str,

@@ -4467,7 +4467,7 @@ _O_WEB_EXTRACT = r"""
                '(?is)<[^>]*>', ' ', 'g'),
            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-         '[ \t\n\r\f\v]+', ' ', 'g'))"""
+         '[ \t\n\r\f\x0B]+', ' ', 'g'))"""
 
 
 def q_web_html_text(spark, sf_dir):
@@ -4660,8 +4660,11 @@ def q_pipeline_crawl(spark, sf_dir):
                            payload.alias("payload"))
     recs = WR.warc_records(archives).filter(
         F.col("warc_type") == "response")
-    hosts = recs.select(
-        WB.host_of(F.col("target_uri")).alias("host")
+    # hosts come from the planted URL directly, NOT from recs: the
+    # record walk is the expensive Python stage and feeding it into
+    # a second (distinct) branch would re-decode every archive
+    hosts = docs.select(
+        WB.host_of(_web_planted_url(docs)).alias("host")
     ).distinct().withColumn("robots_txt", F.lit(_CRAWL_ROBOTS))
     rules = RB.robots_rules(hosts, agent="trainingbot/2.0")
     gated = WB.robots_filter(

@@ -75,6 +75,11 @@ def _parse_robots(text: str, agent: str):
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
+            if not val:
+                # RFC 9309: invalid lines are ignored — an empty
+                # token would otherwise prefix-match EVERY agent and
+                # permanently shadow the '*' fallback group
+                continue
             if collecting:      # a rule ended the previous group
                 cur_agents = []
                 collecting = False

@@ -41,6 +41,11 @@ def _gunzip_members(p: bytes, max_bytes: int) -> bytes:
         if len(out) > max_bytes or d.unconsumed_tail:
             raise ValueError("WARC: decompressed archive exceeds cap")
         out += d.flush()
+        if not d.eof:
+            # a truncated/corrupt member returns partial bytes with
+            # EMPTY unused_data — without this check the tail records
+            # silently vanish instead of quarantining the archive
+            raise ValueError("WARC: truncated gzip member")
         p = d.unused_data
     return bytes(out)
 
@@ -117,7 +122,7 @@ def _s(hdrs, key):
 
 WARC_SCHEMA = T.StructType(
     [
-        T.StructField("src_id", T.LongType(), False),
+        T.StructField("src_id", T.LongType(), True),
         T.StructField("rec_idx", T.IntegerType(), True),
         T.StructField("warc_type", T.StringType(), True),
         T.StructField("target_uri", T.StringType(), True),
@@ -148,7 +153,12 @@ def warc_records(df: DataFrame, *, id_col: str = "src_id",
         for pdf in batches:
             rows = []
             for sid, p in zip(pdf[id_col], pdf[payload_col]):
-                sid = int(sid)
+                try:
+                    # a NULL id (pandas NaN) must quarantine its row,
+                    # not abort the stage
+                    sid = int(sid)
+                except (TypeError, ValueError):
+                    sid = None
                 try:
                     if p is None:
                         raise ValueError("NULL payload")

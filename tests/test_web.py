@@ -135,8 +135,6 @@ def test_html_to_text_contract(spark):
 
 
 def test_url_dedup_reserved_columns_guard(spark):
-    import pytest
-
     df = spark.createDataFrame([(0, "https://e.com", 9)],
                                "doc_id long, url string, canon_id long")
     with pytest.raises(ValueError, match="canon_id"):
@@ -277,3 +275,53 @@ def test_robots_filter_broadcast_tristate(spark):
             df, rules, url_col="url", id_col="doc_id",
             broadcast_rules=b).collect()) for b in (None, True, False)}
     assert out[None] == out[True] == out[False] == [(0, False)]
+
+
+def test_robots_filter_shared_ids_keep_per_url_verdicts(spark):
+    """Rows sharing an id (every record of one WARC archive carries
+    the same src_id) must be judged per URL, not merged into one
+    verdict per id."""
+    from remote_storage_adapter_spark.sources import robots as RB
+
+    hosts = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /private*\n")],
+        "host string, robots_txt string")
+    rules = RB.robots_rules(hosts)
+    df = spark.createDataFrame(
+        [(7, "https://h.com/private/x"), (7, "https://h.com/ok"),
+         (8, "https://h.com/ok"), (8, "https://h.com/private/y")],
+        "src_id long, url string")
+    out = sorted((r["src_id"], r["url"], r["allowed"])
+                 for r in W.robots_filter(df, rules, url_col="url",
+                                          id_col="src_id").collect())
+    assert out == [(7, "https://h.com/ok", True),
+                   (7, "https://h.com/private/x", False),
+                   (8, "https://h.com/ok", True),
+                   (8, "https://h.com/private/y", False)]
+
+
+def test_robots_empty_user_agent_line_is_ignored():
+    from remote_storage_adapter_spark.sources.robots import (
+        _parse_robots,
+    )
+
+    txt = ("User-agent:\nDisallow: /secret\n\n"
+           "User-agent: *\nDisallow: /star\n")
+    # the malformed empty token must not shadow the * fallback;
+    # its rules attach to '*' (rules with no valid UA line above)
+    assert _parse_robots(txt, "anybot") == [(False, "/secret"),
+                                            (False, "/star")]
+
+
+def test_html_to_text_java_vs_re2_whitespace_class(spark):
+    """The collapse class must be \\x0B, not \\v: Java's \\v is the
+    vertical-whitespace CLASS (U+0085/U+2028/U+2029 included) while
+    the RE2 oracle's \\v is only \\x0B — real doc text containing
+    NEL/LS/PS would hash-mismatch. Locked: those codepoints must
+    SURVIVE the JVM-side collapse (both engines agree they are not
+    ASCII whitespace), while \\x0B itself collapses."""
+    src = "a" + chr(0x85) + "b" + chr(0x2028) + "c \x0b d"
+    df = spark.createDataFrame([(src,)], "html string")
+    out = df.select(W.html_to_text(F.col("html")).alias("t")) \
+        .collect()[0]["t"]
+    assert out == "a" + chr(0x85) + "b" + chr(0x2028) + "c d"
