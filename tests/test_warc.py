@@ -90,6 +90,20 @@ def test_warc_quarantine_per_archive(spark):
     assert "exceeds cap" in bad[4]
 
 
+def test_warc_truncated_gzip_member_quarantines(spark):
+    """A corrupt trailing gzip member must quarantine the ARCHIVE,
+    not silently drop its tail records (pre-fix: decompress of the
+    truncated member returned partial bytes with empty unused_data
+    and the archive parsed to fewer records with no error)."""
+    good = gzip.compress(_rec("warcinfo", b"software: t\r\n"))
+    cut = good + gzip.compress(
+        _rec("response", _HTTP,
+             "WARC-Target-URI: https://example.com/a\r\n"))[:10]
+    rows = _rows(spark, [cut])
+    assert len(rows) == 1
+    assert "truncated gzip member" in rows[0][9]
+
+
 def test_warc_empty_and_separator_tolerance(spark):
     # leading/trailing extra CRLFs and an empty archive
     padded = b"\r\n\r\n" + _ARCHIVE + b"\r\n\r\n\r\n"
