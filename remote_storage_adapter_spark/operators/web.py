@@ -124,7 +124,14 @@ def registrable_domain(host: Column,
     ``www.example.co.uk`` → ``example.co.uk`` — the unit crawl
     quotas, blocklists, and per-site stats key on. ``two_level``
     lists the suffixes that are themselves two labels (PSL-derived);
-    hosts with fewer labels pass through unchanged."""
+    hosts with fewer labels pass through unchanged.
+
+    Scale note: ``isin`` embeds the suffix list as plan literals —
+    fine for this default (~40) and for a few hundred entries; with
+    a FULL PSL snapshot (~9k multi-label suffixes, incl. 3-label
+    ones this signature can't express) prefer a broadcast left join
+    against a suffix table keyed on the candidate last-2/last-3
+    labels instead of growing this list."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2),
