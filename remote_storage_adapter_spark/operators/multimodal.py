@@ -137,6 +137,53 @@ def _jpeg_segments(p: bytes):
     raise ValueError("JPEG: truncated before SOS/EOI")
 
 
+def _webp_chunks(p: bytes):
+    """Yield (fourcc, chunk_start, chunk_end) for the RIFF chunks of
+    a WebP container — ``p[chunk_start:chunk_end]`` is fourcc + LE
+    size + data (the odd-size pad byte is NOT included; callers that
+    splice must re-pad). Raises ValueError on lying sizes — strict
+    callers propagate, triage callers catch."""
+    i = 12
+    while i + 8 <= len(p):
+        clen = int.from_bytes(p[i + 4:i + 8], "little")
+        end = i + 8 + clen
+        if clen > len(p) or end > len(p):
+            raise ValueError("WebP: lying chunk size")
+        yield p[i:i + 4], i, end
+        i = end + (clen & 1)
+
+
+def _sniff_webp(p: bytes):
+    """WebP dimensions from the container headers (public spec:
+    RFC 9649 / the VP8/VP8L bitstream docs): VP8X extended header
+    carries the 24-bit canvas size; otherwise the still-image chunk
+    header — VP8 lossy (14-bit fields after the 9D012A start code)
+    or VP8L lossless (14+14 bits after the 0x2F signature). The
+    coded FRAME data stays honestly undecoded (VP8 entropy decode
+    needs a codec library) — this is metadata triage."""
+    w = h = None
+    try:
+        for cc, s, e in _webp_chunks(p):
+            d = p[s + 8:e]
+            if cc == b"VP8X" and len(d) >= 10:
+                w = int.from_bytes(d[4:7], "little") + 1
+                h = int.from_bytes(d[7:10], "little") + 1
+                break
+            if cc == b"VP8 " and len(d) >= 10 \
+                    and d[3:6] == b"\x9d\x01\x2a":
+                w = int.from_bytes(d[6:8], "little") & 0x3FFF
+                h = int.from_bytes(d[8:10], "little") & 0x3FFF
+                break
+            if cc == b"VP8L" and len(d) >= 5 and d[0] == 0x2F:
+                bits = int.from_bytes(d[1:5], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                break
+    except ValueError:
+        pass
+    return ("webp", w, h, None, None, None)
+
+
 def _mp4_boxes(p: bytes, start: int, end: int):
     """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes
     in p[start:end]. Handles 64-bit largesize (size==1) and
@@ -212,6 +259,8 @@ def _sniff(p: bytes):
       data chunk size over the byte rate.
     - MP4/ISO-BMFF: box walk to moov/mvhd (duration) and the video
       trak/tkhd (16.16 fixed-point geometry) — see :func:`_sniff_mp4`.
+    - WebP (RIFF): VP8X canvas size, or the VP8/VP8L still-image
+      header fields — see :func:`_sniff_webp`.
 
     Returns (format, width, height, sample_rate, channels,
     duration_ms) with None for unknown/unparsable — the scan-speed
@@ -245,6 +294,8 @@ def _sniff(p: bytes):
         return ("jpeg", None, None, None, None, None)
     if len(p) >= 12 and p[4:8] == b"ftyp":
         return _sniff_mp4(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return _sniff_webp(p)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         i, sr, ch, byte_rate, data_len = 12, None, None, None, None
         while i + 8 <= len(p):
@@ -416,6 +467,18 @@ def _exif_parse(p: bytes):
                 tiff = p[i + 8:i + 8 + clen]
                 break
             i += 12 + clen
+    elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        try:
+            for cc, s, e in _webp_chunks(p):
+                if cc == b"EXIF":
+                    tiff = p[s + 8:e]
+                    # the spec says raw TIFF, but some writers keep
+                    # the JPEG-style prefix — accept both
+                    if tiff[:6] == b"Exif\x00\x00":
+                        tiff = tiff[6:]
+                    break
+        except ValueError:  # triage
+            pass
     else:
         return none
     if tiff is None or len(tiff) < 8:
@@ -474,8 +537,8 @@ def _exif_parse(p: bytes):
 def exif_metadata(media: DataFrame, *, id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:
     """Parse EXIF camera/orientation/capture-time/GPS metadata out of
-    every JPEG (APP1) or PNG (``eXIf`` chunk) payload via the REAL
-    TIFF IFD walk — the provenance
+    every JPEG (APP1), PNG (``eXIf`` chunk) or WebP (``EXIF`` RIFF
+    chunk) payload via the REAL TIFF IFD walk — the provenance
     and PII-triage scan of an image-curation pipeline (GPS
     coordinates are the canonical stripped-before-training field).
     Arrow-batched ``mapInPandas``, partition-preserving, no shuffle;
@@ -513,9 +576,11 @@ def _strip_one(p: bytes) -> bytes:
     """Metadata-stripped copy of one payload: JPEG drops the
     _JPEG_META_MARKERS segments (entropy data from SOS on is copied
     verbatim — pixels byte-identical), PNG drops the
-    _PNG_META_CHUNKS chunks, anything else passes through unchanged.
-    Raises ValueError on structurally lying JPEG/PNG bytes —
-    quarantine contract."""
+    _PNG_META_CHUNKS chunks, WebP drops the EXIF/'XMP ' RIFF chunks
+    (clearing the VP8X advertised-metadata flag bits and rewriting
+    the RIFF size; coded frame bytes untouched), anything else
+    passes through unchanged. Raises ValueError on structurally
+    lying bytes — quarantine contract."""
     if p[:2] == b"\xff\xd8":
         out = bytearray(b"\xff\xd8")
         for m, s, e in _jpeg_segments(p):
@@ -528,6 +593,21 @@ def _strip_one(p: bytes) -> bytes:
             if m not in _JPEG_META_MARKERS:
                 out += p[s:e]
         raise ValueError("JPEG: truncated before SOS/EOI")
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        body = bytearray()
+        for cc, s, e in _webp_chunks(p):  # ValueError propagates
+            if cc in (b"EXIF", b"XMP "):
+                continue
+            chunk = bytearray(p[s:e])
+            if cc == b"VP8X" and len(chunk) >= 9:
+                # clear the advertised EXIF(0x08)/XMP(0x04) flag bits
+                # so the container stays self-consistent
+                chunk[8] &= 0xF3
+            body += chunk
+            if (e - s - 8) & 1:  # re-pad odd-size kept chunks
+                body += b"\x00"
+        return (b"RIFF" + (len(body) + 4).to_bytes(4, "little")
+                + b"WEBP" + bytes(body))
     if p[:8] == _PNG_SIG:
         out = bytearray(_PNG_SIG)
         i = 8

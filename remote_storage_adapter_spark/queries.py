@@ -4192,14 +4192,24 @@ JOIN jp USING (media_id)
 
 
 def _exif_planted_app1(docs):
-    """APP1(Exif) Column with doc-dependent fields, closed-form per
-    the planted-file-format discipline: big-endian (``MM``) TIFF so
-    every numeric hole is a straight :func:`_be_bytes` splice. IFD0
-    (orientation + ExifIFD/GPSIFD pointers at fixed offsets 0x32 /
-    0x50), ExifIFD (pixel dims), GPSIFD (hemisphere refs + 3-rational
-    coordinates at 0x86 / 0x9E). TIFF = 182 bytes, APP1 = 192 with
-    marker. Layout cross-checked against the independent test builder
-    (tests/test_mediacodec.build_exif_jpeg)."""
+    """APP1(Exif) wrapper around :func:`_exif_planted_tiff` —
+    FFE1 + len 0x00BE + "Exif\\0\\0" + the 182-byte TIFF = 192 bytes
+    with marker."""
+    return F.concat(
+        F.lit(bytes.fromhex("FFE1" "00BE" "457869660000")),
+        _exif_planted_tiff(docs))
+
+
+def _exif_planted_tiff(docs):
+    """Planted TIFF(Exif) Column with doc-dependent fields,
+    closed-form per the planted-file-format discipline: big-endian
+    (``MM``) TIFF so every numeric hole is a straight
+    :func:`_be_bytes` splice. IFD0 (orientation + ExifIFD/GPSIFD
+    pointers at fixed offsets 0x32 / 0x50), ExifIFD (pixel dims),
+    GPSIFD (hemisphere refs + 3-rational coordinates at 0x86 /
+    0x9E). Exactly 182 bytes. Shared by the JPEG APP1, WebP EXIF
+    chunk, and strip-path plants; layout cross-checked against the
+    independent test builder (tests/test_mediacodec.build_exif_jpeg)."""
     d = F.col("doc_id")
     o = d % 8 + 1
     w = d % 4096 + 1
@@ -4207,9 +4217,9 @@ def _exif_planted_app1(docs):
     lat_ref = F.when(d % 2 == 0, 78).otherwise(83)     # 'N' / 'S'
     lon_ref = F.when(d % 3 == 0, 69).otherwise(87)     # 'E' / 'W'
     return F.concat(
-        # FFE1 len=0x00BE "Exif\0\0" MM 42 ifd0@8; IFD0 n=3
+        # MM 42 ifd0@8; IFD0 n=3
         F.lit(bytes.fromhex(
-            "FFE1" "00BE" "457869660000" "4D4D002A" "00000008"
+            "4D4D002A" "00000008"
             "0003"
             "0112" "0003" "00000001" "00")),
         _be_bytes(o, 2), F.lit(bytes.fromhex(
@@ -4260,6 +4270,64 @@ ROUND(CASE WHEN doc_id % {neg} THEN
         ((doc_id % {pd}) + ((doc_id {m}) % 60) / 60.0
          + (((doc_id {s}) % 600) / 10.0) / 3600.0)
       END, 9)"""
+
+
+def q_multimodal_webp(spark, sf_dir):
+    """WebP metadata triage, oracle-gated (oracled orphan): plant a
+    complete WebP container per document — VP8X extended header
+    (advertised-EXIF flag, doc-dependent 24-bit canvas) + a raw-TIFF
+    ``EXIF`` chunk (the shared planted TIFF) — and recover the
+    canvas through the real RIFF/VP8X walk plus orientation and GPS
+    latitude through the genuine TIFF IFD walk, then verify the
+    metadata scrub in closed form: removed = 190 bytes (the 8+182
+    EXIF chunk), the stripped container still sniffs the same canvas
+    and carries no EXIF. Coded VP8 frames stay honestly undecoded —
+    metadata triage is the 100 TB filter step."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    d = F.col("doc_id")
+    w1 = d % 4096          # canvas w-1 (3-byte LE)
+    h1 = d % 2160
+    le3 = lambda v: F.concat(  # noqa: E731
+        _be_bytes(v % 256, 2), _be_bytes((v / 256).cast("long"), 2),
+        F.lit(b"\x00"))
+    payload = F.concat(
+        # RIFF size 212 = 4 + (8+10 VP8X) + (8+182 EXIF)
+        F.lit(b"RIFF" + (212).to_bytes(4, "little") + b"WEBP"),
+        F.lit(b"VP8X" + (10).to_bytes(4, "little")
+              + bytes([0x08, 0, 0, 0])),
+        le3(w1), le3(h1),
+        F.lit(b"EXIF" + (182).to_bytes(4, "little")),
+        _exif_planted_tiff(docs),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("payload"))
+    sn = MM.sniff_media_meta(media).select("media_id", "format",
+                                           "width", "height")
+    ex = MM.exif_metadata(media).select(
+        "media_id", "orientation",
+        F.round("gps_lat", 9).alias("gps_lat"))
+    st = MM.strip_metadata(media).select("media_id", "payload",
+                                         "removed")
+    post = MM.exif_metadata(st).select(
+        "media_id", F.col("orientation").alias("post_orientation"))
+    sn2 = MM.sniff_media_meta(st).select(
+        "media_id", F.col("width").alias("post_width"))
+    return (sn.join(ex, "media_id")
+            .join(st.select("media_id", "removed"), "media_id")
+            .join(post, "media_id").join(sn2, "media_id"))
+
+
+O_multimodal_webp = f"""
+SELECT doc_id AS media_id, 'webp' AS format,
+       CAST(doc_id % 4096 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 2160 + 1 AS INTEGER) AS height,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       {_O_EXIF_GPS.format(neg="2 = 1", pd=90, m="", s="")} AS gps_lat,
+       CAST(190 AS BIGINT) AS removed,
+       CAST(NULL AS INTEGER) AS post_orientation,
+       CAST(doc_id % 4096 + 1 AS INTEGER) AS post_width
+FROM documents
+"""
 
 
 def q_multimodal_exif(spark, sf_dir):

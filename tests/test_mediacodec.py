@@ -2046,3 +2046,77 @@ def test_strip_metadata_operator_quarantine(spark):
     assert rows[1]["removed"] == 0
     assert rows[2]["payload"] is None
     assert "ValueError" in rows[2]["err"]
+
+
+# ------------------------------------------------------------- WebP
+# independent byte construction straight from the RIFF/VP8X/VP8/VP8L
+# layouts (RFC 9649)
+
+
+def _riff_chunk(cc: bytes, data: bytes) -> bytes:
+    return cc + len(data).to_bytes(4, "little") + data \
+        + (b"\x00" if len(data) & 1 else b"")
+
+
+def _webp(chunks: bytes) -> bytes:
+    return (b"RIFF" + (len(chunks) + 4).to_bytes(4, "little")
+            + b"WEBP" + chunks)
+
+
+def _vp8x(w, h, flags=0):
+    return _riff_chunk(b"VP8X", bytes([flags, 0, 0, 0])
+                       + (w - 1).to_bytes(3, "little")
+                       + (h - 1).to_bytes(3, "little"))
+
+
+def test_webp_sniff_vp8x_vp8_vp8l():
+    x = _webp(_vp8x(640, 480))
+    assert MM._sniff(x)[:3] == ("webp", 640, 480)
+    # VP8 lossy still: 3-byte frame tag, 9D012A start code, 14-bit
+    # dims (the two high bits of each u16 are scaling)
+    lossy = _riff_chunk(b"VP8 ", bytes([0, 0, 0, 0x9D, 0x01, 0x2A])
+                        + (321 | 0x4000).to_bytes(2, "little")
+                        + (203 | 0x8000).to_bytes(2, "little")
+                        + b"frame-bytes")
+    assert MM._sniff(_webp(lossy))[:3] == ("webp", 321, 203)
+    # VP8L lossless: 0x2F signature then 14+14 bits, minus-one coded
+    bits = (77 - 1) | ((31 - 1) << 14)
+    lossless = _riff_chunk(b"VP8L", bytes([0x2F])
+                           + bits.to_bytes(4, "little"))
+    assert MM._sniff(_webp(lossless))[:3] == ("webp", 77, 31)
+    # lying chunk size: triage, not abort
+    lying = _webp(b"VP8X" + (9999).to_bytes(4, "little") + b"xx")
+    assert MM._sniff(lying)[:3] == ("webp", None, None)
+
+
+def test_webp_exif_parse_and_strip():
+    tiff = build_exif_jpeg()[12:-2]
+    fat = _webp(_vp8x(99, 44, flags=0x0C)
+                + _riff_chunk(b"EXIF", tiff)
+                + _riff_chunk(b"XMP ", b"<x:xmpmeta/>")
+                + _riff_chunk(b"VP8 ", b"\x00" * 20))
+    make, _m, orient, _dt, w, h, lat, lon = MM._exif_parse(fat)
+    assert (make, orient, w, h) == ("Canon", 6, 1024, 768)
+    assert lat > 0 > lon
+    # JPEG-style prefixed EXIF chunk also accepted
+    pre = _webp(_vp8x(9, 9, flags=0x08)
+                + _riff_chunk(b"EXIF", b"Exif\x00\x00" + tiff))
+    assert MM._exif_parse(pre)[2] == 6
+
+    stripped = MM._strip_one(fat)
+    expect = _webp(_vp8x(99, 44, flags=0x00)
+                   + _riff_chunk(b"VP8 ", b"\x00" * 20))
+    assert stripped == expect                  # flags cleared, size
+    assert MM._exif_parse(stripped)[2] is None  # rewritten, EXIF gone
+    assert MM._sniff(stripped)[:3] == ("webp", 99, 44)
+    assert MM._strip_one(stripped) == stripped  # idempotent
+    # odd-size kept chunk keeps its pad byte
+    odd = _webp(_riff_chunk(b"VP8L", bytes([0x2F, 0, 0, 0, 0]))
+                + _riff_chunk(b"EXIF", tiff))
+    # VP8L data is 5 bytes (odd) -> padded; strip keeps it intact
+    assert MM._strip_one(odd) == _webp(
+        _riff_chunk(b"VP8L", bytes([0x2F, 0, 0, 0, 0])))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lying chunk size"):
+        MM._strip_one(_webp(b"EXIF" + (999).to_bytes(4, "little")
+                            + b"x"))

@@ -101,6 +101,7 @@ _ORACLED_ORPHANS = [
     "text_pack_sequences",
     "multimodal_exif",
     "multimodal_exif_strip",
+    "multimodal_webp",
     "web_urls",
     "web_html_text",
     "web_warc",
