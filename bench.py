@@ -448,6 +448,22 @@ def bench_robots_gate(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+def bench_tar_shards(spark, sf_dir):
+    """WebDataset-style shard ingestion: one planted 2-member ustar
+    shard per document (constant headers, doc-dependent contents) →
+    member walk (mapInPandas) → sample grouping (one hash agg on the
+    (shard, key) pair). Aggregates over member sizes and grouped
+    part counts so neither stage prunes."""
+    from remote_storage_adapter_spark.sources import tar as TA
+
+    mem = TA.tar_members(Q.tar_planted_shards(
+        load_table(spark, sf_dir, "documents")))
+    return TA.webdataset_samples(mem).agg(
+        F.sum(F.size("parts")).alias("n_parts"),
+        F.count(F.lit(1)).alias("n_samples")).crossJoin(
+        mem.agg(F.sum("size").alias("bytes")))
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -550,6 +566,7 @@ BENCH_QUERIES = {
     "url_curation": bench_url_curation,
     "warc_extract": bench_warc_extract,
     "robots_gate": bench_robots_gate,
+    "tar_shards": bench_tar_shards,
 }
 
 

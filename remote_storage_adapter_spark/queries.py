@@ -28,6 +28,7 @@ from remote_storage_adapter_spark.sources.tables import load_table
 from remote_storage_adapter_spark.sources.events import metrics_from_events
 from remote_storage_adapter_spark.sources import warc as WR
 from remote_storage_adapter_spark.sources import robots as RB
+from remote_storage_adapter_spark.sources import tar as TA
 from remote_storage_adapter_spark.plans.matchers import LabelMatcher, PromQuery
 from remote_storage_adapter_spark.plans.read import (
     assemble_series,
@@ -4758,6 +4759,99 @@ SELECT kept.doc_id,
        CAST(k AS BIGINT) AS canon_id,
        {_O_WEB_EXTRACT.format(col="h.html")} AS text_out
 FROM kept JOIN h ON kept.doc_id = h.doc_id
+"""
+
+
+def _ustar_header(name: str, size: int) -> bytes:
+    """Constant POSIX-ustar member header for the planted TAR shards
+    (octal size, checksum over the space-blanked header). Fixed name
+    + fixed size ⇒ the header is one CONSTANT byte string per
+    member — only the member CONTENT is doc-dependent, which is what
+    keeps the oracle closed-form (content bytes are outside the
+    header checksum)."""
+    hdr = bytearray(512)
+    hdr[0:len(name)] = name.encode()
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = ("%011o" % size).encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    hdr[156] = 0x30
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    return bytes(hdr)
+
+
+def tar_planted_shards(docs):
+    """The planted 2-member ustar shard frame (constant headers via
+    :func:`_ustar_header`, doc-dependent fixed-length contents). ONE
+    builder shared by the `tar_shards` oracle and `bench_tar_shards`
+    so the bench measures the oracle-locked payload."""
+    c1 = F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    c2 = F.lpad((F.col("doc_id") % 997).cast("string"), 12, "x")
+    payload = F.concat(
+        F.lit(_ustar_header("s.txt", 10)),
+        F.encode(c1, "US-ASCII"), F.lit(b"\x00" * 502),
+        F.lit(_ustar_header("s.bin", 12)),
+        F.encode(c2, "US-ASCII"), F.lit(b"\x00" * 500),
+        F.lit(b"\x00" * 1024),
+    )
+    return docs.select(F.col("doc_id").alias("src_id"),
+                       payload.alias("payload"))
+
+
+def q_tar_shards(spark, sf_dir):
+    """TAR shard source + WebDataset grouping, oracle-gated (oracled
+    orphan): plant a complete 2-member POSIX-ustar shard per
+    document — constant headers (fixed names/sizes make the octal
+    size and checksum fields constants), doc-dependent fixed-length
+    contents — and recover member rows through the genuine archive
+    walk (`sources/tar.tar_members`) plus the grouped WebDataset
+    sample (`webdataset_samples`). Tagged union: ``member`` rows
+    carry (idx, name, size, md5(content)); the ``sample`` row
+    carries the grouped key, the sorted ext set, and the md5 of the
+    ``txt`` part pulled out of the parts map. The oracle states all
+    of it in closed form (md5 over the same lpad strings)."""
+    mem = TA.tar_members(tar_planted_shards(
+        load_table(_prep(spark), sf_dir, "documents")))
+    member_rows = mem.select(
+        "src_id", F.lit("member").alias("leg"), "idx", "name",
+        "size", F.md5("payload").alias("payload_md5"))
+    samples = TA.webdataset_samples(mem)
+    sample_rows = samples.select(
+        "src_id", F.lit("sample").alias("leg"),
+        F.lit(None).cast("int").alias("idx"),
+        F.concat(F.col("key"), F.lit(":"),
+                 F.array_join(F.map_keys(F.col("parts")),
+                              ",")).alias("name"),
+        F.size("parts").cast("long").alias("size"),
+        F.md5(F.element_at(F.col("parts"),
+                           F.lit("txt"))).alias("payload_md5"))
+    return member_rows.unionByName(sample_rows)
+
+
+O_tar_shards = """
+WITH d AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id AS VARCHAR), 10, '0') AS c1,
+         lpad(CAST(doc_id % 997 AS VARCHAR), 12, 'x') AS c2
+  FROM documents
+)
+SELECT doc_id AS src_id, 'member' AS leg, CAST(0 AS INTEGER) AS idx,
+       's.txt' AS name, CAST(10 AS BIGINT) AS size,
+       md5(c1) AS payload_md5
+FROM d
+UNION ALL
+SELECT doc_id, 'member', CAST(1 AS INTEGER), 's.bin',
+       CAST(12 AS BIGINT), md5(c2)
+FROM d
+UNION ALL
+SELECT doc_id, 'sample', CAST(NULL AS INTEGER), 's:bin,txt',
+       CAST(2 AS BIGINT), md5(c1)
+FROM d
 """
 
 

@@ -107,6 +107,7 @@ _ORACLED_ORPHANS = [
     "web_warc",
     "web_robots",
     "pipeline_crawl",
+    "tar_shards",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]

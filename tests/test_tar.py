@@ -1,0 +1,133 @@
+"""TAR shard source + WebDataset grouping (sources/tar.py). One
+archive is hand-assembled straight from the POSIX ustar layout
+(octal sizes, space-blanked checksum) so the parse path is checked
+against spec bytes, not only against stdlib tarfile's own writer."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+
+from pyspark.sql import functions as F
+
+from remote_storage_adapter_spark.sources import tar as TA
+
+
+def _mktar(files, gz=False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in files:
+            if data is None:                 # a directory entry
+                info = tarfile.TarInfo(name)
+                info.type = tarfile.DIRTYPE
+                tf.addfile(info)
+                continue
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    return gzip.compress(raw) if gz else raw
+
+
+def _ustar_member(name: bytes, data: bytes) -> bytes:
+    """Spec-built ustar member: 512-byte header (name, octal mode/
+    uid/gid/size/mtime, checksum over the header with the chksum
+    field blanked to spaces, typeflag '0', magic 'ustar\\x00') +
+    512-padded data."""
+    hdr = bytearray(512)
+    hdr[0:len(name)] = name
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = ("%011o" % len(data)).encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    hdr[156] = ord("0")
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    pad = (512 - len(data) % 512) % 512
+    return bytes(hdr) + data + b"\x00" * pad
+
+
+def _df(spark, payloads):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "src_id long, payload binary")
+
+
+_SHARD = [
+    ("00001.jpg", b"jpeg-bytes-1"),
+    ("00001.txt", b"a caption"),
+    ("00001.json", b'{"w":1}'),
+    ("imgs/", None),
+    ("00002.jpg", b"jpeg-bytes-2"),
+    ("00002.txt", b"another caption"),
+]
+
+
+def test_tar_members_plain_and_gzip(spark):
+    for gz in (False, True):
+        rows = sorted(
+            (r["name"], r["size"], bytes(r["payload"]))
+            for r in TA.tar_members(
+                _df(spark, [_mktar(_SHARD, gz=gz)])).collect())
+        assert rows == sorted(
+            (n, len(d), d) for n, d in _SHARD if d is not None)
+
+
+def test_tar_spec_built_ustar_archive(spark):
+    raw = (_ustar_member(b"k.txt", b"hello spec")
+           + _ustar_member(b"k.bin", bytes(700))
+           + b"\x00" * 1024)
+    rows = {r["name"]: (r["size"], bytes(r["payload"]))
+            for r in TA.tar_members(_df(spark, [raw])).collect()}
+    assert rows == {"k.txt": (10, b"hello spec"),
+                    "k.bin": (700, bytes(700))}
+
+
+def test_tar_quarantine_and_caps(spark):
+    many = _mktar([(f"m{i}.txt", b"x") for i in range(5)])
+    big = _mktar([("big.bin", bytes(4096))])
+    small = _mktar(_SHARD[:3])               # 3 files = at the cap
+    rows = TA.tar_members(
+        _df(spark, [small, b"not a tar", many, big]),
+        max_member_bytes=1024, max_members=3).collect()
+    errs = {r["src_id"]: r["err"] for r in rows
+            if r["err"] is not None}
+    assert set(errs) == {1, 2, 3}
+    assert "count exceeds cap" in errs[2]
+    assert "size exceeds cap" in errs[3]
+    assert sum(1 for r in rows if r["err"] is None) == 3
+
+
+def test_webdataset_sample_grouping(spark):
+    shard = [
+        ("a/00001.jpg", b"J1"), ("a/00001.txt", b"T1"),
+        ("b/00001.jpg", b"J2"),              # other dir: own sample
+        ("a.b/c.txt", b"DOT"),               # dotted dir, key keeps it
+        ("LICENSE", b"L"),                   # extension-less
+        ("dup.txt", b"old"), ("dup.txt", b"new"),  # replace-on-extract
+    ]
+    members = TA.tar_members(_df(spark, [_mktar(shard)]))
+    got = {r["key"]: dict(r["parts"])
+           for r in TA.webdataset_samples(members).collect()}
+    assert {k: {e: bytes(v) for e, v in m.items()}
+            for k, m in got.items()} == {
+        "a/00001": {"jpg": b"J1", "txt": b"T1"},
+        "b/00001": {"jpg": b"J2"},
+        "a.b/c": {"txt": b"DOT"},
+        "LICENSE": {"": b"L"},
+        "dup": {"txt": b"new"},
+    }
+
+
+def test_tar_member_ordinals(spark):
+    rows = {r["name"]: r["idx"]
+            for r in TA.tar_members(
+                _df(spark, [_mktar(_SHARD)])).collect()}
+    # directories consume no ordinal
+    assert rows == {"00001.jpg": 0, "00001.txt": 1, "00001.json": 2,
+                    "00002.jpg": 3, "00002.txt": 4}
