@@ -4069,13 +4069,25 @@ def q_multimodal_dhash(spark, sf_dir):
     % 256, g1 = (7·doc_id+13) % 256, g2 = (11·doc_id+29) % 256,
     g3 = (3·doc_id+5) % 256 (the frame-oracle constants)."""
     docs = load_table(_prep(spark), sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        _dhash_planted_png(docs).alias("payload"))
+    return MM.image_hash(media, algo="dhash").select(
+        "media_id", F.col("fp").alias("dhash"))
+
+
+def _dhash_planted_png(docs):
+    """The planted 4×1 grayscale PNG Column (73 bytes, FIXED length —
+    every field is fixed-width, which is what lets the WebDataset
+    capstone wrap it in a constant-header tar member). ONE builder
+    shared by `multimodal_dhash` and `pipeline_webdataset`; its
+    closed-form dHash twin is :data:`_O_DHASH`."""
     g0 = F.col("doc_id") % 256
     g1 = (F.col("doc_id") * 7 + 13) % 256
     g2 = (F.col("doc_id") * 11 + 29) % 256
     g3 = (F.col("doc_id") * 3 + 5) % 256
     adler = (g0 * 4 + g1 * 3 + g2 * 2 + g3 + 5) * 65536 \
         + (g0 + g1 + g2 + g3 + 1)
-    payload = F.concat(
+    return F.concat(
         # signature + IHDR(w=4,h=1,depth 8,gray) + zero CRC
         F.lit(bytes.fromhex(
             "89504E470D0A1A0A" "0000000D49484452"
@@ -4087,20 +4099,22 @@ def q_multimodal_dhash(spark, sf_dir):
         # IDAT CRC (unchecked by the decoder) + IEND
         F.lit(bytes.fromhex("00000000" "0000000049454E44" "00000000")),
     )
-    media = docs.select(F.col("doc_id").alias("media_id"),
-                        payload.alias("payload"))
-    return MM.image_hash(media, algo="dhash").select(
-        "media_id", F.col("fp").alias("dhash"))
 
 
-O_multimodal_dhash = """
-SELECT doc_id AS media_id,
+#: closed-form dHash of :func:`_dhash_planted_png` (see
+#: q_multimodal_dhash's docstring for the derivation).
+_O_DHASH = """
        (CASE WHEN doc_id % 256 > (doc_id * 7 + 13) % 256
              THEN 4 ELSE 0 END
         + CASE WHEN (doc_id * 7 + 13) % 256 > (doc_id * 11 + 29) % 256
                THEN 16 ELSE 0 END
         + CASE WHEN (doc_id * 11 + 29) % 256 > (doc_id * 3 + 5) % 256
-               THEN 64 ELSE 0 END) * 72340172838076673 AS dhash
+               THEN 64 ELSE 0 END) * 72340172838076673"""
+
+
+O_multimodal_dhash = f"""
+SELECT doc_id AS media_id,
+       {_O_DHASH} AS dhash
 FROM documents
 """
 
@@ -4852,6 +4866,54 @@ UNION ALL
 SELECT doc_id, 'sample', CAST(NULL AS INTEGER), 's:bin,txt',
        CAST(2 AS BIGINT), md5(c1)
 FROM d
+"""
+
+
+def q_pipeline_webdataset(spark, sf_dir):
+    """E2E multimodal-shard capstone, oracle-gated (oracled orphan):
+    the WebDataset ingestion flow as ONE composed pipeline — planted
+    2-member ustar shards per document (``k.png`` = the 73-byte
+    planted grayscale PNG, ``k.txt`` = the REAL doc text's 64-char
+    space-padded prefix; both fixed-length, so the tar headers are
+    constants) → `sources/tar.tar_members` → `webdataset_samples`
+    (ext→payload map) → the image part through ``image_hash``'s
+    genuine zlib-inflate → luminance → resize → gradient pipeline,
+    the text part md5-verified byte-for-byte. The oracle states both
+    in closed form (the dHash formula + md5 of the same
+    substr/rpad). A bug in the archive walk, the grouping, the map
+    extraction, or the decode chain flips a row."""
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    txt = F.rpad(F.substring(F.coalesce(F.col("text"), F.lit("")),
+                             1, 64), 64, " ")
+    payload = F.concat(
+        F.lit(_ustar_header("k.png", 73)),
+        _dhash_planted_png(docs), F.lit(b"\x00" * 439),
+        F.lit(_ustar_header("k.txt", 64)),
+        F.encode(txt, "UTF-8"), F.lit(b"\x00" * 448),
+        F.lit(b"\x00" * 1024),
+    )
+    shards = docs.select(F.col("doc_id").alias("src_id"),
+                         payload.alias("payload"))
+    samples = TA.webdataset_samples(TA.tar_members(shards))
+    media = samples.select(
+        F.col("src_id").alias("media_id"),
+        F.element_at(F.col("parts"), F.lit("png")).alias("payload"),
+        F.md5(F.element_at(F.col("parts"),
+                           F.lit("txt"))).alias("txt_md5"),
+        F.col("key"))
+    hashed = MM.image_hash(media, algo="dhash")
+    return (media.select("media_id", "key", "txt_md5")
+            .join(hashed.select("media_id",
+                                F.col("fp").alias("dhash")),
+                  "media_id"))
+
+
+O_pipeline_webdataset = f"""
+SELECT doc_id AS media_id, 'k' AS key,
+       md5(rpad(substr(coalesce(text, ''), 1, 64), 64, ' '))
+         AS txt_md5,
+       {_O_DHASH} AS dhash
+FROM documents
 """
 
 

@@ -108,6 +108,7 @@ _ORACLED_ORPHANS = [
     "web_robots",
     "pipeline_crawl",
     "tar_shards",
+    "pipeline_webdataset",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
