@@ -458,10 +458,15 @@ def bench_tar_shards(spark, sf_dir):
 
     mem = TA.tar_members(Q.tar_planted_shards(
         load_table(spark, sf_dir, "documents")))
+    # byte total comes off the SAME grouped pass — a second
+    # mem.agg() branch would run the tarfile walk twice and the row
+    # would measure two walks, not one
+    part_bytes = F.expr(
+        "aggregate(map_values(parts), 0L, (a, x) -> a + octet_length(x))")
     return TA.webdataset_samples(mem).agg(
         F.sum(F.size("parts")).alias("n_parts"),
-        F.count(F.lit(1)).alias("n_samples")).crossJoin(
-        mem.agg(F.sum("size").alias("bytes")))
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(part_bytes).alias("bytes"))
 
 
 def bench_image_near_dup(spark, sf_dir):

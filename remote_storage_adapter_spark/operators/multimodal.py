@@ -595,7 +595,13 @@ def _strip_one(p: bytes) -> bytes:
         raise ValueError("JPEG: truncated before SOS/EOI")
     if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         body = bytearray()
+        pos = 12
         for cc, s, e in _webp_chunks(p):  # ValueError propagates
+            odd = (e - s - 8) & 1
+            # a lenient writer may omit the FINAL chunk's pad byte;
+            # mirror the source so 'removed' only counts metadata
+            padded = odd and e < len(p)
+            pos = e + (1 if padded else 0)
             if cc in (b"EXIF", b"XMP "):
                 continue
             chunk = bytearray(p[s:e])
@@ -604,8 +610,12 @@ def _strip_one(p: bytes) -> bytes:
                 # so the container stays self-consistent
                 chunk[8] &= 0xF3
             body += chunk
-            if (e - s - 8) & 1:  # re-pad odd-size kept chunks
+            if padded:
                 body += b"\x00"
+        if pos != len(p):
+            # 1-7 stray bytes after the last chunk are not metadata —
+            # dropping them silently would inflate 'removed'
+            raise ValueError("WebP: trailing garbage")
         return (b"RIFF" + (len(body) + 4).to_bytes(4, "little")
                 + b"WEBP" + bytes(body))
     if p[:8] == _PNG_SIG:

@@ -4873,9 +4873,10 @@ def q_pipeline_webdataset(spark, sf_dir):
     """E2E multimodal-shard capstone, oracle-gated (oracled orphan):
     the WebDataset ingestion flow as ONE composed pipeline — planted
     2-member ustar shards per document (``k.png`` = the 73-byte
-    planted grayscale PNG, ``k.txt`` = the REAL doc text's 64-char
-    space-padded prefix; both fixed-length, so the tar headers are
-    constants) → `sources/tar.tar_members` → `webdataset_samples`
+    planted grayscale PNG, ``k.txt`` = the REAL doc text's
+    ASCII-projected 64-char space-padded prefix — ASCII so chars ==
+    bytes under the 64-BYTE tar size field; both fixed-length, so
+    the tar headers are constants) → `sources/tar.tar_members` → `webdataset_samples`
     (ext→payload map) → the image part through ``image_hash``'s
     genuine zlib-inflate → luminance → resize → gradient pipeline,
     the text part md5-verified byte-for-byte. The oracle states both
@@ -4883,8 +4884,13 @@ def q_pipeline_webdataset(spark, sf_dir):
     substr/rpad). A bug in the archive walk, the grouping, the map
     extraction, or the decode chain flips a row."""
     docs = load_table(_prep(spark), sf_dir, "documents")
-    txt = F.rpad(F.substring(F.coalesce(F.col("text"), F.lit("")),
-                             1, 64), 64, " ")
+    # ASCII-project BEFORE the fixed-width slice: the tar header
+    # declares 64 BYTES, while substring/rpad count CHARS — on
+    # non-ASCII text they would diverge and shift every later block
+    # (the oracle mirrors the same projection)
+    ascii_t = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                               r"[^\x20-\x7E]", "")
+    txt = F.rpad(F.substring(ascii_t, 1, 64), 64, " ")
     payload = F.concat(
         F.lit(_ustar_header("k.png", 73)),
         _dhash_planted_png(docs), F.lit(b"\x00" * 439),
@@ -4910,8 +4916,9 @@ def q_pipeline_webdataset(spark, sf_dir):
 
 O_pipeline_webdataset = f"""
 SELECT doc_id AS media_id, 'k' AS key,
-       md5(rpad(substr(coalesce(text, ''), 1, 64), 64, ' '))
-         AS txt_md5,
+       md5(rpad(substr(regexp_replace(coalesce(text, ''),
+                                      '[^\\x20-\\x7E]', '', 'g'),
+                       1, 64), 64, ' ')) AS txt_md5,
        {_O_DHASH} AS dhash
 FROM documents
 """

@@ -118,7 +118,8 @@ def robots_rules(df: DataFrame, *, agent: str = "*",
                 "err"]
         for pdf in batches:
             rows = []
-            for host, txt in zip(pdf[host_col], pdf[payload_col]):
+            # NB: the select below aliased the host column to 'host'
+            for host, txt in zip(pdf["host"], pdf[payload_col]):
                 try:
                     if txt is None:
                         continue        # no robots.txt = no rules

@@ -32,8 +32,16 @@ from pyspark.sql import types as T
 #: per-member decompressed size cap (a TAR of media clips holds
 #: members in the MBs; one multi-GB member is hostile or misrouted).
 MAX_MEMBER_BYTES = 1 << 28
-#: member-count cap per archive (WebDataset shards hold ~10k samples).
+#: member-count cap per archive — counts EVERY entry (directories
+#: and links too: tarfile accumulates a TarInfo per entry, so a
+#: 10⁸-directory bomb must trip the cap even though no payload row
+#: is emitted). WebDataset shards hold ~10k samples.
 MAX_MEMBERS = 1 << 20
+#: TOTAL decompressed-bytes cap per archive — the r7 zlib-bomb
+#: lesson (same invariant as warc.MAX_ARCHIVE_BYTES): many members
+#: individually under MAX_MEMBER_BYTES must not buffer into tens of
+#: GB before the batch yields.
+MAX_ARCHIVE_BYTES = 1 << 30
 
 TAR_SCHEMA = T.StructType(
     [
@@ -50,7 +58,9 @@ TAR_SCHEMA = T.StructType(
 def tar_members(df: DataFrame, *, id_col: str = "src_id",
                 payload_col: str = "payload",
                 max_member_bytes: int = MAX_MEMBER_BYTES,
-                max_members: int = MAX_MEMBERS) -> DataFrame:
+                max_members: int = MAX_MEMBERS,
+                max_archive_bytes: int = MAX_ARCHIVE_BYTES
+                ) -> DataFrame:
     """Explode TAR archives into (src_id, idx, name, size, payload,
     err) member rows — ``idx`` is the member's archive ordinal;
     regular files only (directories/links carry no training
@@ -63,7 +73,8 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
         cols = ["src_id", "idx", "name", "size", "payload", "err"]
         for pdf in batches:
             rows = []
-            for sid, p in zip(pdf[id_col], pdf[payload_col]):
+            # NB: the select below aliased the id column to src_id
+            for sid, p in zip(pdf["src_id"], pdf[payload_col]):
                 try:
                     sid = int(sid)
                 except (TypeError, ValueError):
@@ -78,17 +89,23 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
                     with tarfile.open(
                             fileobj=io.BytesIO(bytes(p)),
                             mode="r:*") as tf:
-                        n = 0
+                        n = entries = total = 0
                         for m in tf:
+                            entries += 1  # EVERY entry counts (dirs
+                            # too — tarfile keeps a TarInfo per entry)
+                            if entries > max_members:
+                                raise ValueError(
+                                    "TAR: member count exceeds cap")
                             if not m.isfile():
                                 continue
                             n += 1
-                            if n > max_members:
-                                raise ValueError(
-                                    "TAR: member count exceeds cap")
                             if m.size > max_member_bytes:
                                 raise ValueError(
                                     "TAR: member size exceeds cap")
+                            total += m.size
+                            if total > max_archive_bytes:
+                                raise ValueError(
+                                    "TAR: archive bytes exceed cap")
                             data = tf.extractfile(m).read()
                             mine.append((sid, n - 1, m.name,
                                          len(data), data, None))
@@ -106,34 +123,50 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
 
 def webdataset_samples(members: DataFrame) -> DataFrame:
     """Group TAR member rows into WebDataset samples: the key is the
-    member name minus its LAST extension (directories kept — the
-    WebDataset convention, so ``a/b.jpg`` and ``a/b.txt`` pair while
-    ``c/b.jpg`` stays separate), the payloads land in an
-    ``ext → payload`` map. Returns (src_id, key, parts). One hash
-    aggregation keyed on (src_id, key); payload bytes shuffle once —
-    unavoidable, grouping IS the operation — and samples are small
-    by construction (a few media clips).
+    directory plus the basename up to its FIRST dot — the actual
+    WebDataset convention, so multi-extension members pair
+    (``00042.jpg`` + ``00042.seg.png`` + ``00042.output.json`` is
+    ONE sample with exts ``jpg``/``seg.png``/``output.json``), and
+    ``a/b.jpg`` vs ``c/b.jpg`` stay separate. The payloads land in
+    an ``ext → payload`` map. Returns (src_id, key, parts). ONE hash
+    aggregation keyed on (src_id, key) — payload bytes shuffle
+    exactly once; the per-ext dedup happens as an array expression
+    AFTER the aggregation, not as a second shuffling pass.
 
-    Extension-less members get ext ``''``. Duplicate (key, ext)
-    pairs within an archive resolve to the LAST member in archive
-    order (a per-ext max on the member ordinal BEFORE the map
-    build — Spark's map_from_entries rejects duplicate keys under
-    the default dedup policy), matching tar replace-on-extract
-    semantics."""
+    Extension-less members (and dot-leading basenames like
+    ``.hidden``) get ext ``''`` with the full name as key.
+    Duplicate (key, ext) pairs within an archive resolve to the
+    LAST member in archive order (an in-array last-of-run pick on
+    the (ext, idx)-sorted entries — Spark's map_from_entries
+    rejects duplicate keys under the default dedup policy),
+    matching tar replace-on-extract semantics."""
     name = F.col("name")
-    has_ext = name.rlike(r"[^/]\.[^./]*$")
+    dirp = F.regexp_extract(name, r"^(.*/)", 1)   # '' when none
+    base = F.regexp_replace(name, r"^.*/", "")
+    has_ext = base.rlike(r"^[^.]+\.")
     key = F.when(has_ext,
-                 F.regexp_replace(name, r"\.[^./]*$", "")
-                 ).otherwise(name)
+                 F.concat(dirp, F.regexp_extract(base, r"^([^.]+)",
+                                                 1))).otherwise(name)
     ext = F.when(has_ext,
-                 F.regexp_extract(name, r"\.([^./]*)$", 1)
+                 F.regexp_replace(base, r"^[^.]+\.", "")
                  ).otherwise(F.lit(""))
-    per_ext = (members.filter(F.col("err").isNull())
+    grouped = (members.filter(F.col("err").isNull())
                .select("src_id", key.alias("key"), ext.alias("ext"),
                        "idx", "payload")
-               .groupBy("src_id", "key", "ext")
-               .agg(F.max(F.struct("idx", "payload")).alias("_m")))
-    return (per_ext.groupBy("src_id", "key")
-            .agg(F.map_from_entries(F.array_sort(F.collect_list(
-                F.struct("ext", F.col("_m.payload").alias("payload"))
-            ))).alias("parts")))
+               .groupBy("src_id", "key")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   "ext", "idx", "payload"))).alias("_a")))
+    arr = F.col("_a")
+    # (ext, idx)-sorted ⇒ the last entry of each ext run is the
+    # archive-order winner; _a is a materialized column, so the
+    # element_at lookahead re-reads it, never recomputes upstream
+    last_of_run = F.filter(
+        arr,
+        lambda x, i: (i == F.size(arr) - 1)
+        | (F.element_at(arr, i + 2).getField("ext")
+           != x.getField("ext")))
+    parts = F.map_from_entries(F.transform(
+        last_of_run,
+        lambda x: F.struct(x.getField("ext").alias("ext"),
+                           x.getField("payload").alias("payload"))))
+    return grouped.select("src_id", "key", parts.alias("parts"))

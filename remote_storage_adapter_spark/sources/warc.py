@@ -152,7 +152,8 @@ def warc_records(df: DataFrame, *, id_col: str = "src_id",
                 "http_content_type", "body", "err"]
         for pdf in batches:
             rows = []
-            for sid, p in zip(pdf[id_col], pdf[payload_col]):
+            # NB: the select below aliased the id column to src_id
+            for sid, p in zip(pdf["src_id"], pdf[payload_col]):
                 try:
                     # a NULL id (pandas NaN) must quarantine its row,
                     # not abort the stage

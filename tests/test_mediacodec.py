@@ -2120,3 +2120,15 @@ def test_webp_exif_parse_and_strip():
     with _pytest.raises(ValueError, match="lying chunk size"):
         MM._strip_one(_webp(b"EXIF" + (999).to_bytes(4, "little")
                             + b"x"))
+    # 1-7 stray bytes after the last chunk are not metadata: refuse
+    # rather than count them as 'removed'
+    with _pytest.raises(ValueError, match="trailing garbage"):
+        MM._strip_one(_webp(_vp8x(9, 9)) + b"junk")
+    # final odd chunk WITHOUT its pad byte: strip mirrors the source
+    # (removed stays 0, never negative)
+    unpadded = _webp(_riff_chunk(b"VP8L", bytes([0x2F, 0, 0, 0, 0]))
+                     )[:-1]
+    fixed_size = (unpadded[:4]
+                  + (len(unpadded) - 8).to_bytes(4, "little")
+                  + unpadded[8:])
+    assert MM._strip_one(fixed_size) == fixed_size

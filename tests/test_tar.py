@@ -106,9 +106,11 @@ def test_tar_quarantine_and_caps(spark):
 def test_webdataset_sample_grouping(spark):
     shard = [
         ("a/00001.jpg", b"J1"), ("a/00001.txt", b"T1"),
+        ("a/00001.seg.png", b"S1"),          # multi-extension member
         ("b/00001.jpg", b"J2"),              # other dir: own sample
         ("a.b/c.txt", b"DOT"),               # dotted dir, key keeps it
         ("LICENSE", b"L"),                   # extension-less
+        (".hidden", b"H"),                   # dot-leading basename
         ("dup.txt", b"old"), ("dup.txt", b"new"),  # replace-on-extract
     ]
     members = TA.tar_members(_df(spark, [_mktar(shard)]))
@@ -116,12 +118,32 @@ def test_webdataset_sample_grouping(spark):
            for r in TA.webdataset_samples(members).collect()}
     assert {k: {e: bytes(v) for e, v in m.items()}
             for k, m in got.items()} == {
-        "a/00001": {"jpg": b"J1", "txt": b"T1"},
+        "a/00001": {"jpg": b"J1", "txt": b"T1", "seg.png": b"S1"},
         "b/00001": {"jpg": b"J2"},
         "a.b/c": {"txt": b"DOT"},
         "LICENSE": {"": b"L"},
+        ".hidden": {"": b"H"},
         "dup": {"txt": b"new"},
     }
+
+
+def test_tar_archive_byte_and_entry_caps(spark):
+    """The TOTAL decompressed-bytes cap trips even when every member
+    is individually under the per-member cap (the gzip-bomb shape),
+    and directory entries count toward the entry cap (tarfile keeps
+    a TarInfo per entry — a directory bomb must not walk forever)."""
+    many_bytes = _mktar([(f"b{i}.bin", bytes(600)) for i in range(4)])
+    dirs = _mktar([(f"d{i}/", None) for i in range(10)]
+                  + [("f.txt", b"x")])
+    rows = TA.tar_members(
+        _df(spark, [many_bytes, dirs]),
+        max_member_bytes=1024, max_archive_bytes=2000,
+        max_members=5).collect()
+    errs = {r["src_id"]: r["err"] for r in rows
+            if r["err"] is not None}
+    assert "archive bytes exceed cap" in errs[0]
+    assert "member count exceeds cap" in errs[1]
+    assert all(r["err"] is not None for r in rows)
 
 
 def test_tar_member_ordinals(spark):
