@@ -661,6 +661,8 @@ def main():
                   "text_normalize": max(reps, 5),
                   "exif_scrub": max(reps, 5),
                   "warc_extract": max(reps, 5),
+                  "tar_shards": max(reps, 5),
+                  "robots_gate": max(reps, 5),
                   "multimodal_audio": max(reps, 5)}
     # r7 verdict #7 (contention insurance): the r6 incident showed
     # machine noise lands on whichever rows run LATE — a fixed order

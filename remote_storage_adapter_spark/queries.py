@@ -4924,6 +4924,66 @@ FROM documents
 """
 
 
+def q_text_sft_render(spark, sf_dir):
+    """SFT chat-template rendering, oracle-gated (oracled orphan):
+    build a 3-turn conversation per document (fixed system turn,
+    REAL doc-text 40-char prefix as the user turn, doc-dependent
+    assistant answer), render it through the real ``aggregate`` fold
+    (`operators/sft.render_chat`), and compare the full rendered
+    string plus every turn's content span against the oracle's
+    closed-form concatenation and offset arithmetic (marker lengths
+    10/8/13 + eot 7; user span ends at 33 + len(prefix), assistant
+    content at 53 + len(prefix)). A fold-order, offset, or
+    marker-dispatch bug flips a row."""
+    from remote_storage_adapter_spark.operators import sft as SF
+
+    docs = load_table(_prep(spark), sf_dir, "documents")
+    u = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    ans = F.concat(F.lit("Answer "),
+                   (F.col("doc_id") % 100).cast("string"))
+    turns = F.array(
+        F.struct(F.lit("system").alias("role"),
+                 F.lit("be terse").alias("content")),
+        F.struct(F.lit("user").alias("role"), u.alias("content")),
+        F.struct(F.lit("assistant").alias("role"),
+                 ans.alias("content")))
+    r = SF.render_chat(turns)
+    sp = r.getField("spans")
+
+    def span(i, part):
+        return F.element_at(sp, i).getField(part)
+
+    return docs.select(
+        "doc_id", r.getField("text").alias("text"),
+        span(1, "start").alias("sys_start"),
+        span(1, "end").alias("sys_end"),
+        span(2, "start").alias("user_start"),
+        span(2, "end").alias("user_end"),
+        span(3, "start").alias("asst_start"),
+        span(3, "end").alias("asst_end"))
+
+
+O_text_sft_render = """
+WITH u AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS uc
+  FROM documents
+)
+SELECT doc_id,
+       '<|system|>be terse<|end|><|user|>' || uc
+         || '<|end|><|assistant|>Answer ' || (doc_id % 100)
+         || '<|end|>' AS text,
+       CAST(10 AS INTEGER) AS sys_start,
+       CAST(18 AS INTEGER) AS sys_end,
+       CAST(33 AS INTEGER) AS user_start,
+       CAST(33 + length(uc) AS INTEGER) AS user_end,
+       CAST(53 + length(uc) AS INTEGER) AS asst_start,
+       CAST(60 + length(uc)
+            + length(CAST(doc_id % 100 AS VARCHAR)) AS INTEGER)
+         AS asst_end
+FROM u
+"""
+
+
 def q_sink_wire_formats(spark, sf_dir):
     """All three remote-write wire codecs in one tagged union —
     Graphite plaintext (W10/W11/W14), Influx line protocol (W9/K3),

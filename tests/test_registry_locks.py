@@ -109,6 +109,7 @@ _ORACLED_ORPHANS = [
     "pipeline_crawl",
     "tar_shards",
     "pipeline_webdataset",
+    "text_sft_render",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
