@@ -469,6 +469,30 @@ def bench_tar_shards(spark, sf_dir):
         F.sum(part_bytes).alias("bytes"))
 
 
+def bench_sft_render(spark, sf_dir):
+    """Chat-template rendering over the corpus: 3-turn conversations
+    per doc through the one-pass aggregate fold; aggregates rendered
+    length and assistant-span mass so neither column prunes."""
+    from remote_storage_adapter_spark.operators import sft as SF
+
+    docs = load_table(spark, sf_dir, "documents")
+    turns = F.array(
+        F.struct(F.lit("system").alias("role"),
+                 F.lit("be terse").alias("content")),
+        F.struct(F.lit("user").alias("role"),
+                 F.coalesce(F.col("text"),
+                            F.lit("")).alias("content")),
+        F.struct(F.lit("assistant").alias("role"),
+                 F.col("lang").alias("content")))
+    r = SF.render_chat(turns)
+    return docs.select(
+        F.length(r.getField("text")).alias("l"),
+        F.aggregate(SF.assistant_spans(r), F.lit(0),
+                    lambda a, s: a + s.getField("end")
+                    - s.getField("start")).alias("m")).agg(
+        F.sum("l").alias("chars"), F.sum("m").alias("mask_chars"))
+
+
 def bench_image_near_dup(spark, sf_dir):
     """Perceptual image near-dup end to end: plant a COMPLETE valid
     9×2 grayscale PNG per document (18 doc-dependent grays → 16
@@ -572,6 +596,7 @@ BENCH_QUERIES = {
     "warc_extract": bench_warc_extract,
     "robots_gate": bench_robots_gate,
     "tar_shards": bench_tar_shards,
+    "sft_render": bench_sft_render,
 }
 
 
