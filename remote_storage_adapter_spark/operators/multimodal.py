@@ -149,6 +149,10 @@ def _webp_chunks(p: bytes):
         end = i + 8 + clen
         if clen > len(p) or end > len(p):
             raise ValueError("WebP: lying chunk size")
+        if (clen & 1) and end < len(p) and p[end] != 0:
+            # RIFF pads are 0x00 by definition — a nonzero byte here
+            # means the walk is desynced or the file is corrupt
+            raise ValueError("WebP: nonzero pad byte")
         yield p[i:i + 4], i, end
         i = end + (clen & 1)
 
@@ -600,6 +604,7 @@ def _strip_one(p: bytes) -> bytes:
             odd = (e - s - 8) & 1
             # a lenient writer may omit the FINAL chunk's pad byte;
             # mirror the source so 'removed' only counts metadata
+            # (the walker already refused any nonzero pad byte)
             padded = odd and e < len(p)
             pos = e + (1 if padded else 0)
             if cc in (b"EXIF", b"XMP "):

@@ -40,8 +40,9 @@ def render_chat(turns: Column, *, markers: dict = DEFAULT_MARKERS,
     One ``aggregate`` fold over the array: text and offsets build in
     the same pass, so the spans are correct by construction for ANY
     role sequence and content (including empty turns; NULL content
-    renders as ``''`` per the text-operator contract). Unknown roles
-    use the role name itself as marker (``<|{role}|>``)."""
+    AND NULL role render as ``''`` per the text-operator contract —
+    a dirty conversation row must not NPE a corpus render). Unknown
+    roles use the role name itself as marker (``<|{role}|>``)."""
     eot = F.lit(markers["eot"])
 
     def prefix(role):
@@ -57,7 +58,7 @@ def render_chat(turns: Column, *, markers: dict = DEFAULT_MARKERS,
         F.array().cast(_SPAN_T).alias("spans"))
 
     def step(acc, t):
-        role = t.getField("role")
+        role = F.coalesce(t.getField("role"), F.lit(""))
         content = F.coalesce(t.getField("content"), F.lit(""))
         pre = prefix(role)
         start = (F.length(acc.getField("text"))

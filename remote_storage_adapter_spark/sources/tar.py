@@ -128,18 +128,23 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     (``00042.jpg`` + ``00042.seg.png`` + ``00042.output.json`` is
     ONE sample with exts ``jpg``/``seg.png``/``output.json``), and
     ``a/b.jpg`` vs ``c/b.jpg`` stay separate. The payloads land in
-    an ``ext → payload`` map. Returns (src_id, key, parts). ONE hash
-    aggregation keyed on (src_id, key) — payload bytes shuffle
-    exactly once; the per-ext dedup happens as an array expression
-    AFTER the aggregation, not as a second shuffling pass.
+    an ``ext → payload`` map. Returns (src_id, key, parts). Payload
+    bytes shuffle EXACTLY ONCE: an explicit repartition on
+    (src_id, key) satisfies the clustering requirement of BOTH
+    downstream aggregations (hash on a subset of the grouping keys
+    co-locates the superset), so the per-ext dedup agg and the map
+    build run exchange-free — and the dedup is a streaming
+    max-struct whose buffer holds ONE payload per ext, never a
+    collected array (a cap-compliant duplicate bomb cannot balloon
+    an aggregation buffer).
 
     Extension-less members (and dot-leading basenames like
     ``.hidden``) get ext ``''`` with the full name as key.
     Duplicate (key, ext) pairs within an archive resolve to the
-    LAST member in archive order (an in-array last-of-run pick on
-    the (ext, idx)-sorted entries — Spark's map_from_entries
-    rejects duplicate keys under the default dedup policy),
-    matching tar replace-on-extract semantics."""
+    LAST member in archive order (the per-ext max on the member
+    ordinal — Spark's map_from_entries rejects duplicate keys under
+    the default dedup policy), matching tar replace-on-extract
+    semantics."""
     name = F.col("name")
     dirp = F.regexp_extract(name, r"^(.*/)", 1)   # '' when none
     base = F.regexp_replace(name, r"^.*/", "")
@@ -150,23 +155,13 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     ext = F.when(has_ext,
                  F.regexp_replace(base, r"^[^.]+\.", "")
                  ).otherwise(F.lit(""))
-    grouped = (members.filter(F.col("err").isNull())
+    per_ext = (members.filter(F.col("err").isNull())
                .select("src_id", key.alias("key"), ext.alias("ext"),
                        "idx", "payload")
-               .groupBy("src_id", "key")
-               .agg(F.array_sort(F.collect_list(F.struct(
-                   "ext", "idx", "payload"))).alias("_a")))
-    arr = F.col("_a")
-    # (ext, idx)-sorted ⇒ the last entry of each ext run is the
-    # archive-order winner; _a is a materialized column, so the
-    # element_at lookahead re-reads it, never recomputes upstream
-    last_of_run = F.filter(
-        arr,
-        lambda x, i: (i == F.size(arr) - 1)
-        | (F.element_at(arr, i + 2).getField("ext")
-           != x.getField("ext")))
-    parts = F.map_from_entries(F.transform(
-        last_of_run,
-        lambda x: F.struct(x.getField("ext").alias("ext"),
-                           x.getField("payload").alias("payload"))))
-    return grouped.select("src_id", "key", parts.alias("parts"))
+               .repartition("src_id", "key")
+               .groupBy("src_id", "key", "ext")
+               .agg(F.max(F.struct("idx", "payload")).alias("_m")))
+    return (per_ext.groupBy("src_id", "key")
+            .agg(F.map_from_entries(F.array_sort(F.collect_list(
+                F.struct("ext", F.col("_m.payload").alias("payload"))
+            ))).alias("parts")))

@@ -68,3 +68,12 @@ def test_render_chat_custom_markers(spark):
                              markers=mk)
     assert text == "[U]q\n[A]a\n"
     assert [text[s:e] for _r, s, e in spans] == ["q", "a"]
+
+
+def test_render_chat_null_role_does_not_abort(spark):
+    """A dirty row (NULL role / NULL turn struct) must render with
+    the fallback marker, not NPE the executor (review regression)."""
+    text, spans, _ = _render(spark, [
+        ("user", "hi"), (None, "stray"), ("assistant", "ok")])
+    assert text == "<|user|>hi<|end|><||>stray<|end|><|assistant|>ok<|end|>"
+    assert text[spans[1][1]:spans[1][2]] == "stray"

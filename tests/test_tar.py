@@ -153,3 +153,14 @@ def test_tar_member_ordinals(spark):
     # directories consume no ordinal
     assert rows == {"00001.jpg": 0, "00001.txt": 1, "00001.json": 2,
                     "00002.jpg": 3, "00002.txt": 4}
+
+
+def test_webdataset_single_exchange_plan(spark):
+    """Payload bytes must shuffle exactly once: the explicit
+    (src_id, key) repartition satisfies both downstream aggs'
+    clustering (hash on a key subset co-locates the superset), so
+    the plan holds exactly ONE Exchange past the source."""
+    members = TA.tar_members(_df(spark, [_mktar(_SHARD)]))
+    plan = TA.webdataset_samples(members) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
