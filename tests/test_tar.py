@@ -164,3 +164,17 @@ def test_webdataset_single_exchange_plan(spark):
     plan = TA.webdataset_samples(members) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_tar_bz2_and_xz_archives(spark):
+    """mode='r:*' auto-detects whole-archive bz2/xz too (stdlib) —
+    lock it so a tarfile-open refactor can't silently drop the
+    formats."""
+    import bz2
+    import lzma
+
+    raw = _mktar(_SHARD)
+    for comp in (bz2.compress, lzma.compress):
+        rows = TA.tar_members(_df(spark, [comp(raw)])).collect()
+        assert sorted(r["name"] for r in rows if r["err"] is None) \
+            == sorted(n for n, d in _SHARD if d is not None)
