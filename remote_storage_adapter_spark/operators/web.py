@@ -145,7 +145,8 @@ def registrable_domain(host: Column,
 
 def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
                   id_col: str,
-                  broadcast_rules: bool | None = None) -> DataFrame:
+                  broadcast_rules: bool | None = None,
+                  fail_closed: bool = False) -> DataFrame:
     """Crawl-compliance gate: adds an ``allowed`` boolean per row by
     checking each URL against its host's robots rules (a
     :func:`..sources.robots.robots_rules` frame). Precedence is the
@@ -166,8 +167,16 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
     pre-AQE plan is a shuffle join); ``True`` forces a broadcast
     (right for the usual rule table: rule-count rows, not corpus
     rows); ``False`` forces the skew-safe shuffle join (right for a
-    web-scale host census that would OOM the driver)."""
-    for reserved in ("allowed", "_rb_host", "_rb_t", "_rb_d"):
+    web-scale host census that would OOM the driver).
+
+    ``fail_closed`` picks the posture for hosts whose robots.txt
+    could not be fully parsed (an ``err`` row: unreadable payload or
+    a ``RulesTruncated`` marker from the MAX_RULES bound). The
+    default ``False`` treats them as fully allowed (the de-facto
+    crawler convention for a broken robots.txt); ``True`` denies
+    every URL on such a host — the conservative compliance gate."""
+    for reserved in ("allowed", "_rb_host", "_rb_t", "_rb_d",
+                     "_rb_bad"):
         if reserved in df.columns:
             raise ValueError(
                 f"robots_filter: input already has a '{reserved}' "
@@ -186,21 +195,38 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
         rule_side = F.broadcast(rule_side)
     elif broadcast_rules is False:
         rule_side = rule_side.hint("merge")
-    # decisions key on (id, target), NOT id alone: an id shared by
-    # several rows (e.g. every record of one WARC archive carries
-    # the same src_id) must not merge verdicts across its URLs
+    # decisions key on (id, host, target), NOT id alone: an id shared
+    # by several rows (e.g. every record of one WARC archive carries
+    # the same src_id) must not merge verdicts across its URLs — and
+    # the HOST must be part of the key too, or the same path on two
+    # different hosts (path '/' collides constantly) would pool both
+    # hosts' rules into one max-struct and cross-apply verdicts
     cand = with_t.select(id_col, "_rb_host", "_rb_t").join(
         rule_side, "_rb_host")
     dec = (cand.filter(F.regexp_like(F.col("_rb_t"),
                                      F.col("pattern_re")))
-           .groupBy(id_col, "_rb_t")
+           .groupBy(id_col, "_rb_host", "_rb_t")
            .agg(F.max(F.struct(
                F.length("pattern").alias("l"),
                F.col("allow"))).alias("_rb_d")))
-    return (with_t.join(dec, [id_col, "_rb_t"], "left")
-            .withColumn("allowed",
-                        F.coalesce(F.col("_rb_d.allow"), F.lit(True)))
-            .drop("_rb_host", "_rb_t", "_rb_d"))
+    out = (with_t.join(dec, [id_col, "_rb_host", "_rb_t"], "left")
+           .withColumn("allowed",
+                       F.coalesce(F.col("_rb_d.allow"), F.lit(True))))
+    if fail_closed:
+        # hosts whose robots.txt quarantined (err row: unreadable
+        # payload, or a RulesTruncated marker meaning the policy was
+        # only partially parsed) are DENIED instead of silently
+        # allowed — the conservative compliance posture
+        bad = rules.filter(F.col("err").isNotNull()).select(
+            F.col("host").alias("_rb_host")).distinct()
+        out = (out.join(F.broadcast(bad.withColumn("_rb_bad",
+                                                   F.lit(True))),
+                        "_rb_host", "left")
+               .withColumn("allowed",
+                           F.when(F.col("_rb_bad"), F.lit(False))
+                           .otherwise(F.col("allowed")))
+               .drop("_rb_bad"))
+    return out.drop("_rb_host", "_rb_t", "_rb_d")
 
 
 #: the minimal named-entity set :func:`html_to_text` decodes —

@@ -40,8 +40,9 @@ ROBOTS_SCHEMA = T.StructType(
 )
 
 #: bounds a hostile robots.txt: rules beyond this per host are
-#: dropped (recorded nowhere — robots files this large are noise;
-#: real ones hold dozens of rules).
+#: dropped, and the host gets a ``RulesTruncated`` err marker row so
+#: the drop is visible (a later Allow/Disallow override may have been
+#: lost — ``robots_filter(fail_closed=True)`` denies such hosts).
 MAX_RULES = 1000
 
 
@@ -100,7 +101,7 @@ def _parse_robots(text: str, agent: str):
                 and (best is None or len(a) > len(best)):
             best = a
     rules = groups.get(best if best is not None else "*", [])
-    return rules[:MAX_RULES]
+    return rules[:MAX_RULES], max(0, len(rules) - MAX_RULES)
 
 
 def robots_rules(df: DataFrame, *, agent: str = "*",
@@ -123,10 +124,18 @@ def robots_rules(df: DataFrame, *, agent: str = "*",
                 try:
                     if txt is None:
                         continue        # no robots.txt = no rules
-                    for i, (allow, pat) in enumerate(
-                            _parse_robots(str(txt), agent)):
+                    rules, dropped = _parse_robots(str(txt), agent)
+                    for i, (allow, pat) in enumerate(rules):
                         rows.append((host, i, allow, pat,
                                      _pattern_regex(pat), None))
+                    if dropped:
+                        # a trimmed policy may have lost an override
+                        # that would flip verdicts — record it as an
+                        # err marker row (kept rules still apply;
+                        # fail_closed consumers deny the host)
+                        rows.append((host, None, None, None, None,
+                                     f"RulesTruncated: kept "
+                                     f"{MAX_RULES}, dropped {dropped}"))
                 except Exception as e:  # noqa: BLE001 — quarantine
                     rows.append((host, None, None, None, None,
                                  f"{type(e).__name__}: {e}"))

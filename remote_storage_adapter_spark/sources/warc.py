@@ -69,6 +69,7 @@ def _parse_warc(p: bytes, max_bytes: int = MAX_ARCHIVE_BYTES):
             raise ValueError("WARC: bad version line")
         i = eol + 2
         hdrs = {}
+        last_key = None
         while True:
             eol = p.find(b"\r\n", i)
             if eol < 0:
@@ -77,10 +78,17 @@ def _parse_warc(p: bytes, max_bytes: int = MAX_ARCHIVE_BYTES):
             i = eol + 2
             if line == b"":
                 break
+            if line[:1] in (b" ", b"\t") and last_key is not None:
+                # folded continuation line (leading SP/HT — legal in
+                # WARC 1.0, present in legacy crawls): extends the
+                # previous header's value, there is no colon to split
+                hdrs[last_key] += b" " + line.strip()
+                continue
             k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError("WARC: malformed header line")
-            hdrs[k.strip().lower()] = v.strip()
+            last_key = k.strip().lower()
+            hdrs[last_key] = v.strip()
         try:
             clen = int(hdrs[b"content-length"])
         except (KeyError, ValueError):

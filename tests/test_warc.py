@@ -111,6 +111,26 @@ def test_warc_empty_and_separator_tolerance(spark):
     assert _rows(spark, [b""]) == []
 
 
+def test_warc_folded_header_continuation(spark):
+    """Folded continuation lines (leading SP/HT — legal WARC 1.0,
+    present in legacy crawls) extend the previous header value
+    instead of quarantining the whole archive on the missing colon."""
+    body = b"<html>x</html>"
+    folded = ("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://example.com/very\r\n"
+              " /long/path\r\n"          # SP continuation
+              "WARC-Date: 2024-05-06T07:08:09Z\r\n"
+              f"Content-Length: {len(body)}\r\n\r\n"
+              ).encode() + body + b"\r\n\r\n"
+    rows = _rows(spark, [folded])
+    assert len(rows) == 1 and rows[0][9] is None
+    assert rows[0][3] == "https://example.com/very /long/path"
+    # a continuation BEFORE any header is still malformed
+    bad = folded.replace(b"WARC-Type", b" fold-first\r\nWARC-Type", 1)
+    rows = _rows(spark, [bad])
+    assert len(rows) == 1 and "malformed header" in rows[0][9]
+
+
 def test_warc_http_status_and_fallthrough():
     s, ct, body = WR._split_http(
         b"HTTP/1.1 404 Not Found\r\nContent-Type: a/b\r\n\r\nxyz")

@@ -233,20 +233,20 @@ def test_robots_parse_edges():
     )
 
     # rules before any user-agent line belong to '*'
-    assert _parse_robots("Disallow: /x\n", "any") == [(False, "/x")]
+    assert _parse_robots("Disallow: /x\n", "any") == ([(False, "/x")], 0)
     # two groups for the same agent merge
     txt = ("User-agent: a\nDisallow: /1\n\n"
            "User-agent: a\nAllow: /2\n")
-    assert _parse_robots(txt, "a") == [(False, "/1"), (True, "/2")]
+    assert _parse_robots(txt, "a") == ([(False, "/1"), (True, "/2")], 0)
     # longest agent prefix wins
     txt2 = ("User-agent: bot\nDisallow: /b\n\n"
             "User-agent: botx\nDisallow: /bx\n")
-    assert _parse_robots(txt2, "botxtra") == [(False, "/bx")]
+    assert _parse_robots(txt2, "botxtra") == ([(False, "/bx")], 0)
     # a user-agent line after rules starts a NEW group
     txt3 = ("User-agent: a\nDisallow: /1\nUser-agent: b\n"
             "Disallow: /2\n")
-    assert _parse_robots(txt3, "a") == [(False, "/1")]
-    assert _parse_robots(txt3, "b") == [(False, "/2")]
+    assert _parse_robots(txt3, "a") == ([(False, "/1")], 0)
+    assert _parse_robots(txt3, "b") == ([(False, "/2")], 0)
 
 
 def test_robots_filter_broadcast_tristate(spark):
@@ -309,8 +309,75 @@ def test_robots_empty_user_agent_line_is_ignored():
            "User-agent: *\nDisallow: /star\n")
     # the malformed empty token must not shadow the * fallback;
     # its rules attach to '*' (rules with no valid UA line above)
-    assert _parse_robots(txt, "anybot") == [(False, "/secret"),
-                                            (False, "/star")]
+    assert _parse_robots(txt, "anybot") == ([(False, "/secret"),
+                                             (False, "/star")], 0)
+
+
+def test_robots_filter_same_path_on_two_hosts_not_pooled(spark):
+    """One id carrying the SAME path on two hosts with conflicting
+    rules (the WARC-archive case: every record shares src_id, and
+    path '/' collides constantly) must get per-host verdicts — host
+    A's disallow must not block host B, and a longer allow pattern
+    on one host must not override the other host's disallow."""
+    from remote_storage_adapter_spark.sources import robots as RB
+
+    hosts = spark.createDataFrame(
+        [("deny.com", "User-agent: *\nDisallow: /page\n"),
+         # longer (winning-length) ALLOW on the other host: if the
+         # two hosts' rules pool, this overrides deny.com's disallow
+         ("ok.com", "User-agent: *\nAllow: /page*\n")],
+        "host string, robots_txt string")
+    rules = RB.robots_rules(hosts)
+    df = spark.createDataFrame(
+        [(1, "https://deny.com/page"), (1, "https://ok.com/page")],
+        "src_id long, url string")
+    out = sorted((r["url"], r["allowed"])
+                 for r in W.robots_filter(df, rules, url_col="url",
+                                          id_col="src_id").collect())
+    assert out == [("https://deny.com/page", False),
+                   ("https://ok.com/page", True)]
+
+
+def test_robots_rules_truncation_marker_and_fail_closed(spark):
+    """A robots.txt beyond MAX_RULES emits a RulesTruncated err row
+    (the drop is visible, not silent); robots_filter default stays
+    fail-open on err hosts, fail_closed=True denies them."""
+    from remote_storage_adapter_spark.sources import robots as RB
+
+    big = "User-agent: *\n" + "".join(
+        f"Disallow: /r{i}\n" for i in range(RB.MAX_RULES + 5))
+    hosts = spark.createDataFrame(
+        [("big.com", big),
+         ("broken.com", None),          # no robots.txt: no rows
+         ("ok.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    rules = RB.robots_rules(hosts).cache()
+    try:
+        marks = rules.filter(F.col("err").isNotNull()).collect()
+        assert [m["host"] for m in marks] == ["big.com"]
+        assert "RulesTruncated" in marks[0]["err"]
+        assert "dropped 5" in marks[0]["err"]
+        assert rules.filter(
+            (F.col("host") == "big.com") & F.col("err").isNull()
+        ).count() == RB.MAX_RULES
+
+        df = spark.createDataFrame(
+            [(0, "https://big.com/r0"), (1, "https://big.com/zzz"),
+             (2, "https://ok.com/x"), (3, "https://ok.com/y")],
+            "doc_id long, url string")
+        by_id = lambda rows: {r["doc_id"]: r["allowed"] for r in rows}
+        dflt = by_id(W.robots_filter(
+            df, rules, url_col="url", id_col="doc_id").collect())
+        # fail-open default: kept rules still apply on the err host
+        assert dflt == {0: False, 1: True, 2: False, 3: True}
+        closed = by_id(W.robots_filter(
+            df, rules, url_col="url", id_col="doc_id",
+            fail_closed=True).collect())
+        # fail-closed: EVERY url on the truncated host is denied;
+        # clean hosts unchanged
+        assert closed == {0: False, 1: False, 2: False, 3: True}
+    finally:
+        rules.unpersist()
 
 
 def test_html_to_text_java_vs_re2_whitespace_class(spark):
