@@ -4924,6 +4924,41 @@ FROM documents
 """
 
 
+def q_pipeline_ingest(spark, sf_dir):
+    """BOTH E2E ingestion capstones as one driver-visible registry
+    row (tagged union, the registry's merged-row mechanism): the
+    ``crawl`` leg is `q_pipeline_crawl` (WARC walk → robots gate →
+    URL dedup → HTML extraction) and the ``webdataset`` leg is
+    `q_pipeline_webdataset` (tar walk → WebDataset grouping → real
+    PNG inflate → dHash) — every value closed-form per the legs' own
+    oracles, here restated under shared column names. A bug in any
+    stage of either front-end flips rows in the driver's
+    CORRECTNESS gate, not just in pytest."""
+    crawl = q_pipeline_crawl(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.lit("crawl").alias("leg"),
+        F.col("norm_url").alias("skey"),
+        F.col("text_out").alias("payload"),
+        F.col("canon_id").cast("long").alias("num"))
+    wds = q_pipeline_webdataset(spark, sf_dir).select(
+        F.col("media_id").alias("id"),
+        F.lit("webdataset").alias("leg"),
+        F.col("key").alias("skey"),
+        F.col("txt_md5").alias("payload"),
+        F.col("dhash").cast("long").alias("num"))
+    return crawl.unionByName(wds)
+
+
+O_pipeline_ingest = f"""
+SELECT doc_id AS id, 'crawl' AS leg, norm_url AS skey,
+       text_out AS payload, CAST(canon_id AS BIGINT) AS num
+FROM ({O_pipeline_crawl})
+UNION ALL
+SELECT media_id AS id, 'webdataset' AS leg, key AS skey,
+       txt_md5 AS payload, CAST(dhash AS BIGINT) AS num
+FROM ({O_pipeline_webdataset})
+"""
+
+
 def q_text_sft_render(spark, sf_dir):
     """SFT chat-template rendering, oracle-gated (oracled orphan):
     build a 3-turn conversation per document (fixed system turn,
@@ -5311,7 +5346,10 @@ REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_simhash": (q_dedup_simhash, O_dedup_simhash),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                O_dedup_embedding_cosine),
-    "dedup_cross_join": (q_dedup_cross_join, O_dedup_cross_join),
+    # dedup_cross_join was evicted to _ORACLED_ORPHANS in r9 (its
+    # oracle-mode direct join is not the user contract — the indexed
+    # twin is) to free the slot for the composed ingestion capstones
+    "pipeline_ingest": (q_pipeline_ingest, O_pipeline_ingest),
     # --- sampling / splitting ---
     "split_leakage_safe": (q_split_leakage_safe, O_split_leakage_safe),
     "sample_policies": (q_sample_policies, O_sample_policies),

@@ -110,6 +110,10 @@ _ORACLED_ORPHANS = [
     "tar_shards",
     "pipeline_webdataset",
     "text_sft_render",
+    # evicted from the registry in r9 to free a slot for
+    # pipeline_ingest (the composed capstones): the direct-join
+    # oracle mode is not the user contract, the indexed twin is
+    "dedup_cross_join",
     # text_quality_score was promoted INTO the registry in r8 (a
     # model_score leg of text_profile) — no longer an orphan
 ]
