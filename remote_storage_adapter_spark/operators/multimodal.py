@@ -34,6 +34,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import mediacodec as MC
+from .skew import ensure_min_tasks
+
+
+def _media_sel(media: DataFrame, id_col: str, payload_col: str,
+               min_tasks: int | None) -> DataFrame:
+    """Shared (id, payload) projection for the mapInPandas stages,
+    with the optional parallelism floor for too-few-files landing
+    layouts (``operators.skew.ensure_min_tasks``; ``None`` keeps the
+    stages partition-preserving)."""
+    return ensure_min_tasks(
+        media.select(F.col(id_col).alias(id_col), F.col(payload_col)),
+        min_tasks)
 
 #: typed metadata carried next to every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -319,7 +331,8 @@ def _sniff(p: bytes):
 
 
 def sniff_media_meta(media: DataFrame, *, id_col: str = "media_id",
-                     payload_col: str = "payload") -> DataFrame:
+                     payload_col: str = "payload",
+                     min_tasks: int | None = None) -> DataFrame:
     """Parse real container metadata out of every binary payload via
     Arrow-batched ``mapInPandas`` — this decode path is NOT stubbed
     (header parsing needs no media libraries), so corrupt or
@@ -337,9 +350,8 @@ def sniff_media_meta(media: DataFrame, *, id_col: str = "media_id",
             parsed.insert(0, "media_id", pdf[id_col].to_numpy())
             yield parsed
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, schema=SNIFF_SCHEMA)
+    return _media_sel(media, id_col, payload_col, min_tasks).mapInPandas(
+        run, schema=SNIFF_SCHEMA)
 
 
 def _is_wav(p: bytes) -> bool:
@@ -539,7 +551,8 @@ def _exif_parse(p: bytes):
 
 
 def exif_metadata(media: DataFrame, *, id_col: str = "media_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  payload_col: str = "payload",
+                  min_tasks: int | None = None) -> DataFrame:
     """Parse EXIF camera/orientation/capture-time/GPS metadata out of
     every JPEG (APP1), PNG (``eXIf`` chunk) or WebP (``EXIF`` RIFF
     chunk) payload via the REAL TIFF IFD walk — the provenance
@@ -560,9 +573,8 @@ def exif_metadata(media: DataFrame, *, id_col: str = "media_id",
             parsed.insert(0, "media_id", pdf[id_col].to_numpy())
             yield parsed
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, schema=EXIF_SCHEMA)
+    return _media_sel(media, id_col, payload_col, min_tasks).mapInPandas(
+        run, schema=EXIF_SCHEMA)
 
 
 #: JPEG metadata segments removed by :func:`strip_metadata`: APP1
@@ -652,7 +664,8 @@ STRIP_SCHEMA = T.StructType(
 
 
 def strip_metadata(media: DataFrame, *, id_col: str = "media_id",
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   min_tasks: int | None = None) -> DataFrame:
     """PII/metadata scrub for image corpora: re-emit every payload
     with its metadata segments spliced out — EXIF (GPS, camera
     serial), XMP, IPTC, comments for JPEG; textual/eXIf/tIME chunks
@@ -681,9 +694,8 @@ def strip_metadata(media: DataFrame, *, id_col: str = "media_id",
             out.insert(0, "media_id", pdf[id_col].to_numpy())
             yield out
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, schema=STRIP_SCHEMA)
+    return _media_sel(media, id_col, payload_col, min_tasks).mapInPandas(
+        run, schema=STRIP_SCHEMA)
 
 
 def _real_feature(payload: bytes, dim: int) -> list:
@@ -861,7 +873,8 @@ def _decode_one(p: bytes):
 
 
 def decode_media(media: DataFrame, *, id_col: str = "media_id",
-                 payload_col: str = "payload") -> DataFrame:
+                 payload_col: str = "payload",
+                 min_tasks: int | None = None) -> DataFrame:
     """REAL pixel/sample decode of every payload via Arrow-batched
     ``mapInPandas`` — stdlib codecs only (PNG/BMP/GIF/JPEG
     pixels, WAV PCM samples; see :mod:`..functions.mediacodec`).
@@ -883,9 +896,8 @@ def decode_media(media: DataFrame, *, id_col: str = "media_id",
             parsed.insert(0, "media_id", pdf[id_col].to_numpy())
             yield parsed
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, schema=DECODE_SCHEMA)
+    return _media_sel(media, id_col, payload_col, min_tasks).mapInPandas(
+        run, schema=DECODE_SCHEMA)
 
 
 # --------------------------------------------------- audio analysis
@@ -946,7 +958,8 @@ def _audio_features_one(p: bytes):
 
 
 def audio_features(media: DataFrame, *, id_col: str = "media_id",
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   min_tasks: int | None = None) -> DataFrame:
     """Spectral/temporal audio descriptors per WAV payload
     (:data:`AUDIO_FEATURE_SCHEMA`) — the audio twin of the image
     decode stats: REAL PCM decode (:func:`..functions.mediacodec
@@ -973,9 +986,8 @@ def audio_features(media: DataFrame, *, id_col: str = "media_id",
             out.insert(0, "media_id", pdf[id_col].to_numpy())
             yield out
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+    return _media_sel(media, id_col, payload_col, min_tasks).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA)
 
 
 # ------------------------------------------------- perceptual hashes
@@ -1055,7 +1067,8 @@ def _phash_one(p: bytes) -> int:
 
 def image_hash(media: DataFrame, *, algo: str = "dhash",
                id_col: str = "media_id",
-               payload_col: str = "payload") -> DataFrame:
+               payload_col: str = "payload",
+               min_tasks: int | None = None) -> DataFrame:
     """64-bit perceptual fingerprint per image payload
     (:data:`IMAGE_HASH_SCHEMA`): ``dhash`` (gradient sign grid) or
     ``phash`` (DCT low-frequency median hash). Real pixel decode via
@@ -1085,9 +1098,8 @@ def image_hash(media: DataFrame, *, algo: str = "dhash",
             out.insert(0, "media_id", pdf[id_col].to_numpy())
             yield out
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col)
-    ).mapInPandas(run, schema=IMAGE_HASH_SCHEMA)
+    return _media_sel(media, id_col, payload_col, min_tasks).mapInPandas(
+        run, schema=IMAGE_HASH_SCHEMA)
 
 
 def image_near_dup_pairs(media: DataFrame, *, max_hamming: int = 3,

@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_tasks(df: DataFrame, min_tasks: int | None) -> DataFrame:
+    """Parallelism floor for file-layout-bound Python stages: a
+    mapInPandas source inherits the INPUT file layout (a 2-file
+    landing directory ⇒ 2 tasks, 30 idle cores), so callers that are
+    about to pay per-row Python (archive walks, media decode) can ask
+    for at least ``min_tasks`` partitions. ``None`` (the default
+    everywhere) respects the input layout — partition-preserving, no
+    shuffle; a value only repartitions when the input has FEWER
+    partitions, and that one bounded round-robin shuffle of
+    (id, payload) is the explicit price of fair fan-out. At 100 TB a
+    landing layout has thousands of files and this is a no-op."""
+    if min_tasks is None:
+        return df
+    if min_tasks <= 0:
+        raise ValueError(f"min_tasks must be positive, got {min_tasks}")
+    if df.rdd.getNumPartitions() >= min_tasks:
+        return df
+    return df.repartition(min_tasks)
+
+
 def salted(df: DataFrame, n_salts: int = 32,
            salt_col: str = "_salt") -> DataFrame:
     """Add a uniform deterministic salt derived from the row content.

@@ -59,15 +59,17 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
                 payload_col: str = "payload",
                 max_member_bytes: int = MAX_MEMBER_BYTES,
                 max_members: int = MAX_MEMBERS,
-                max_archive_bytes: int = MAX_ARCHIVE_BYTES
-                ) -> DataFrame:
+                max_archive_bytes: int = MAX_ARCHIVE_BYTES,
+                min_tasks: int | None = None) -> DataFrame:
     """Explode TAR archives into (src_id, idx, name, size, payload,
     err) member rows — ``idx`` is the member's archive ordinal;
     regular files only (directories/links carry no training
     payload). One quarantine row per unreadable archive;
     a member over ``max_member_bytes`` or an archive over
     ``max_members`` quarantines the ARCHIVE (caps are contracts, not
-    truncations — silent partial reads would look complete)."""
+    truncations — silent partial reads would look complete).
+    ``min_tasks`` is the parallelism floor for a too-few-files
+    landing layout (see ``operators.skew.ensure_min_tasks``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["src_id", "idx", "name", "size", "payload", "err"]
@@ -116,8 +118,13 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
                                  f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(
-        F.col(id_col).alias("src_id"), F.col(payload_col)
+    from remote_storage_adapter_spark.operators.skew import (
+        ensure_min_tasks,
+    )
+
+    return ensure_min_tasks(
+        df.select(F.col(id_col).alias("src_id"), F.col(payload_col)),
+        min_tasks,
     ).mapInPandas(run, schema=TAR_SCHEMA)
 
 

@@ -146,7 +146,8 @@ WARC_SCHEMA = T.StructType(
 
 def warc_records(df: DataFrame, *, id_col: str = "src_id",
                  payload_col: str = "payload",
-                 max_bytes: int = MAX_ARCHIVE_BYTES) -> DataFrame:
+                 max_bytes: int = MAX_ARCHIVE_BYTES,
+                 min_tasks: int | None = None) -> DataFrame:
     """Explode WARC archives (plain or per-member gzip) into typed
     record rows: WARC type/URI/date/content-type plus, for HTTP
     ``response`` records, the status / Content-Type / body of the
@@ -187,6 +188,11 @@ def warc_records(df: DataFrame, *, id_col: str = "src_id",
                                  f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(
-        F.col(id_col).alias("src_id"), F.col(payload_col)
+    from remote_storage_adapter_spark.operators.skew import (
+        ensure_min_tasks,
+    )
+
+    return ensure_min_tasks(
+        df.select(F.col(id_col).alias("src_id"), F.col(payload_col)),
+        min_tasks,
     ).mapInPandas(run, schema=WARC_SCHEMA)

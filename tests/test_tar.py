@@ -178,3 +178,38 @@ def test_tar_bz2_and_xz_archives(spark):
         rows = TA.tar_members(_df(spark, [comp(raw)])).collect()
         assert sorted(r["name"] for r in rows if r["err"] is None) \
             == sorted(n for n, d in _SHARD if d is not None)
+
+
+def test_min_tasks_parallelism_floor(spark):
+    """File-layout-bound Python sources accept a parallelism floor:
+    a 1-partition input fans out to min_tasks partitions before the
+    mapInPandas walk; None respects the layout; results identical."""
+    import tarfile
+    import io
+
+    from remote_storage_adapter_spark.operators.skew import (
+        ensure_min_tasks,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        ti = tarfile.TarInfo("a.txt")
+        ti.size = 2
+        tf.addfile(ti, io.BytesIO(b"hi"))
+    shard = buf.getvalue()
+    df = spark.createDataFrame(
+        [(i, bytearray(shard)) for i in range(8)],
+        "src_id long, payload binary").coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    floored = TA.tar_members(df, min_tasks=8)
+    assert floored.rdd.getNumPartitions() == 8
+    kept = TA.tar_members(df)
+    assert kept.rdd.getNumPartitions() == 1
+    assert sorted(map(tuple, floored.collect())) == \
+        sorted(map(tuple, kept.collect()))
+    # already-wide input: floor below current width is a no-op plan
+    wide = df.repartition(8)
+    assert TA.tar_members(wide, min_tasks=4).rdd.getNumPartitions() == 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ensure_min_tasks(df, 0)
