@@ -351,6 +351,21 @@ def bench_url_curation(spark, sf_dir):
     and domain so neither branch can be pruned."""
     from remote_storage_adapter_spark.operators import web as W
 
+    d = _url_curation_planted(spark, sf_dir)
+    out = W.url_dedup(d, url_col="url", id_col="doc_id")
+    host = W.host_of(F.col("url"))
+    return out.withColumn(
+        "domain", W.registrable_domain(host)).agg(
+        F.countDistinct("norm_url").alias("n_urls"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum("canon_id").alias("canon_sum"),
+        F.sum((F.col("doc_id") == F.col("canon_id")).cast("long"))
+        .alias("kept"))
+
+
+def _url_curation_planted(spark, sf_dir):
+    """The messy planted URL frame shared by bench_url_curation and
+    bench_url_curation_approx (same input, exact vs HLL census)."""
     docs = load_table(spark, sf_dir, "documents")
     k = F.col("doc_id") % 4096
     s = lambda c: c.cast("string")  # noqa: E731
@@ -365,16 +380,23 @@ def bench_url_curation(spark, sf_dir):
                  F.lit("&a="), s(k % 5)),
         F.when(k % 2 == 0, "#sec").otherwise(""),
     )
-    d = docs.select("doc_id", url.alias("url"))
-    out = W.url_dedup(d, url_col="url", id_col="doc_id")
-    host = W.host_of(F.col("url"))
-    return out.withColumn(
-        "domain", W.registrable_domain(host)).agg(
-        F.countDistinct("norm_url").alias("n_urls"),
-        F.countDistinct("domain").alias("n_domains"),
-        F.sum("canon_id").alias("canon_sum"),
-        F.sum((F.col("doc_id") == F.col("canon_id")).cast("long"))
-        .alias("kept"))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def bench_url_curation_approx(spark, sf_dir):
+    """The domain census on the HLL path (the 100 TB posture for
+    url_curation, whose exact countDistinct expand dominates that
+    row): same planted URLs, per-domain rollup with
+    approx_count_distinct — one pass, no expand. Aggregates the
+    rollup so every sketch is computed."""
+    from remote_storage_adapter_spark.operators import web as W
+
+    d = _url_curation_planted(spark, sf_dir)
+    return W.domain_rollup(d, url_col="url", approx=True).agg(
+        F.sum("n_rows").alias("rows_sum"),
+        F.sum("n_urls").alias("urls_sum"),
+        F.sum("n_hosts").alias("hosts_sum"),
+        F.count(F.lit(1)).alias("n_domains"))
 
 
 def bench_warc_extract(spark, sf_dir):
@@ -593,6 +615,7 @@ BENCH_QUERIES = {
     "multimodal_audio": Q.q_multimodal_audio,
     "exif_scrub": bench_exif_scrub,
     "url_curation": bench_url_curation,
+    "url_curation_approx": bench_url_curation_approx,
     "warc_extract": bench_warc_extract,
     "robots_gate": bench_robots_gate,
     "tar_shards": bench_tar_shards,

@@ -267,6 +267,35 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(h, r"[ \t\n\r\f\x0B]+", " "))
 
 
+def domain_rollup(df: DataFrame, *, url_col: str,
+                  two_level: Sequence[str] = TWO_LEVEL_SUFFIXES,
+                  approx: bool = False,
+                  rsd: float = 0.02) -> DataFrame:
+    """Per-registrable-domain crawl census: one row per domain with
+    ``n_rows`` (fetches), ``n_urls`` (distinct normalized URLs) and
+    ``n_hosts`` (distinct hosts) — the frame crawl quotas and
+    blocklist audits read.
+
+    ``approx=False`` (oracle mode) uses exact ``count_distinct``:
+    at scale that is an expand + second shuffle PER distinct column
+    — the plan triples its exchanged rows, fine at sf1, the
+    dominant cost at 100 TB. ``approx=True`` switches both distincts
+    to JVM HyperLogLog++ (``approx_count_distinct``, relative error
+    ``rsd``): one pass, one shuffle of fixed-size sketch buffers, no
+    expand — the 100 TB posture. (For PERSISTED mergeable sketches
+    across batches use ``operators.sketch.hll_sketch`` instead; this
+    is the one-shot census.)"""
+    host = host_of(F.col(url_col))
+    cd = ((lambda c: F.approx_count_distinct(c, rsd)) if approx
+          else F.count_distinct)
+    return (df.withColumn("_dr_host", host)
+            .groupBy(registrable_domain(F.col("_dr_host"),
+                                        two_level).alias("domain"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 cd(url_normalize(F.col(url_col))).alias("n_urls"),
+                 cd(F.col("_dr_host")).alias("n_hosts")))
+
+
 def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
               tracking: Sequence[str] = TRACKING_PARAMS) -> DataFrame:
     """URL-level exact dedup: adds ``norm_url`` and ``canon_id`` (the

@@ -392,3 +392,32 @@ def test_html_to_text_java_vs_re2_whitespace_class(spark):
     out = df.select(W.html_to_text(F.col("html")).alias("t")) \
         .collect()[0]["t"]
     assert out == "a" + chr(0x85) + "b" + chr(0x2028) + "c d"
+
+
+def test_domain_rollup_exact_and_approx(spark):
+    """domain_rollup: exact mode gives the true per-domain census;
+    approx mode (HLL, the 100 TB posture) lands within tolerance of
+    exact on every row — and the approx PLAN carries no Expand node
+    (the exact-distinct rewrite that dominates at scale)."""
+    rows = [(i, f"https://h{i % 7}.site{i % 3}.com/p/{i % 5}"
+             f"?utm_source=x&q={i % 2}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    exact = {r["domain"]: r for r in W.domain_rollup(
+        df, url_col="url").collect()}
+    assert set(exact) == {"site0.com", "site1.com", "site2.com"}
+    assert exact["site0.com"]["n_rows"] == 200
+    assert exact["site0.com"]["n_hosts"] == 7
+    # 7 hosts x 5 paths x 2 kept-query values per domain
+    assert exact["site0.com"]["n_urls"] == 70
+    approx = {r["domain"]: r for r in W.domain_rollup(
+        df, url_col="url", approx=True, rsd=0.02).collect()}
+    assert set(approx) == set(exact)
+    for dom, e in exact.items():
+        a = approx[dom]
+        assert a["n_rows"] == e["n_rows"]  # plain count stays exact
+        for c in ("n_urls", "n_hosts"):
+            assert abs(a[c] - e[c]) <= max(1, 0.1 * e[c]), (dom, c)
+    plans = {m: W.domain_rollup(df, url_col="url", approx=(m == "a"))
+             ._jdf.queryExecution().executedPlan().toString()
+             for m in ("a", "e")}
+    assert "Expand" in plans["e"] and "Expand" not in plans["a"]
