@@ -1077,9 +1077,11 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
     the DuckDB oracle reproduces every decision bit-for-bit;
     ``'fast'`` is the production profile (the minhash-mode
     precedent) — one ``xxhash64`` per TOKEN, then each window key is
-    a polynomial fold over the k token-hash integers (wrapping long
-    arithmetic, no per-window string building, no md5), identical
-    dedup semantics, locked equal to portable mode in pytest.
+    a buzhash (cyclic-polynomial rot/XOR) built in k ``zip_with``
+    passes for ``window`` ≤ 64 (no per-window slice, no md5, no
+    string building; O(k) array allocations per doc instead of O(T)),
+    or a chained-xxhash fold beyond that; identical dedup semantics,
+    locked equal to portable mode in pytest.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2 tokens, got {window}")
@@ -1092,27 +1094,95 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
     # map-side window hashes: pos is 1-based, windows [pos, pos+k-1];
     # guard the short-doc case — sequence(1, 0) DESCENDS (the lm2
     # bigram guard), feeding slice a start of 0
-    if hash_mode == "portable":
-        src, whash = "toks", (lambda p: portable_hash64(
-            F.array_join(F.slice("toks", p, k), " ")))
-    else:
+    if hash_mode == "fast" and k <= 64:
+        # buzhash (cyclic-polynomial) window keys over the per-token
+        # xxhash64 array: H(i) = XOR_{d=0..k-1} rot64(th[i+d], k-1-d).
+        # Token hashes stay JVM-side (one codegen'd xxhash64 per
+        # token); the T-k+1 window keys are then built in ONE
+        # Arrow-batched pandas_udf with the O(T) prefix-XOR identity
+        #   H(i) = rot(P[i+k-1] ^ P[i-1], i+k-1),
+        #   P = prefix-xor of q[j] = rot_right(th[j], j)
+        # — all numpy vector ops, no per-window slice, no per-element
+        # interpreted lambda. This is the measured-fastest of three
+        # shapes at sf1 (chained-xxhash aggregate fold 20 s; k-pass
+        # zip_with rot/xor 48 s — interpreted HOF lambdas dominate;
+        # this ~13 s): Spark evaluates higher-order-function lambdas
+        # INTERPRETED per element, so O(T·k) interpreted steps lose
+        # to O(T) vectorized numpy even paying the Arrow hop — only
+        # (id, th) crosses, ~8 bytes/token each way. rot amounts are
+        # distinct within a window for k ≤ 64, so a token swap never
+        # cancels; rotation distributes over XOR, so equal windows
+        # hash equal at any position. k > 64 (rotations would repeat
+        # → systematic swap collisions) falls back to the chained
+        # fold below.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
         base = base.withColumn(
             "th", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
-        # fold combiner is xxhash64(acc, h): overflow-free under ANSI
-        # (a polynomial fold's long multiply throws there) and mixes
-        # better than mult-add
-        src, whash = "th", (lambda p: F.aggregate(
-            F.slice("th", p, k), F.lit(0).cast("long"),
-            lambda acc, h: F.xxhash64(acc, h)))
-    win_arr = F.when(
-        F.size(src) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(src) - k + 1),
-            lambda p: F.struct(p.alias("pos"), whash(p).alias("wh")),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
-    wins = base.select("id", F.explode(win_arr).alias("w")) \
-        .select("id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+
+        def _buz_fn(th_col):
+            kk, w64 = np.uint64(k), np.uint64(64)
+            out = []
+            for th in th_col:
+                t = np.asarray(th, dtype=np.uint64)
+                n = t.size
+                if n < k:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                j = np.arange(n, dtype=np.uint64) % w64
+                js = np.where(j == 0, np.uint64(1), j)  # a shift of
+                # 64 is UB in numpy; the j==0 lanes take `t` anyway
+                q = np.where(j == 0, t, (t >> js) | (t << (w64 - js)))
+                p = np.bitwise_xor.accumulate(q)
+                x = p[k - 1:].copy()
+                x[1:] ^= p[:n - k]
+                r = (np.arange(n - k + 1, dtype=np.uint64)
+                     + kk - np.uint64(1)) % w64
+                rs = np.where(r == 0, np.uint64(1), r)
+                h = np.where(r == 0, x, (x << rs) | (x >> (w64 - rs)))
+                out.append(h.view(np.int64))
+            return pd.Series(out)
+
+        # plain-function form: `from __future__ import annotations`
+        # stringifies type hints, which pandas_udf can't resolve
+        _buz = pandas_udf(_buz_fn, "array<bigint>")
+        wins = (base.withColumn("whs", _buz("th"))
+                .select("id", F.posexplode("whs").alias("p0", "wh"))
+                .select("id", (F.col("p0") + 1).alias("pos"), "wh"))
+    else:
+        if hash_mode == "portable":
+            src, whash = "toks", (lambda p: portable_hash64(
+                F.array_join(F.slice("toks", p, k), " ")))
+        else:
+            base = base.withColumn(
+                "th", F.transform(F.col("toks"),
+                                  lambda t: F.xxhash64(t)))
+            # fold combiner is xxhash64(acc, h): overflow-free under
+            # ANSI (a polynomial fold's long multiply throws there)
+            # and mixes better than mult-add
+            src, whash = "th", (lambda p: F.aggregate(
+                F.slice("th", p, k), F.lit(0).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h)))
+        win_arr = F.when(
+            F.size(src) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(src) - k + 1),
+                lambda p: F.struct(p.alias("pos"), whash(p).alias("wh")),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
+        wins = base.select("id", F.explode(win_arr).alias("w")) \
+            .select("id", F.col("w.pos").alias("pos"),
+                    F.col("w.wh").alias("wh"))
+    # ONE explicit exchange on wh serves both consumers below: the
+    # firsts groupBy reuses the clustering (no second exchange) and
+    # the join's probe side arrives pre-partitioned, so the window
+    # hash build — the expensive stage — runs ONCE instead of once
+    # per branch (measured 14 s → 5 s for the decision core at sf1;
+    # without this the two branches' exchanges differ (partial-agg
+    # vs raw) and nothing reuses)
+    wins = wins.repartition("wh")
     firsts = wins.groupBy("wh").agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"))
     flagged = wins.join(firsts, "wh").select(
