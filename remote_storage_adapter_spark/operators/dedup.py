@@ -710,7 +710,8 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
                   num_hashes: int = 64, bands: int = 16,
                   shingle_n: int = 3, mode: str = "oph",
                   id_col: str = "doc_id", text_col: str = "text",
-                  buckets: int = 32) -> None:
+                  buckets: int = 32,
+                  sigs: DataFrame | None = None) -> None:
     """Materialize a reference corpus' MinHash-LSH index as bucketed
     catalog tables — :func:`minhash_lsh_join`'s 'the banded frame is
     the index' reuse story, made concrete. Sign the 100 TB reference
@@ -734,20 +735,40 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    sig_fn = _SIG_FNS[mode]
-    sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
-                       shingle_n=shingle_n, id_col=id_col,
-                       text_col=text_col))
-    sigs.count()  # one materialization feeds all three writes
+    if sigs is None:
+        sig_fn = _SIG_FNS[mode]
+        sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
+                           shingle_n=shingle_n, id_col=id_col,
+                           text_col=text_col))
+        sigs.count()  # one materialization feeds all three writes
+    else:
+        # caller-threaded signatures (minhash_signatures_for
+        # contract): already pinned+materialized by the caller, must
+        # cover exactly ``docs``' rows at matching num_hashes/
+        # shingle_n/mode — signing is the dominant build cost and the
+        # composed pipelines already paid it for their decision join
+        sigs = sigs.join(docs.select(F.col(id_col).alias("id")), "id")
     banded = _band_frame(sigs, bands=bands,
                          rows_per_band=num_hashes // bands, mode=mode)
-    (banded.write.mode("overwrite").bucketBy(buckets, "band", "bucket")
+    # repartition ALIGNED to the bucket spec before every bucketed
+    # write (HashPartitioning and bucket-id use the same
+    # pmod(murmur3, n), so task i holds exactly bucket i): without
+    # it each of the W write tasks emits a file per bucket it
+    # touches — W×buckets ≈ 1000 ~4 KB files PER APPEND, and five
+    # micro-batches left a 10,242-file banded table whose every
+    # subsequent scan, append commit, and cap recount paid the
+    # listing (measured: the near-dup gate's dominant fixed cost).
+    # Aligned, each append lands exactly ``buckets`` files.
+    (banded.repartition(buckets, F.col("band"), F.col("bucket"))
+     .write.mode("overwrite").bucketBy(buckets, "band", "bucket")
      .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
-    (sigs.write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+    (sigs.repartition(buckets, F.col("id"))
+     .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
      .saveAsTable(f"{table_prefix}_sigs"))
     (banded.groupBy("band", "bucket")
      .agg(F.count(F.lit(1)).alias("_n"))
      .withColumn("batch_id", F.lit(-1).cast("long"))
+     .coalesce(1)
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
 
 
@@ -758,7 +779,8 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                          buckets: int = 32,
                          skip_tables: frozenset = frozenset(),
                          on_step=None,
-                         counts_batch_key: int | None = None) -> None:
+                         counts_batch_key: int | None = None,
+                         sigs: DataFrame | None = None) -> None:
     """Fold a new batch of reference docs into an existing
     :func:`minhash_index` without re-signing the corpus: sign ONLY
     the batch, append its postings/signatures into the bucketed
@@ -800,22 +822,35 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
             f"reserved (−1 builds, −2 keyless appends) — a caller-"
             f"supplied collision would silently skip the counts delta")
     spark = docs.sparkSession
-    sig_fn = _SIG_FNS[mode]
-    sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
-                       shingle_n=shingle_n, id_col=id_col,
-                       text_col=text_col))
-    sigs.count()
+    if sigs is None:
+        sig_fn = _SIG_FNS[mode]
+        sigs = _pin(sig_fn(docs, num_hashes=num_hashes,
+                           shingle_n=shingle_n, id_col=id_col,
+                           text_col=text_col))
+        sigs.count()
+    else:
+        # caller-threaded signatures (minhash_signatures_for
+        # contract: signed SUPERSET is sound, id-filter here): the
+        # composed curation pipeline already signed the batch for its
+        # near-dup decision join — re-signing the kept docs was the
+        # index fold's dominant cost
+        sigs = sigs.join(docs.select(F.col(id_col).alias("id")), "id")
     banded = _band_frame(sigs, bands=bands,
                          rows_per_band=num_hashes // bands,
                          mode=mode)
     if "banded" not in skip_tables:
-        (banded.write.mode("append")
+        # bucket-aligned repartition: exactly ``buckets`` files per
+        # append instead of tasks×buckets (see minhash_index — the
+        # unaligned form grew a 10k-file table in five batches)
+        (banded.repartition(buckets, F.col("band"), F.col("bucket"))
+         .write.mode("append")
          .bucketBy(buckets, "band", "bucket")
          .sortBy("band", "bucket").saveAsTable(f"{table_prefix}_banded"))
         if on_step is not None:
             on_step("banded")
     if "sigs" not in skip_tables:
-        (sigs.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+        (sigs.repartition(buckets, F.col("id"))
+         .write.mode("append").bucketBy(buckets, "id").sortBy("id")
          .saveAsTable(f"{table_prefix}_sigs"))
         if on_step is not None:
             on_step("sigs")
@@ -837,6 +872,8 @@ def minhash_index_append(docs: DataFrame, table_prefix: str, *,
                 (banded.groupBy("band", "bucket")
                  .agg(F.count(F.lit(1)).alias("_n"))
                  .withColumn("batch_id", F.lit(key).cast("long"))
+                 .coalesce(1)     # one tiny delta file per batch,
+                 # not one per (mostly empty) shuffle partition
                  .write.mode("append").saveAsTable(ctab))
         if on_step is not None:
             on_step("counts")

@@ -890,7 +890,11 @@ def build_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
     sort_cols=("term", "id"))``.
     """
     postings, stats = _postings(docs, buckets, id_col, text_col)
-    postings.write.mode("overwrite").partitionBy("tb").parquet(path)
+    # tb-aligned repartition: one file per tb directory, not one per
+    # (task, tb) pair — probe-time partition pruning then opens one
+    # file per pruned bucket instead of a task-fold of small ones
+    postings.repartition(buckets, F.col("tb")) \
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
     (
         stats.withColumn("part", F.lit(0)).coalesce(1)
         .write.mode("overwrite").partitionBy("part")
@@ -1345,7 +1349,8 @@ def append_text_index(docs: DataFrame, path: str, *, buckets: int = 64,
     except AnalysisException:
         pass  # no index yet — this append bootstraps it
     postings, stats = _postings(docs, buckets, id_col, text_col)
-    postings.write.mode("append").partitionBy("tb").parquet(path)
+    postings.repartition(buckets, F.col("tb")) \
+        .write.mode("append").partitionBy("tb").parquet(path)
     (
         stats.withColumn("part", F.lit(0)).coalesce(1)
         .write.mode("append").partitionBy("part")

@@ -51,9 +51,20 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        buckets: int = 16,
                        index_buckets: int = 64,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> bool:
+                       text_col: str = "text",
+                       adaptive: bool | None = False) -> bool:
     """Apply one document batch through the full curation pipeline
     exactly once. Returns True if this call did any work.
+
+    ``adaptive``: AQE setting for this batch's jobs (restored after).
+    Default ``False`` — a curation micro-batch runs ~dozens of SMALL
+    jobs (gate joins, staged publishes, index appends) where AQE's
+    per-stage replanning barriers cost more than they save (measured
+    ~15% of batch wall at 50k-doc batches), and the flow's skew guard
+    is the explicit bucket cap, not AQE skew-join: the index joins
+    shuffle only the bounded batch side against bucketed scans. Pass
+    ``None`` to inherit the session setting (e.g. for corpus-sized
+    backfill batches), ``True`` to force AQE on.
 
     ``buckets`` fixes the doc-bucket fan-out of the curated table and
     the seen-fingerprint state; ``index_buckets`` independently fixes
@@ -155,6 +166,48 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     # is already committed (decisions then read back, not recomputed),
     # and publish_staged_batch sweeps its own partials before renaming.
     did_work = False
+    gate_sigs = None     # set on the fresh-compute path when the
+    # near-dup gate signed the batch; the index fold reuses it
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_prev = spark.conf.get(_aqe_key, "true")
+    if adaptive is not None:
+        spark.conf.set(_aqe_key, "true" if adaptive else "false")
+    try:
+        return _apply_curate_batch_body(
+            spark, batch_df, batch_id, did_work, gate_sigs,
+            out_dir=out_dir, seen_state=seen_state,
+            index_path=index_path, lm_state=lm_state,
+            minhash_prefix=minhash_prefix,
+            near_dup_threshold=near_dup_threshold,
+            minhash_kwargs=minhash_kwargs, min_q_score=min_q_score,
+            max_ppl=max_ppl, model=model,
+            min_model_score=min_model_score, model_dim=model_dim,
+            dsir=dsir, dsir_bigrams=dsir_bigrams, buckets=buckets,
+            index_buckets=index_buckets, id_col=id_col,
+            text_col=text_col, fs=fs, hpath=hpath,
+            cache_scope=cache_scope, fingerprint=fingerprint,
+            batch_committed=batch_committed,
+            publish_staged_batch=publish_staged_batch,
+            lm_score_against=lm_score_against,
+            quality_features=quality_features)
+    finally:
+        if adaptive is not None:
+            spark.conf.set(_aqe_key, _aqe_prev)
+
+
+def _apply_curate_batch_body(spark, batch_df, batch_id, did_work,
+                             gate_sigs, *, out_dir, seen_state,
+                             index_path, lm_state, minhash_prefix,
+                             near_dup_threshold, minhash_kwargs,
+                             min_q_score, max_ppl, model,
+                             min_model_score, model_dim, dsir,
+                             dsir_bigrams, buckets, index_buckets,
+                             id_col, text_col, fs, hpath, cache_scope,
+                             fingerprint, batch_committed,
+                             publish_staged_batch, lm_score_against,
+                             quality_features) -> bool:
+    """The batch body, split out so :func:`apply_curate_batch` can
+    scope the AQE toggle with one try/finally around it."""
     with cache_scope():
         if not batch_committed(spark, out_dir, batch_id,
                                ledger_dir="_curate_ledger"):
@@ -253,7 +306,7 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                 .otherwise("kept")
             ))
             if minhash_prefix is not None:
-                nd = _near_dup_ids(
+                nd, gate_sigs = _near_dup_ids(
                     spark, scored, minhash_prefix,
                     near_dup_threshold, minhash_kwargs or {},
                     id_col, text_col)
@@ -272,7 +325,12 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        F.lit(buckets)).alias("b"),
             )
             staging = f"{out_dir}/_staging/batch-{batch_id:012d}"
-            curated.write.mode("overwrite").partitionBy("b") \
+            # partition-aligned repartition: one file per b directory
+            # per batch instead of one per (task, b) pair — unaligned,
+            # five batches grew a multi-thousand-file table whose
+            # listing every read-back and report paid for
+            curated.repartition(buckets, F.col("b")) \
+                .write.mode("overwrite").partitionBy("b") \
                 .parquet(staging)
             publish_staged_batch(spark, out_dir, staging, batch_id,
                                  "b", ledger_dir="_curate_ledger")
@@ -294,14 +352,15 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                 lm_state=lm_state, minhash_prefix=minhash_prefix,
                 minhash_kwargs=minhash_kwargs, buckets=buckets,
                 index_buckets=index_buckets,
-                id_col=id_col, text_col=text_col)
+                id_col=id_col, text_col=text_col,
+                gate_sigs=gate_sigs)
         finally:
             kept.unpersist()
     return did_work
 
 
 def _near_dup_ids(spark, scored, prefix: str, threshold: float,
-                  mk: dict, id_col: str, text_col: str) -> DataFrame:
+                  mk: dict, id_col: str, text_col: str):
     """Decision-side MinHash near-dup set over the batch's surviving
     (``_status0 == 'kept'``) docs: within-batch pairs (smallest-id
     wins — ``id_b`` drops) plus a cross join against the accumulated
@@ -311,7 +370,14 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     signature pipeline. ``id_l == id_r`` cross matches are discarded:
     under the id-uniqueness contract they can only be a crashed
     attempt's own partially-applied copy, which keeps replay
-    decisions identical even when the join sees partial state."""
+    decisions identical even when the join sees partial state.
+
+    Returns ``(nd_frame, sigs)`` — the gate's pinned candidate
+    signatures ride back so the downstream index fold can reuse them
+    (the ``minhash_signatures_for`` threading contract: signing is
+    the dominant per-batch cost, and the kept set is a subset of the
+    signed candidates). The pin lives until the caller's
+    ``cache_scope`` exits."""
     from remote_storage_adapter_spark.operators.dedup import (
         _pin,
         minhash_lsh_join_indexed,
@@ -333,41 +399,51 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     sigs = _pin(minhash_signatures_for(
         cand, id_col=id_col, text_col=text_col, **sig_kwargs))
     sigs.count()
+    # ONE action evaluates both joins (r9 — the gate's cost at sf1 is
+    # dominated by per-job fixed costs, not data): the within-batch
+    # pair join and the cross-index join are unioned and collected
+    # together, so their stages run concurrently in a single job
+    # instead of two sequential collect round-trips. The cross probe
+    # uses the WHOLE candidate set, not within-batch survivors — any
+    # extra match it finds is for an id the within-batch rule already
+    # dropped, so the nd set is identical and the surv/drop-frame
+    # intermediate (two more joins) disappears. (In the bucket-cap
+    # regime the probe-side populations now include within-batch
+    # dups, so a >cap bucket trips marginally earlier — the cap's
+    # documented conservative direction.)
     pairs = minhash_lsh_pairs(cand, threshold=threshold,
                               id_col=id_col, text_col=text_col,
                               sigs=sigs, **join_kwargs)
-    nd = {int(r["id_b"])
-          for r in pairs.select("id_b").distinct().collect()}
-    idx_live = table_live(spark, f"{prefix}_applied")
-    if idx_live:
-        surv, surv_sigs = cand, sigs
-        if nd:
-            drop_df = spark.createDataFrame(
-                [(i,) for i in sorted(nd)], f"{id_col} long")
-            surv = cand.join(drop_df, id_col, "left_anti")
-            surv_sigs = sigs.join(
-                drop_df.withColumnRenamed(id_col, "id"), "id",
-                "left_anti")
+    nd_frame = pairs.select(F.col("id_b").alias("_nd_id"))
+    if table_live(spark, f"{prefix}_applied"):
         cross = minhash_lsh_join_indexed(
-            spark, prefix, surv, threshold=threshold,
-            id_col=id_col, text_col=text_col, sigs=surv_sigs,
+            spark, prefix, cand, threshold=threshold,
+            id_col=id_col, text_col=text_col, sigs=sigs,
             **join_kwargs)
-        nd |= {int(r["id_l"]) for r in
-               cross.filter(F.col("id_l") != F.col("id_r"))
-               .select("id_l").distinct().collect()}
+        nd_frame = nd_frame.unionByName(
+            cross.filter(F.col("id_l") != F.col("id_r"))
+            .select(F.col("id_l").alias("_nd_id")))
+    nd = {int(r["_nd_id"])
+          for r in nd_frame.distinct().collect()}
     return spark.createDataFrame(
         [(i, True) for i in sorted(nd)],
-        f"{id_col} long, _nd boolean")
+        f"{id_col} long, _nd boolean"), sigs
 
 
 def _apply_downstream(spark, kept, batch_id, did_work, *,
                       seen_state, index_path, lm_state,
                       minhash_prefix, minhash_kwargs,
                       buckets, index_buckets, id_col,
-                      text_col) -> bool:
+                      text_col, gate_sigs=None) -> bool:
     """Steps 2-4 of :func:`apply_curate_batch` over the committed
     kept set — split out so the caller's try/finally releases the
-    cached frame even when a downstream publish throws."""
+    cached frame even when a downstream publish throws.
+
+    ``gate_sigs`` (fresh-compute path only): the near-dup gate's
+    pinned signatures over the batch's candidates — a signed superset
+    of ``kept``, reused by the MinHash index fold instead of
+    re-signing (replay passes None and the fold re-signs, same
+    result: signatures are per-doc pure)."""
     from remote_storage_adapter_spark.operators.ingest import (
         batch_committed,
         publish_staged_batch,
@@ -380,6 +456,7 @@ def _apply_downstream(spark, kept, batch_id, did_work, *,
         (
             kept.select("fp")
             .withColumn("b", F.pmod(F.xxhash64("fp"), F.lit(buckets)))
+            .repartition(buckets, F.col("b"))  # one file per b/batch
             .write.mode("overwrite").partitionBy("b")
             .parquet(staging)
         )
@@ -391,7 +468,7 @@ def _apply_downstream(spark, kept, batch_id, did_work, *,
         )
         did_work |= apply_index_batch(
             kept.select(id_col, text_col), batch_id, minhash_prefix,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, sigs=gate_sigs,
             **(minhash_kwargs or {}))
     if index_path is not None:
         from remote_storage_adapter_spark.streaming.retrieval import (

@@ -39,10 +39,17 @@ from remote_storage_adapter_spark.operators.dedup import (
 def apply_index_batch(batch_df: DataFrame, batch_id: int,
                       table_prefix: str, *,
                       dedup_threshold: float | None = None,
+                      sigs: DataFrame | None = None,
                       **index_kwargs) -> bool:
     """Apply one document batch to the index exactly once: bootstrap
     the index on first use, append otherwise, skip if the ledger
     shows this batch already applied. Returns True if applied.
+
+    ``sigs`` is the :func:`..operators.dedup.minhash_signatures_for`
+    threading contract: a pinned signed superset of ``batch_df``
+    (matching num_hashes/shingle_n/mode) computed upstream — e.g. by
+    the curation near-dup gate — so the fold never re-signs; ``None``
+    signs here.
 
     ``dedup_threshold`` turns this into streaming FUZZY
     DEDUP-ON-INGEST (the text-side twin of the semantic maintainer):
@@ -84,15 +91,22 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
     id_col = index_kwargs.get("id_col", "doc_id")
     join_kwargs = {k: v for k, v in index_kwargs.items()
                    if k != "buckets"}
+    if sigs is not None:
+        # exact-coverage filter once: the pair/indexed joins consume
+        # sigs as-is, and a signed SUPERSET would band non-batch docs
+        # into the candidate join
+        sigs = sigs.join(
+            batch_df.select(F.col(id_col).alias("id")), "id")
     if not ledger_live:
         # first batch, or a bootstrap attempt crashed before any
         # ledger row landed: (re)build in overwrite mode — idempotent
         kept = batch_df
         if dedup_threshold is not None:
             kept = _drop_within_batch(batch_df, dedup_threshold,
-                                      id_col, join_kwargs)
+                                      id_col, join_kwargs, sigs=sigs)
         with cache_scope():
-            minhash_index(kept, table_prefix, **index_kwargs)
+            minhash_index(kept, table_prefix, sigs=sigs,
+                          **index_kwargs)
         # ONE job-atomic append of all three marks (r8 review): three
         # sequential marks left partial-ledger windows where a replay
         # would take the APPEND path over freshly-built tables —
@@ -132,10 +146,13 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
 
         with cache_scope():
             kept = _drop_within_batch(batch_df, dedup_threshold,
-                                      id_col, join_kwargs)
+                                      id_col, join_kwargs, sigs=sigs)
             cross = minhash_lsh_join_indexed(
                 spark, table_prefix, kept,
-                threshold=dedup_threshold, **join_kwargs)
+                threshold=dedup_threshold,
+                sigs=(None if sigs is None else sigs.join(
+                    kept.select(F.col(id_col).alias("id")), "id")),
+                **join_kwargs)
             cross_ids = spark.createDataFrame(
                 [(int(r["id_l"]),) for r in
                  cross.filter(F.col("id_l") != F.col("id_r"))
@@ -145,7 +162,7 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
     with cache_scope():
         minhash_index_append(kept, table_prefix,
                              skip_tables=frozenset(done),
-                             on_step=mark,
+                             on_step=mark, sigs=sigs,
                              counts_batch_key=batch_id, **index_kwargs)
     return True
 
@@ -208,7 +225,8 @@ def _repair_counts_delta(spark, table_prefix: str, batch_id: int) -> None:
 
 
 def _drop_within_batch(batch_df: DataFrame, threshold: float,
-                       id_col: str, join_kwargs: dict) -> DataFrame:
+                       id_col: str, join_kwargs: dict,
+                       sigs: DataFrame | None = None) -> DataFrame:
     """Within-batch fuzzy dedup (smallest-id-wins): MinHash pairs over
     the batch alone, drop every ``id_b`` (the larger id of a pair).
     Drop ids are materialized eagerly (bounded by batch size) so the
@@ -222,7 +240,7 @@ def _drop_within_batch(batch_df: DataFrame, threshold: float,
     spark = batch_df.sparkSession
     with _cs():
         pairs = minhash_lsh_pairs(batch_df, threshold=threshold,
-                                  **join_kwargs)
+                                  sigs=sigs, **join_kwargs)
         drop_ids = spark.createDataFrame(
             [(int(r["id_b"]),) for r in
              pairs.select("id_b").distinct().collect()],
@@ -474,13 +492,19 @@ def apply_line_batch(batch_df: DataFrame, batch_id: int,
             "b", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                         F.lit(buckets)))
         staging_docs = f"{out_dir}/_staging/batch-{batch_id:012d}"
-        out.write.mode("overwrite").partitionBy("b").parquet(staging_docs)
+        # partition-aligned: one file per b directory per batch (the
+        # curate writers' convention — unaligned partitionBy writes
+        # one file per (task, b) pair and the table's listing grows
+        # task-fold faster than its data)
+        out.repartition(buckets, F.col("b")) \
+            .write.mode("overwrite").partitionBy("b").parquet(staging_docs)
         publish_staged_batch(spark, out_dir, staging_docs, batch_id,
                              "b", ledger_dir="_line_ledger")
         staging_state = f"{state_path}/_staging/batch-{batch_id:012d}"
         (
             fresh.select("lh")
             .withColumn("b", F.pmod(F.col("lh"), F.lit(buckets)))
+            .repartition(buckets, F.col("b"))  # one file per b/batch
             .write.mode("overwrite").partitionBy("b")
             .parquet(staging_state)
         )

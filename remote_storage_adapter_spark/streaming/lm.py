@@ -169,7 +169,9 @@ def apply_lm_table_batch(batch_df, batch_id: int, table: str, *,
         return False
     if spark.table(table).filter(
             F.col("batch_id") == int(batch_id)).limit(1).count() == 0:
-        new.write.mode("append").saveAsTable(table)
+        # one delta file per batch — a per-shuffle-partition append
+        # grows the table's file listing ~32x faster than its data
+        new.coalesce(1).write.mode("append").saveAsTable(table)
     # else: delta landed, only the ledger row was lost — just mark
     _mark_lm_applied(spark, ledger, batch_id)
     return True

@@ -68,8 +68,9 @@ def apply_text_index_batch(batch_df: DataFrame, batch_id: int,
     if not batch_committed(spark, path, batch_id,
                            ledger_dir="_text_ledger"):
         staging = f"{path}/_staging/batch-{batch_id:012d}"
-        postings.write.mode("overwrite").partitionBy("tb") \
-            .parquet(staging)
+        postings.repartition(buckets, F.col("tb")) \
+            .write.mode("overwrite").partitionBy("tb") \
+            .parquet(staging)  # one file per tb/batch, not per task
         publish_staged_batch(spark, path, staging, batch_id, "tb",
                              ledger_dir="_text_ledger")
     staging_stats = f"{stats_path}/_staging/batch-{batch_id:012d}"
