@@ -746,13 +746,22 @@ def main():
         # and iid (measured spread ≤10% vs bimodal before).
         from remote_storage_adapter_spark.operators import dedup as _D
 
+        t_warm = time.time()
         fn(spark, sf_dir).count()
+        t_warm = time.time() - t_warm
         _D.unpersist_pinned(blocking=True)
         # settle the JVM before timing: evicted cache blocks and
         # shuffle buffers from the previous query otherwise surface as
         # GC pauses inside this query's reps (untimed, ~100 ms)
         spark.sparkContext._jvm.System.gc()
-        n_reps = rep_counts[name] = extra_reps.get(name, reps)
+        n_reps = extra_reps.get(name, reps)
+        if t_warm < 1.5:
+            # short rows (r8 verdict #6: 18/63 rows blew the ≤20%
+            # trimmed-spread bar, all sub-1.5 s where absolute spread
+            # is machine noise): ≥7 reps so the one-per-tail trim has
+            # 5 central samples to stand on
+            n_reps = max(n_reps, 7)
+        rep_counts[name] = n_reps
         runs = []
         for _ in range(n_reps):
             t0 = time.time()
