@@ -1080,12 +1080,15 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
     space-joined text with the md5-derived :func:`portable_hash64` so
     the DuckDB oracle reproduces every decision bit-for-bit;
     ``'fast'`` is the production profile (the minhash-mode
-    precedent) — one ``xxhash64`` per TOKEN, then each window key is
-    a buzhash (cyclic-polynomial rot/XOR) built in k ``zip_with``
-    passes for ``window`` ≤ 64 (no per-window slice, no md5, no
-    string building; O(k) array allocations per doc instead of O(T)),
-    or a chained-xxhash fold beyond that; identical dedup semantics,
-    locked equal to portable mode in pytest.
+    precedent) — one JVM ``xxhash64`` per TOKEN, then for
+    ``window`` ≤ 64 the window keys are a buzhash (cyclic-polynomial
+    rot/XOR) computed in ONE Arrow-batched ``pandas_udf`` via an
+    O(T) vectorized prefix-XOR (only the (id, token-hash array)
+    pair crosses to the Python worker, ~8 bytes/token each way; no
+    per-window slice, no md5, no string building), falling back to
+    the chained-xxhash ``aggregate`` fold beyond 64 (where buzhash
+    rotations would repeat); identical dedup semantics, locked equal
+    to portable mode in pytest at both window regimes.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2 tokens, got {window}")

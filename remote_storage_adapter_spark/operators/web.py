@@ -216,12 +216,19 @@ def robots_filter(df: DataFrame, rules: DataFrame, *, url_col: str,
         # hosts whose robots.txt quarantined (err row: unreadable
         # payload, or a RulesTruncated marker meaning the policy was
         # only partially parsed) are DENIED instead of silently
-        # allowed — the conservative compliance posture
+        # allowed — the conservative compliance posture. The bad-host
+        # frame follows the same tri-state as the rule side: err
+        # hosts are usually a sliver (broadcast-sized), but a caller
+        # who chose broadcast_rules=False to protect the driver from
+        # a web-scale census gets the shuffle join here too.
         bad = rules.filter(F.col("err").isNotNull()).select(
-            F.col("host").alias("_rb_host")).distinct()
-        out = (out.join(F.broadcast(bad.withColumn("_rb_bad",
-                                                   F.lit(True))),
-                        "_rb_host", "left")
+            F.col("host").alias("_rb_host")).distinct() \
+            .withColumn("_rb_bad", F.lit(True))
+        if broadcast_rules is True:
+            bad = F.broadcast(bad)
+        elif broadcast_rules is False:
+            bad = bad.hint("merge")
+        out = (out.join(bad, "_rb_host", "left")
                .withColumn("allowed",
                            F.when(F.col("_rb_bad"), F.lit(False))
                            .otherwise(F.col("allowed")))
@@ -285,6 +292,11 @@ def domain_rollup(df: DataFrame, *, url_col: str,
     expand — the 100 TB posture. (For PERSISTED mergeable sketches
     across batches use ``operators.sketch.hll_sketch`` instead; this
     is the one-shot census.)"""
+    if "_dr_host" in df.columns:
+        raise ValueError(
+            "domain_rollup: input already has a '_dr_host' column "
+            "(reserved as this operator's working column) — rename "
+            "it or drop it first")
     host = host_of(F.col(url_col))
     cd = ((lambda c: F.approx_count_distinct(c, rsd)) if approx
           else F.count_distinct)

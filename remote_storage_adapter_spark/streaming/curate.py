@@ -60,11 +60,17 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     Default ``False`` — a curation micro-batch runs ~dozens of SMALL
     jobs (gate joins, staged publishes, index appends) where AQE's
     per-stage replanning barriers cost more than they save (measured
-    ~15% of batch wall at 50k-doc batches), and the flow's skew guard
-    is the explicit bucket cap, not AQE skew-join: the index joins
-    shuffle only the bounded batch side against bucketed scans. Pass
-    ``None`` to inherit the session setting (e.g. for corpus-sized
-    backfill batches), ``True`` to force AQE on.
+    ~15% of batch wall at 50k-doc batches, A/B incl. the gate's
+    cap-pruning joins), and the flow's skew guard is the explicit
+    bucket cap, not AQE skew-join: the index joins shuffle only the
+    bounded batch side against bucketed scans. Pass ``None`` to
+    inherit the session setting (e.g. for corpus-sized backfill
+    batches), ``True`` to force AQE on. NB the toggle is a SESSION
+    conf flip for the duration of the batch: this operator's
+    exactly-once protocol already mandates a single writer, and the
+    same single-writer session must not plan unrelated concurrent
+    queries mid-batch (they would pick up the flipped setting) —
+    multi-tenant drivers should pass ``None``.
 
     ``buckets`` fixes the doc-bucket fan-out of the curated table and
     the seen-fingerprint state; ``index_buckets`` independently fixes
@@ -406,11 +412,17 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     # instead of two sequential collect round-trips. The cross probe
     # uses the WHOLE candidate set, not within-batch survivors — any
     # extra match it finds is for an id the within-batch rule already
-    # dropped, so the nd set is identical and the surv/drop-frame
-    # intermediate (two more joins) disappears. (In the bucket-cap
-    # regime the probe-side populations now include within-batch
-    # dups, so a >cap bucket trips marginally earlier — the cap's
-    # documented conservative direction.)
+    # dropped, so below the bucket cap the nd set is IDENTICAL and
+    # the surv/drop-frame intermediates (two more joins) disappear.
+    # In the >max_bucket_size regime the semantics shift: the cross
+    # probe's left-side bucket populations now include within-batch
+    # dups, so a bucket can cross the cap that the survivor-only
+    # probe kept, dropping its index candidates in that band — i.e.
+    # the cap trips EARLIER and errs toward keeping (under-dedup),
+    # the cap's documented failure direction (a ≥1000-near-identical
+    # cluster inside one batch should have collapsed at the exact-dup
+    # gate first; pass max_bucket_size=None in minhash_kwargs for
+    # exact banding).
     pairs = minhash_lsh_pairs(cand, threshold=threshold,
                               id_col=id_col, text_col=text_col,
                               sigs=sigs, **join_kwargs)
