@@ -923,7 +923,108 @@ def minhash_counts_compact(spark, table_prefix: str) -> None:
                     f"completion before compacting")
     (_recount_banded(spark, table_prefix)
      .withColumn("batch_id", F.lit(-1).cast("long"))
+     .coalesce(1)
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
+
+
+def _assert_minhash_quiesced(spark, table_prefix: str) -> None:
+    """Shared refusal of both compactors: a batch with banded/sigs
+    ledger marks but no counts mark is in-flight or crashed — let the
+    maintainer replay it to completion first."""
+    ledger = f"{table_prefix}_applied"
+    if spark.catalog.tableExists(ledger):
+        led = spark.table(ledger)
+        if "tbl" in led.columns:
+            marks = led.groupBy("batch_id").agg(
+                F.collect_set("tbl").alias("tbls"))
+            unfinished = marks.filter(
+                F.array_contains("tbls", "banded")
+                & ~F.array_contains("tbls", "counts")).limit(1).count()
+            if unfinished:
+                raise ValueError(
+                    f"{table_prefix}: a batch has banded/sigs ledger "
+                    f"marks but no counts mark — an in-flight or "
+                    f"crashed batch; let the maintainer replay it to "
+                    f"completion before compacting")
+
+
+def minhash_index_compact(spark, table_prefix: str, *,
+                          buckets: int = 32) -> dict:
+    """File-compact the banded and sigs tables and fold the counts
+    deltas: aligned appends land exactly ``buckets`` files per batch
+    (r9), so after N batches each table holds N·buckets small files
+    and every probe's scan listing grows with batch COUNT, not data.
+    This rewrite folds each table back to ``buckets`` files (one per
+    bucket) and the counts table to one −1 row set — run it during a
+    quiet window, like ``lm_table_compact``.
+
+    Contract: the maintainer must be QUIESCED (single-writer protocol,
+    no in-flight batch — same refusal as :func:`minhash_counts_compact`).
+    Crash windows: each table rewrites via tmp + drop + rename; a
+    crash before the drop leaves the original untouched (re-run), a
+    crash between drop and rename is repaired at the next call by the
+    adopt-tmp branch — and MUST be repaired by re-running this
+    compactor before the maintainer resumes: an append against the
+    missing banded/sigs table would recreate it holding only that
+    batch (``saveAsTable`` append creates absent tables), silently
+    dropping the corpus. The ledger itself is never drop+renamed
+    (a missing ledger flips the maintainer into bootstrap-overwrite);
+    it compacts via INSERT OVERWRITE, which keeps the old rows on a
+    mid-job crash. ``buckets`` must match the build's bucket spec.
+    Returns per-table rewritten file counts."""
+    out = {}
+    for tbl, bucket_cols in ((f"{table_prefix}_banded",
+                              ("band", "bucket")),
+                             (f"{table_prefix}_sigs", ("id",))):
+        tmp = f"{tbl}__compact_tmp"
+        if not spark.catalog.tableExists(tbl):
+            if spark.catalog.tableExists(tmp):
+                # crashed between drop and rename: adopt the rewrite
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+                continue
+            raise ValueError(f"minhash_index_compact: no table {tbl}")
+    _assert_minhash_quiesced(spark, table_prefix)
+    for tbl, bucket_cols in ((f"{table_prefix}_banded",
+                              ("band", "bucket")),
+                             (f"{table_prefix}_sigs", ("id",))):
+        tmp = f"{tbl}__compact_tmp"
+        if spark.catalog.tableExists(tmp):
+            spark.sql(f"DROP TABLE {tmp}")   # stale earlier attempt
+        # read the FILES, not the table: the bucketed scan advertises
+        # its partitioning, the aligned repartition is elided as
+        # satisfied, and the rewrite keeps one file per (input file,
+        # bucket) — the plain parquet read has unknown partitioning,
+        # so the exchange actually runs and each bucket lands in ONE
+        # task (measured: table-read rewrite kept 12/12 files, file
+        # read folds to `buckets`)
+        loc = [r["data_type"]
+               for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+               if r["col_name"] == "Location"][0]
+        (spark.read.parquet(loc.removeprefix("file:"))
+         .repartition(buckets, *[F.col(c) for c in bucket_cols])
+         .write.bucketBy(buckets, *bucket_cols)
+         .sortBy(*bucket_cols).saveAsTable(tmp))
+        spark.sql(f"DROP TABLE {tbl}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+        out[tbl] = buckets
+    minhash_counts_compact(spark, table_prefix)
+    # the ledger accumulates three ONE-ROW files per batch (each mark
+    # is its own job-atomic append); fold it to one file — content
+    # unchanged, so replay semantics are untouched. NOT drop+rename:
+    # a missing ledger makes the maintainer's next call take the
+    # bootstrap-overwrite path over a live index, so the ledger is
+    # rewritten via tmp + INSERT OVERWRITE (job-atomic — a crash
+    # mid-overwrite leaves the old rows)
+    ledger = f"{table_prefix}_applied"
+    if spark.catalog.tableExists(ledger):
+        tmp = f"{ledger}__compact_tmp"
+        if spark.catalog.tableExists(tmp):
+            spark.sql(f"DROP TABLE {tmp}")
+        spark.table(ledger).coalesce(1).write.saveAsTable(tmp)
+        spark.table(tmp).coalesce(1).write.insertInto(
+            ledger, overwrite=True)
+        spark.sql(f"DROP TABLE {tmp}")
+    return out
 
 
 def minhash_lsh_join_indexed(spark, table_prefix: str,

@@ -300,9 +300,19 @@ def write_metrics_table(df: DataFrame, table_name: str, *,
     entirely (the physical plan has no Exchange — asserted in
     tests/test_scale.py). This is the at-rest layout for query-heavy
     deployments; the path-based writer stays for pure archive tables.
+
+    The pre-write repartition clusters rows by (date, bucket-of-name)
+    — ``F.hash`` is the same Murmur3 the bucket spec uses — so each
+    append lands one file per (date, bucket) pair instead of one per
+    (task, date, bucket): unaligned, a 32-task append over a 30-day
+    window writes up to 30k ~tiny files and every later bucketed scan
+    pays the listing (r9 — the same disease measured on the MinHash
+    index tables).
     """
     (
-        df.write.mode(mode)
+        df.repartition(F.col(PARTITION_COLUMN),
+                       F.pmod(F.hash(F.col("name")), F.lit(buckets)))
+        .write.mode(mode)
         .format("parquet")
         .partitionBy(PARTITION_COLUMN)
         .bucketBy(buckets, "name")

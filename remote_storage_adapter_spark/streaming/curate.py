@@ -525,6 +525,7 @@ def stream_curate_maintain(
     text_col: str = "text",
     available_now: bool = False,
     max_files_per_trigger: int = 64,
+    adaptive: bool | None = False,
 ):
     """Continuous curation over a parquet landing directory; returns
     the StreamingQuery. ``out_dir`` accumulates every landed doc with
@@ -564,7 +565,7 @@ def stream_curate_maintain(
             model=model, min_model_score=min_model_score,
             model_dim=model_dim, dsir=dsir, dsir_bigrams=dsir_bigrams,
             buckets=buckets, index_buckets=index_buckets,
-            id_col=id_col, text_col=text_col))
+            id_col=id_col, text_col=text_col, adaptive=adaptive))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -2031,3 +2031,76 @@ def test_lm_table_delta_maintainer_exactly_once_and_compacts(
     D.reset_managed_tables(
         spark, table, f"{table}_applied", f"{table}_compacting",
         table2, f"{table2}_applied")
+
+
+def test_minhash_index_compact_files_and_results(spark):
+    """minhash_index_compact folds N appends' files back to one per
+    bucket per table and one counts row-set, with identical indexed
+    join results, an unchanged ledger, and further appends working;
+    it refuses while a batch is in-flight (banded mark, no counts)."""
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming.dedup import (
+        apply_index_batch,
+    )
+
+    prefix = "mh_compact_test"
+    tables = [f"{prefix}_{t}"
+              for t in ("banded", "sigs", "counts", "applied")]
+    D.reset_managed_tables(spark, *tables)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, buckets=4)
+    for b in range(4):
+        docs = spark.createDataFrame(
+            [(b * 100 + i, f"common text body shared w{i % 3}")
+             for i in range(8)], "doc_id long, text string")
+        apply_index_batch(docs, b, prefix, **kw)
+        D.unpersist_pinned(blocking=True)
+    inc = spark.createDataFrame(
+        [(9000 + i, f"common text body shared v{i % 2}")
+         for i in range(5)], "doc_id long, text string")
+
+    def probe():
+        with D.cache_scope():
+            return sorted(
+                (r.id_l, r.id_r, round(r.est_jaccard, 9))
+                for r in D.minhash_lsh_join_indexed(
+                    spark, prefix, inc, num_hashes=16, bands=4,
+                    threshold=0.1).collect())
+
+    def files(tbl):
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:")
+        return len(_glob.glob(_os.path.join(wh, tbl, "*.parquet")))
+
+    before = probe()
+    assert before
+    ledger_before = sorted(map(tuple, spark.table(tables[3]).collect()))
+    banded_files_before = files(tables[0])
+    # 4 writes x up-to-4 buckets each (a task holding no rows for its
+    # bucket writes no file): strictly more than one write's worth
+    assert banded_files_before > 4
+    out = D.minhash_index_compact(spark, prefix, buckets=4)
+    assert set(out) == {tables[0], tables[1]}
+    assert files(tables[0]) <= 4 and files(tables[1]) <= 4
+    assert files(tables[0]) < banded_files_before
+    assert files(tables[3]) == 1             # ledger folded, rows kept
+    assert sorted(map(tuple,
+                      spark.table(tables[3]).collect())) == ledger_before
+    assert probe() == before
+    # maintenance continues: another append lands and is probed
+    apply_index_batch(spark.createDataFrame(
+        [(700 + i, f"common text body shared w{i % 3}")
+         for i in range(4)], "doc_id long, text string"),
+        7, prefix, **kw)
+    D.unpersist_pinned(blocking=True)
+    assert len(probe()) >= len(before)
+    # in-flight refusal: a banded mark without a counts mark
+    spark.createDataFrame([(99, "banded")], "batch_id long, tbl string") \
+        .write.mode("append").saveAsTable(tables[3])
+    with _pytest.raises(ValueError, match="in-flight or crashed"):
+        D.minhash_index_compact(spark, prefix, buckets=4)
+    D.reset_managed_tables(spark, *tables)
