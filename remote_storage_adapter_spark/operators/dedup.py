@@ -906,24 +906,15 @@ def minhash_counts_compact(spark, table_prefix: str) -> None:
     is repaired by simply re-running the compactor (banded is
     untouched). The recount is exchange-free (banded is bucketed on
     the group keys)."""
-    ledger = f"{table_prefix}_applied"
-    if spark.catalog.tableExists(ledger):
-        led = spark.table(ledger)
-        if "tbl" in led.columns:
-            marks = led.groupBy("batch_id").agg(
-                F.collect_set("tbl").alias("tbls"))
-            unfinished = marks.filter(
-                F.array_contains("tbls", "banded")
-                & ~F.array_contains("tbls", "counts")).limit(1).count()
-            if unfinished:
-                raise ValueError(
-                    f"{table_prefix}: a batch has banded/sigs ledger "
-                    f"marks but no counts mark — an in-flight or "
-                    f"crashed batch; let the maintainer replay it to "
-                    f"completion before compacting")
+    _assert_minhash_quiesced(spark, table_prefix)
+    # repartition(1), NOT coalesce(1): the recount plan is exchange-
+    # free by design, so a coalesce would propagate back through the
+    # whole pipeline and single-thread the full banded scan; the
+    # explicit exchange keeps the scan/agg parallel and one task
+    # writes the (bands×buckets)-row result
     (_recount_banded(spark, table_prefix)
      .withColumn("batch_id", F.lit(-1).cast("long"))
-     .coalesce(1)
+     .repartition(1)
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_counts"))
 
 
@@ -949,14 +940,17 @@ def _assert_minhash_quiesced(spark, table_prefix: str) -> None:
 
 
 def minhash_index_compact(spark, table_prefix: str, *,
-                          buckets: int = 32) -> dict:
+                          buckets: int | None = None) -> dict:
     """File-compact the banded and sigs tables and fold the counts
-    deltas: aligned appends land exactly ``buckets`` files per batch
-    (r9), so after N batches each table holds N·buckets small files
+    deltas: aligned appends land up to ``buckets`` files per batch
+    (r9), so after N batches each table holds ~N·buckets small files
     and every probe's scan listing grows with batch COUNT, not data.
-    This rewrite folds each table back to ``buckets`` files (one per
-    bucket) and the counts table to one −1 row set — run it during a
-    quiet window, like ``lm_table_compact``.
+    This rewrite folds each table back to one file per bucket and the
+    counts table to one −1 row set — run it during a quiet window,
+    like ``lm_table_compact``. ``buckets`` defaults to the bucket
+    count the CATALOG records for each table (a caller-supplied value
+    is validated against it — a mismatched rewrite would make every
+    later append fail far from the causal call).
 
     Contract: the maintainer must be QUIESCED (single-writer protocol,
     no in-flight batch — same refusal as :func:`minhash_counts_compact`).
@@ -967,26 +961,42 @@ def minhash_index_compact(spark, table_prefix: str, *,
     compactor before the maintainer resumes: an append against the
     missing banded/sigs table would recreate it holding only that
     batch (``saveAsTable`` append creates absent tables), silently
-    dropping the corpus. The ledger itself is never drop+renamed
-    (a missing ledger flips the maintainer into bootstrap-overwrite);
-    it compacts via INSERT OVERWRITE, which keeps the old rows on a
-    mid-job crash. ``buckets`` must match the build's bucket spec.
-    Returns per-table rewritten file counts."""
-    out = {}
-    for tbl, bucket_cols in ((f"{table_prefix}_banded",
-                              ("band", "bucket")),
-                             (f"{table_prefix}_sigs", ("id",))):
+    dropping the corpus. The per-mark LEDGER is deliberately NOT
+    compacted: a missing ledger flips the maintainer into
+    bootstrap-overwrite over a live index, and no table rewrite is
+    crash-atomic against that (drop+rename has a missing window;
+    INSERT OVERWRITE deletes the directory before the job runs, so a
+    mid-job crash leaves an existing-but-EMPTY ledger that
+    ``table_live`` cannot tell from missing). Its growth is three
+    one-row files per batch — bounded by batch count, not corpus.
+    Returns the per-table post-compaction file counts."""
+    tables = ((f"{table_prefix}_banded", ("band", "bucket")),
+              (f"{table_prefix}_sigs", ("id",)))
+    adopted = set()
+    for tbl, _cols in tables:
         tmp = f"{tbl}__compact_tmp"
         if not spark.catalog.tableExists(tbl):
             if spark.catalog.tableExists(tmp):
-                # crashed between drop and rename: adopt the rewrite
+                # crashed between drop and rename: adopt the finished
+                # rewrite; skip the (identical) re-rewrite below
                 spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+                adopted.add(tbl)
                 continue
             raise ValueError(f"minhash_index_compact: no table {tbl}")
     _assert_minhash_quiesced(spark, table_prefix)
-    for tbl, bucket_cols in ((f"{table_prefix}_banded",
-                              ("band", "bucket")),
-                             (f"{table_prefix}_sigs", ("id",))):
+    out = {}
+    for tbl, bucket_cols in tables:
+        if tbl in adopted:
+            out[tbl] = len(spark.table(tbl).inputFiles())
+            continue
+        desc = {r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()}
+        n_buckets = int(desc["Num Buckets"])
+        if buckets is not None and buckets != n_buckets:
+            raise ValueError(
+                f"minhash_index_compact: {tbl} is bucketed by "
+                f"{n_buckets}, caller passed buckets={buckets} — a "
+                f"mismatched rewrite would break every later append")
         tmp = f"{tbl}__compact_tmp"
         if spark.catalog.tableExists(tmp):
             spark.sql(f"DROP TABLE {tmp}")   # stale earlier attempt
@@ -996,34 +1006,19 @@ def minhash_index_compact(spark, table_prefix: str, *,
         # bucket) — the plain parquet read has unknown partitioning,
         # so the exchange actually runs and each bucket lands in ONE
         # task (measured: table-read rewrite kept 12/12 files, file
-        # read folds to `buckets`)
-        loc = [r["data_type"]
-               for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
-               if r["col_name"] == "Location"][0]
-        (spark.read.parquet(loc.removeprefix("file:"))
-         .repartition(buckets, *[F.col(c) for c in bucket_cols])
-         .write.bucketBy(buckets, *bucket_cols)
+        # read folds to the bucket count). Schema comes from the
+        # catalog so a legitimately EMPTY table (zero data files)
+        # compacts to an empty rewrite instead of failing inference.
+        loc = desc["Location"]
+        (spark.read.schema(spark.table(tbl).schema)
+         .parquet(loc.removeprefix("file:"))
+         .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+         .write.bucketBy(n_buckets, *bucket_cols)
          .sortBy(*bucket_cols).saveAsTable(tmp))
         spark.sql(f"DROP TABLE {tbl}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
-        out[tbl] = buckets
+        out[tbl] = len(spark.table(tbl).inputFiles())
     minhash_counts_compact(spark, table_prefix)
-    # the ledger accumulates three ONE-ROW files per batch (each mark
-    # is its own job-atomic append); fold it to one file — content
-    # unchanged, so replay semantics are untouched. NOT drop+rename:
-    # a missing ledger makes the maintainer's next call take the
-    # bootstrap-overwrite path over a live index, so the ledger is
-    # rewritten via tmp + INSERT OVERWRITE (job-atomic — a crash
-    # mid-overwrite leaves the old rows)
-    ledger = f"{table_prefix}_applied"
-    if spark.catalog.tableExists(ledger):
-        tmp = f"{ledger}__compact_tmp"
-        if spark.catalog.tableExists(tmp):
-            spark.sql(f"DROP TABLE {tmp}")
-        spark.table(ledger).coalesce(1).write.saveAsTable(tmp)
-        spark.table(tmp).coalesce(1).write.insertInto(
-            ledger, overwrite=True)
-        spark.sql(f"DROP TABLE {tmp}")
     return out
 
 

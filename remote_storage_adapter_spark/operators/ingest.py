@@ -291,7 +291,8 @@ def write_metrics_exactly_once(df: DataFrame, path: str,
 
 
 def write_metrics_table(df: DataFrame, table_name: str, *,
-                        buckets: int = 32, mode: str = "append") -> None:
+                        buckets: int = 32, mode: str = "append",
+                        fanout: int = 1) -> None:
     """K1 catalog variant: date-partitioned AND bucketed by metric name.
 
     Bucketing hash-places every series' files deterministically, so
@@ -307,11 +308,19 @@ def write_metrics_table(df: DataFrame, table_name: str, *,
     (task, date, bucket): unaligned, a 32-task append over a 30-day
     window writes up to 30k ~tiny files and every later bucketed scan
     pays the listing (r9 — the same disease measured on the MinHash
-    index tables).
+    index tables). ``fanout`` is the skew escape hatch (the
+    ``write_metrics`` ``files_per_date`` precedent): one writer per
+    (date, bucket) serializes a hot series' whole day, so ``fanout``
+    > 1 salt-splits each pair across that many writers — files per
+    append grow to dates×buckets×fanout, per-task volume caps at
+    1/fanout.
     """
+    salt = (F.pmod(F.xxhash64("ts"), F.lit(fanout)) if fanout > 1
+            else F.lit(0))
     (
         df.repartition(F.col(PARTITION_COLUMN),
-                       F.pmod(F.hash(F.col("name")), F.lit(buckets)))
+                       F.pmod(F.hash(F.col("name")), F.lit(buckets)),
+                       salt)
         .write.mode(mode)
         .format("parquet")
         .partitionBy(PARTITION_COLUMN)

@@ -2087,7 +2087,9 @@ def test_minhash_index_compact_files_and_results(spark):
     assert set(out) == {tables[0], tables[1]}
     assert files(tables[0]) <= 4 and files(tables[1]) <= 4
     assert files(tables[0]) < banded_files_before
-    assert files(tables[3]) == 1             # ledger folded, rows kept
+    # the ledger is deliberately NOT rewritten (no table rewrite is
+    # crash-atomic against the bootstrap-overwrite semantics of a
+    # missing/empty ledger) — rows must be untouched
     assert sorted(map(tuple,
                       spark.table(tables[3]).collect())) == ledger_before
     assert probe() == before
