@@ -313,8 +313,17 @@ def write_metrics_table(df: DataFrame, table_name: str, *,
     (date, bucket) serializes a hot series' whole day, so ``fanout``
     > 1 salt-splits each pair across that many writers — files per
     append grow to dates×buckets×fanout, per-task volume caps at
-    1/fanout.
+    1/fanout. The salt derives from the ``ts`` column (every wire
+    row has one and it is near-unique within a hot series), so
+    ``fanout > 1`` requires ``ts`` — validated here at the call site
+    rather than failing deep inside the write job (ADVICE r9).
     """
+    if fanout > 1 and "ts" not in df.columns:
+        raise ValueError(
+            f"write_metrics_table(fanout={fanout}): the fan-out salt "
+            f"derives from a 'ts' column, which this frame lacks "
+            f"(columns: {df.columns}) — fan-out splits a hot "
+            f"(date, bucket) pair by timestamp")
     salt = (F.pmod(F.xxhash64("ts"), F.lit(fanout)) if fanout > 1
             else F.lit(0))
     (

@@ -28,6 +28,16 @@ _RUNTIME_CONF = {
     # timestamps as LTZ; with the session pinned to UTC this is exactly
     # DuckDB's naive-as-UTC semantics.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # r10: index probes push small literal In-filters (≤~1000
+    # bucket/id values) into parquet so key-sorted reference files
+    # skip row groups/pages; above this threshold Spark degrades the
+    # push to a min/max range, which over hash-valued keys prunes
+    # nothing. Deliberately NOT higher: parquet-mr evaluates a pushed
+    # In as an O(depth) recursive OR tree — ~2000 values overflows
+    # default task stacks (measured), which is also why the probes
+    # cap their push sizes (minhash_lsh_join_indexed push limits)
+    # instead of raising this.
+    "spark.sql.parquet.pushdown.inFilterThreshold": "1200",
 }
 
 

@@ -52,25 +52,29 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
                        index_buckets: int = 64,
                        id_col: str = "doc_id",
                        text_col: str = "text",
-                       adaptive: bool | None = False) -> bool:
+                       adaptive: bool | None = None) -> bool:
     """Apply one document batch through the full curation pipeline
     exactly once. Returns True if this call did any work.
 
     ``adaptive``: AQE setting for this batch's jobs (restored after).
-    Default ``False`` — a curation micro-batch runs ~dozens of SMALL
-    jobs (gate joins, staged publishes, index appends) where AQE's
-    per-stage replanning barriers cost more than they save (measured
-    ~15% of batch wall at 50k-doc batches, A/B incl. the gate's
-    cap-pruning joins), and the flow's skew guard is the explicit
-    bucket cap, not AQE skew-join: the index joins shuffle only the
-    bounded batch side against bucketed scans. Pass ``None`` to
-    inherit the session setting (e.g. for corpus-sized backfill
-    batches), ``True`` to force AQE on. NB the toggle is a SESSION
-    conf flip for the duration of the batch: this operator's
-    exactly-once protocol already mandates a single writer, and the
-    same single-writer session must not plan unrelated concurrent
-    queries mid-batch (they would pick up the flipped setting) —
-    multi-tenant drivers should pass ``None``.
+    Default ``None`` — inherit the session setting, touching no
+    session conf (ADVICE r9: a default flip is a session-wide
+    mutation that leaks to any concurrent query planned mid-batch).
+    ``False`` is the measured micro-batch profile — a curation
+    micro-batch runs ~dozens of SMALL jobs (gate joins, staged
+    publishes, index appends) where AQE's per-stage replanning
+    barriers cost more than they save (measured ~15% of batch wall
+    at 50k-doc batches, A/B incl. the gate's cap-pruning joins), and
+    the flow's skew guard is the explicit bucket cap, not AQE
+    skew-join: the index joins shuffle only the bounded batch side
+    against pruned/bucketed scans — :func:`stream_curate_maintain`
+    (which owns its single-writer session by protocol) passes it by
+    default. Pass ``True`` to force AQE on. NB any non-None value is
+    a SESSION conf flip for the duration of the batch: this
+    operator's exactly-once protocol already mandates a single
+    writer, and the same single-writer session must not plan
+    unrelated concurrent queries mid-batch (they would pick up the
+    flipped setting) — multi-tenant drivers should keep ``None``.
 
     ``buckets`` fixes the doc-bucket fan-out of the curated table and
     the seen-fingerprint state; ``index_buckets`` independently fixes
@@ -121,8 +125,20 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     itself rejected by the gate still drops — similarity is not
     transitive, but this keeps decisions a pure function of the
     batch + committed state. ``minhash_kwargs`` (num_hashes, bands,
-    shingle_n, mode, buckets) must stay constant across the index's
-    lifetime.
+    shingle_n, mode, buckets, parts, sig_parts) must stay constant
+    across the index's lifetime (the index records them in
+    ``{prefix}_meta`` and probes/appends validate). CAP-REGIME NOTE
+    (r9): the cross-index probe sends the WHOLE candidate set, not
+    within-batch survivors — below ``max_bucket_size`` the decision
+    set is identical (any extra match is an id the within-batch rule
+    already dropped), but a batch-side bucket inflated by
+    within-batch dups can trip the cap EARLIER than a survivor-only
+    probe would, dropping that band's index candidates — i.e. the
+    gate errs toward keeping (under-dedup), the cap's documented
+    failure direction. A ≥cap-sized near-identical cluster inside
+    one batch should have collapsed at the exact-dup gate first;
+    pass ``max_bucket_size=None`` in ``minhash_kwargs`` for exact
+    banding.
 
     ``model=(weights, bias)`` with ``min_model_score`` arms the
     TRAINED-CLASSIFIER gate (`operators.classify.lr_score` — the
@@ -370,13 +386,19 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     """Decision-side MinHash near-dup set over the batch's surviving
     (``_status0 == 'kept'``) docs: within-batch pairs (smallest-id
     wins — ``id_b`` drops) plus a cross join against the accumulated
-    index of previously-kept docs. Ids are materialized eagerly
-    (bounded by batch size, the maintainers' convention — integral
-    id contract) so the published frame doesn't lazily re-run the
-    signature pipeline. ``id_l == id_r`` cross matches are discarded:
-    under the id-uniqueness contract they can only be a crashed
-    attempt's own partially-applied copy, which keeps replay
-    decisions identical even when the join sees partial state.
+    index of previously-kept docs. The returned frame is LAZY and
+    fully distributed (r10 — the r9 form collected the distinct ids
+    to the driver and re-shipped them as a local frame: batch-bounded
+    but dup-rate-unbounded, a pathological 100k-dup batch put 100k
+    ids on the driver). Laziness is decision-safe HERE specifically:
+    the frame has exactly ONE consumer — the left join feeding the
+    curated staging write — so the decision joins evaluate exactly
+    once, inside that write's job, which completes strictly before
+    step 3's index fold mutates the decision inputs. ``id_l == id_r``
+    cross matches are discarded: under the id-uniqueness contract
+    they can only be a crashed attempt's own partially-applied copy,
+    which keeps replay decisions identical even when the join sees
+    partial state.
 
     Returns ``(nd_frame, sigs)`` — the gate's pinned candidate
     signatures ride back so the downstream index fold can reuse them
@@ -392,7 +414,8 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
         table_live,
     )
 
-    join_kwargs = {k: v for k, v in mk.items() if k != "buckets"}
+    join_kwargs = {k: v for k, v in mk.items()
+                   if k not in ("buckets", "parts", "sig_parts")}
     sig_kwargs = {k: v for k, v in mk.items()
                   if k in ("num_hashes", "shingle_n", "mode")}
     cand = scored.filter(F.col("_status0") == "kept") \
@@ -435,11 +458,10 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
         nd_frame = nd_frame.unionByName(
             cross.filter(F.col("id_l") != F.col("id_r"))
             .select(F.col("id_l").alias("_nd_id")))
-    nd = {int(r["_nd_id"])
-          for r in nd_frame.distinct().collect()}
-    return spark.createDataFrame(
-        [(i, True) for i in sorted(nd)],
-        f"{id_col} long, _nd boolean"), sigs
+    nd = (nd_frame.distinct()
+          .select(F.col("_nd_id").alias(id_col),
+                  F.lit(True).alias("_nd")))
+    return nd, sigs
 
 
 def _apply_downstream(spark, kept, batch_id, did_work, *,

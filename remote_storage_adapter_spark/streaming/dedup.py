@@ -89,8 +89,12 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
 
     ledger_live = table_live(spark, ledger)
     id_col = index_kwargs.get("id_col", "doc_id")
+    # build-only kwargs: layout knobs apply to the bootstrap build
+    # only — probes AND appends read the layout from {prefix}_meta
     join_kwargs = {k: v for k, v in index_kwargs.items()
-                   if k != "buckets"}
+                   if k not in ("buckets", "parts", "sig_parts")}
+    append_kwargs = {k: v for k, v in index_kwargs.items()
+                     if k not in ("parts", "sig_parts")}
     if sigs is not None:
         # exact-coverage filter once: the pair/indexed joins consume
         # sigs as-is, and a signed SUPERSET would band non-batch docs
@@ -163,7 +167,8 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
         minhash_index_append(kept, table_prefix,
                              skip_tables=frozenset(done),
                              on_step=mark, sigs=sigs,
-                             counts_batch_key=batch_id, **index_kwargs)
+                             counts_batch_key=batch_id,
+                             **append_kwargs)
     return True
 
 

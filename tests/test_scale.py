@@ -61,6 +61,25 @@ def test_unbucketed_same_groupby_does_exchange(spark):
     assert "Exchange" in _spark_plan(agg)
 
 
+def test_write_metrics_table_fanout_requires_ts(spark):
+    """ADVICE r9: fanout > 1 salts by the ts column — a frame
+    without it must fail AT THE CALL SITE with a named-column error,
+    not deep inside the write job."""
+    import pytest
+
+    name = "metrics_fanout_no_ts_test"
+    df = _metrics_df(spark).drop("ts")
+    with pytest.raises(ValueError, match="'ts' column"):
+        write_metrics_table(df, name, buckets=8, mode="overwrite",
+                            fanout=2)
+    # fanout=1 never touches ts — the same frame writes fine
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_metrics_table(df.withColumn("ts", F.timestamp_millis(
+        F.lit(BASE_MS))), name, buckets=8, mode="overwrite", fanout=2)
+    assert spark.table(name).count() == 200
+    spark.sql(f"DROP TABLE {name}")
+
+
 def test_read_scan_prunes_columns(spark, tmp_path):
     path = str(tmp_path / "m")
     write_metrics(_metrics_df(spark), path)
@@ -508,13 +527,15 @@ def test_minhash_lsh_join_reuses_cached_signatures(spark):
 
 def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
     """The materialized MinHash index (minhash_index +
-    minhash_lsh_join_indexed): (a) pair set and caps accounting are
-    IDENTICAL to the direct minhash_lsh_join, capped and uncapped;
-    (b) the candidate join reads the banded reference table as a
-    bucketed scan — pre-distributed on (band, bucket), so the
-    reference side re-signs/re-shuffles nothing per incoming batch
-    and the indexed plan carries fewer Exchanges than the direct
-    one."""
+    minhash_lsh_join_indexed), r10 partitioned layout: (a) pair set
+    and caps accounting are IDENTICAL to the direct
+    minhash_lsh_join, capped and uncapped; (b) the PRUNED probe's
+    plan reads the banded reference scan partition-pruned to the
+    batch's pk set (PartitionFilters), pushes per-arm bucket/id
+    In-filters into parquet (PushedFilters), broadcasts the batch
+    side (no reference-side Exchange), and carries fewer Exchanges
+    than the direct join; (c) appends extend the index to equality
+    with a fresh direct join over the grown corpus."""
     from remote_storage_adapter_spark.operators import dedup as D
 
     ref = spark.createDataFrame(
@@ -525,10 +546,11 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
          for i in range(8)], "doc_id long, text string")
     prefix = "mh_idx_test"
     D.reset_managed_tables(
-        spark, *[f"{prefix}_{t}" for t in ("banded", "sigs", "counts")])
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "meta")])
     with D.cache_scope():
         D.minhash_index(ref, prefix, num_hashes=16, bands=4,
-                        shingle_n=3, buckets=4)
+                        shingle_n=3)
         for cap in (1000, None):
             st_d, st_i = {}, {}
             direct = D.minhash_lsh_join(
@@ -538,7 +560,7 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             indexed = D.minhash_lsh_join_indexed(
                 spark, prefix, inc, num_hashes=16, bands=4,
                 threshold=0.1, max_bucket_size=cap,
-                caps_stats=st_i if cap else None)
+                caps_stats=st_i if cap else None, prune=True)
             a = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
                        for r in direct.collect())
             b = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
@@ -546,16 +568,81 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             assert a == b and a  # identical, non-empty
             assert st_d == st_i  # same drop accounting, both sides
         plan = _spark_plan(D.minhash_lsh_join_indexed(
-            spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1))
+            spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1,
+            prune=True))
         direct_plan = _spark_plan(D.minhash_lsh_join(
             inc, ref, num_hashes=16, bands=4, threshold=0.1))
-        assert "SelectedBucketsCount" in plan  # bucketed banded scan
+        # banded scan pruned to the batch's pk partitions, sigs scan
+        # to the candidates' ik partitions — never the whole corpus
+        assert "PartitionFilters: [pk" in plan
+        assert "PartitionFilters: [ik" in plan
+        # per-arm literal pushes reach parquet (row-group/page skip)
+        assert "PushedFilters: [In(bucket" in plan
+        assert "PushedFilters: [In(id" in plan
+        # batch side broadcasts: the reference never shuffles
+        assert "BroadcastHashJoin" in plan
         assert plan.count("Exchange") < direct_plan.count("Exchange")
 
         # incremental append: index(ref) + append(more) must equal a
         # fresh index(ref ∪ more) — same pairs against the grown
-        # corpus, counts refreshed exchange-free from the bucketed
-        # banded table
+        # corpus
+        more = spark.createDataFrame(
+            [(200 + i, f"common text body shared across docs v{i % 2}")
+             for i in range(4)], "doc_id long, text string")
+        D.minhash_index_append(more, prefix, num_hashes=16, bands=4,
+                               shingle_n=3)
+        grown = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, prune=True).collect())
+        direct_grown = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join(
+                inc, ref.unionByName(more), num_hashes=16, bands=4,
+                threshold=0.1).collect())
+        assert grown == direct_grown
+        assert len(grown) > len(a)  # the appended docs matched too
+    for t in ("banded", "sigs", "counts", "meta"):
+        spark.sql(f"DROP TABLE {prefix}_{t}")
+
+
+def test_minhash_legacy_layout_bucketed_join(spark):
+    """The legacy (parts=None) bucketed layout stays fully
+    supported: equality with the direct join, the bucketed banded
+    scan (SelectedBucketsCount — pre-distributed, no reference-side
+    Exchange), the exchange-free counts recount, and appends
+    detecting the layout from the meta row."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    ref = spark.createDataFrame(
+        [(100 + i, f"common text body shared across docs w{i % 3}")
+         for i in range(12)], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(i, f"common text body shared across docs v{i % 2}")
+         for i in range(8)], "doc_id long, text string")
+    prefix = "mh_idx_legacy_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "meta")])
+    with D.cache_scope():
+        D.minhash_index(ref, prefix, num_hashes=16, bands=4,
+                        shingle_n=3, buckets=4, parts=None)
+        assert D.read_minhash_meta(spark, prefix)["parts"] is None
+        direct = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join(
+                inc, ref, num_hashes=16, bands=4,
+                threshold=0.1).collect())
+        indexed = sorted(
+            (r.id_l, r.id_r, round(r.est_jaccard, 9))
+            for r in D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1).collect())
+        assert direct == indexed and direct
+        plan = _spark_plan(D.minhash_lsh_join_indexed(
+            spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1))
+        assert "SelectedBucketsCount" in plan  # bucketed banded scan
         more = spark.createDataFrame(
             [(200 + i, f"common text body shared across docs v{i % 2}")
              for i in range(4)], "doc_id long, text string")
@@ -571,13 +658,12 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             for r in D.minhash_lsh_join(
                 inc, ref.unionByName(more), num_hashes=16, bands=4,
                 threshold=0.1).collect())
-        assert grown == direct_grown
-        assert len(grown) > len(a)  # the appended docs matched too
+        assert grown == direct_grown and len(grown) > len(direct)
         counts_plan = _spark_plan(
             spark.table(f"{prefix}_banded").groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n")))
         assert "Exchange" not in counts_plan  # bucketed agg, no shuffle
-    for t in ("banded", "sigs", "counts"):
+    for t in ("banded", "sigs", "counts", "meta"):
         spark.sql(f"DROP TABLE {prefix}_{t}")
 
 

@@ -997,6 +997,90 @@ def test_streaming_text_index_matches_batch_and_survives_crashes(
     assert probe() == direct(flat + b3 + b4)
 
 
+def test_text_index_compaction_parity(spark, tmp_path):
+    """r9 verdict #6: tb-aligned appends land one file per touched tb
+    directory per batch plus one _stats file per append, so N batches
+    ⇒ ~N×buckets postings files whose listing every probe pays. The
+    documented remedy — plans.compact.compact_table(partition_col=
+    'tb') — exercised against a 5-times-appended index WITH its stats
+    table: identical probe results and identical _stats rows
+    before/after, per-directory file counts folded to 1, further
+    appends still working, and the uncommitted-batch refusal."""
+    import glob as _glob
+    import os as _os
+
+    import pytest
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from remote_storage_adapter_spark.operators.text import (
+        bm25_search_indexed,
+    )
+    from remote_storage_adapter_spark.plans.compact import (
+        compact_partition,
+        compact_table,
+    )
+    from remote_storage_adapter_spark.streaming.retrieval import (
+        apply_text_index_batch,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    idx = str(tmp_path / "tidx_compact")
+    for b in range(5):
+        rows = [(b * 100 + i,
+                 f"spark shuffle merge w{i % 3} row{b} filter scan")
+                for i in range(6)]
+        apply_text_index_batch(spark.createDataFrame(rows, schema), b,
+                               idx, buckets=4)
+
+    def probe():
+        return [tuple(r) for r in bm25_search_indexed(
+            spark, idx, "spark shuffle", k=100, buckets=4).collect()]
+
+    def tb_files():
+        return {d: len(_glob.glob(_os.path.join(idx, d, "*.parquet")))
+                for d in _os.listdir(idx) if d.startswith("tb=")}
+
+    def stats_rows():
+        return sorted(
+            tuple(r) for r in
+            spark.read.parquet(f"{idx}/_stats").collect())
+
+    before, stats_before = probe(), stats_rows()
+    assert before and len(stats_before) == 5  # one stats row/append
+    files_before = tb_files()
+    assert max(files_before.values()) >= 5  # every append added one
+    out = compact_table(spark, idx, partition_col="tb",
+                        sort_cols=("term", "id"))
+    assert out and all(v == 1 for v in out.values())
+    assert all(v == 1 for v in tb_files().values())
+    # _stats compacts with the same machinery (row-preserving: the
+    # mergeable per-batch rows survive, only the files fold)
+    sout = compact_table(spark, f"{idx}/_stats", partition_col="part",
+                         sort_cols=())
+    assert sout == {"part=0": 1}
+    assert stats_rows() == stats_before
+    assert probe() == before
+    # maintenance continues: a 6th append lands and is probe-visible
+    apply_text_index_batch(spark.createDataFrame(
+        [(900, "spark shuffle spark shuffle")], schema), 9, idx,
+        buckets=4)
+    assert len(probe()) == len(before) + 1
+    assert len(stats_rows()) == 6
+    # refusal: an uncommitted exactly-once batch residue in a tb dir
+    tb_dir = sorted(tb_files())[0]
+    fake = _os.path.join(idx, tb_dir, "b000000000099-part-0.parquet")
+    with open(fake, "wb") as fh:
+        fh.write(b"not really parquet")
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        compact_partition(spark, idx, tb_dir.split("=", 1)[1],
+                          partition_col="tb", sort_cols=("term", "id"))
+    _os.remove(fake)
+
+
 def test_streaming_lm_matches_batch_and_replay_skips(spark, tmp_path,
                                                      monkeypatch):
     """Streaming LM maintenance: the maintained count state equals
@@ -2033,27 +2117,18 @@ def test_lm_table_delta_maintainer_exactly_once_and_compacts(
         table2, f"{table2}_applied")
 
 
-def test_minhash_index_compact_files_and_results(spark):
-    """minhash_index_compact folds N appends' files back to one per
-    bucket per table and one counts row-set, with identical indexed
-    join results, an unchanged ledger, and further appends working;
-    it refuses while a batch is in-flight (banded mark, no counts)."""
-    import glob as _glob
-    import os as _os
-
-    import pytest as _pytest
-
+def _mh_compact_fixture(spark, prefix, kw, n_batches=4):
+    """N apply_index_batch micro-batches over a fresh index + a probe
+    closure — shared by the compactor tests of both layouts."""
     from remote_storage_adapter_spark.operators import dedup as D
     from remote_storage_adapter_spark.streaming.dedup import (
         apply_index_batch,
     )
 
-    prefix = "mh_compact_test"
     tables = [f"{prefix}_{t}"
-              for t in ("banded", "sigs", "counts", "applied")]
+              for t in ("banded", "sigs", "counts", "meta", "applied")]
     D.reset_managed_tables(spark, *tables)
-    kw = dict(num_hashes=16, bands=4, shingle_n=3, buckets=4)
-    for b in range(4):
+    for b in range(n_batches):
         docs = spark.createDataFrame(
             [(b * 100 + i, f"common text body shared w{i % 3}")
              for i in range(8)], "doc_id long, text string")
@@ -2068,30 +2143,60 @@ def test_minhash_index_compact_files_and_results(spark):
             return sorted(
                 (r.id_l, r.id_r, round(r.est_jaccard, 9))
                 for r in D.minhash_lsh_join_indexed(
-                    spark, prefix, inc, num_hashes=16, bands=4,
+                    spark, prefix, inc,
+                    **{k: v for k, v in kw.items()
+                       if k in ("num_hashes", "bands", "shingle_n")},
                     threshold=0.1).collect())
 
-    def files(tbl):
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-            "file:")
-        return len(_glob.glob(_os.path.join(wh, tbl, "*.parquet")))
+    return tables, probe
 
+
+def _wh_files(spark, tbl):
+    import glob as _glob
+    import os as _os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return len(_glob.glob(_os.path.join(wh, tbl, "**", "*.parquet"),
+                          recursive=True))
+
+
+def test_minhash_index_compact_files_and_results(spark):
+    """minhash_index_compact on the r10 partitioned layout folds N
+    appends' files back to one per partition directory per table and
+    one counts row-set, with identical indexed join results, an
+    unchanged ledger, and further appends working; it refuses while
+    a batch is in-flight (banded mark, no counts)."""
+    import pytest as _pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming.dedup import (
+        apply_index_batch,
+    )
+
+    prefix = "mh_compact_test"
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, parts=4)
+    tables, probe = _mh_compact_fixture(spark, prefix, kw)
     before = probe()
     assert before
-    ledger_before = sorted(map(tuple, spark.table(tables[3]).collect()))
-    banded_files_before = files(tables[0])
-    # 4 writes x up-to-4 buckets each (a task holding no rows for its
-    # bucket writes no file): strictly more than one write's worth
-    assert banded_files_before > 4
-    out = D.minhash_index_compact(spark, prefix, buckets=4)
+    ledger_before = sorted(map(tuple, spark.table(tables[4]).collect()))
+    banded_files_before = _wh_files(spark, tables[0])
+    n_dirs = 4 * kw["parts"]  # bands·parts pk directories max
+    # 4 aligned appends: one file per touched pk dir per append —
+    # strictly more files than one fold's worth
+    assert banded_files_before > n_dirs / 2
+    out = D.minhash_index_compact(spark, prefix)
     assert set(out) == {tables[0], tables[1]}
-    assert files(tables[0]) <= 4 and files(tables[1]) <= 4
-    assert files(tables[0]) < banded_files_before
+    assert _wh_files(spark, tables[0]) <= n_dirs
+    assert _wh_files(spark, tables[0]) < banded_files_before
+    # no compaction residue: tmp tables and ready-markers all gone
+    for t in (tables[0], tables[1]):
+        assert not spark.catalog.tableExists(f"{t}__compact_tmp")
+        assert not spark.catalog.tableExists(f"{t}__compact_ready")
     # the ledger is deliberately NOT rewritten (no table rewrite is
     # crash-atomic against the bootstrap-overwrite semantics of a
     # missing/empty ledger) — rows must be untouched
     assert sorted(map(tuple,
-                      spark.table(tables[3]).collect())) == ledger_before
+                      spark.table(tables[4]).collect())) == ledger_before
     assert probe() == before
     # maintenance continues: another append lands and is probed
     apply_index_batch(spark.createDataFrame(
@@ -2102,7 +2207,117 @@ def test_minhash_index_compact_files_and_results(spark):
     assert len(probe()) >= len(before)
     # in-flight refusal: a banded mark without a counts mark
     spark.createDataFrame([(99, "banded")], "batch_id long, tbl string") \
-        .write.mode("append").saveAsTable(tables[3])
+        .write.mode("append").saveAsTable(tables[4])
     with _pytest.raises(ValueError, match="in-flight or crashed"):
-        D.minhash_index_compact(spark, prefix, buckets=4)
+        D.minhash_index_compact(spark, prefix)
+    D.reset_managed_tables(spark, *tables)
+
+
+def test_minhash_index_compact_legacy_bucketed(spark):
+    """The legacy bucketed layout's compactor path (tmp + drop +
+    rename): folds to ≤buckets files per table with identical probe
+    results, and validates a mismatched caller bucket count."""
+    import pytest as _pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    prefix = "mh_compact_legacy_test"
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, buckets=4,
+              parts=None)
+    tables, probe = _mh_compact_fixture(spark, prefix, kw)
+    before = probe()
+    assert before
+    assert _wh_files(spark, tables[0]) > 4
+    with _pytest.raises(ValueError, match="bucketed by"):
+        D.minhash_index_compact(spark, prefix, buckets=8)
+    out = D.minhash_index_compact(spark, prefix, buckets=4)
+    assert set(out) == {tables[0], tables[1]}
+    assert _wh_files(spark, tables[0]) <= 4
+    assert _wh_files(spark, tables[1]) <= 4
+    assert probe() == before
+    D.reset_managed_tables(spark, *tables)
+
+
+def test_minhash_append_guards_compaction_crash_windows(spark):
+    """ADVICE r9 (medium), made mechanical: with a LIVE ledger,
+    minhash_index_append refuses (a) when an index table is missing
+    (legacy drop→rename crash window — an append would silently
+    recreate it holding only the batch) and (b) when a partitioned-
+    layout compaction ready-marker stands (INSERT OVERWRITE crash
+    window — the table may hold partial data); re-running the
+    compactor heals (b) and appends then proceed."""
+    import pytest as _pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    prefix = "mh_guard_test"
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, parts=4)
+    tables, probe = _mh_compact_fixture(spark, prefix, kw, n_batches=2)
+    before = probe()
+    batch = spark.createDataFrame(
+        [(800 + i, f"common text body shared w{i % 3}")
+         for i in range(4)], "doc_id long, text string")
+    # (b) a standing ready-marker: compaction crashed mid-overwrite
+    spark.createDataFrame([(1,)], "ready int").write \
+        .mode("overwrite").saveAsTable(f"{tables[0]}__compact_ready")
+    # ...with the tmp fold present (the marker's contract)
+    spark.table(tables[0]).write.mode("overwrite") \
+        .partitionBy("pk").saveAsTable(f"{tables[0]}__compact_tmp")
+    with _pytest.raises(RuntimeError, match="ready-markers stand"):
+        D.minhash_index_append(batch, prefix, num_hashes=16, bands=4,
+                               shingle_n=3)
+    # re-running the compactor heals: adopts the tmp fold, clears the
+    # marker, and the index still answers identically
+    D.minhash_index_compact(spark, prefix)
+    assert probe() == before
+    with D.cache_scope():
+        D.minhash_index_append(batch, prefix, num_hashes=16, bands=4,
+                               shingle_n=3)
+    assert len(probe()) >= len(before)
+    # (a) missing table with a live ledger
+    spark.sql(f"DROP TABLE {tables[1]}")  # sigs
+    with _pytest.raises(RuntimeError, match="ledger is live but"):
+        D.minhash_index_append(batch, prefix, num_hashes=16, bands=4,
+                               shingle_n=3)
+    D.reset_managed_tables(spark, *tables)
+
+
+def test_minhash_meta_validates_params_and_sigs_contract(spark):
+    """The {prefix}_meta row hard-fails probes/appends whose
+    num_hashes/bands/shingle_n/mode disagree with the build, and the
+    threaded-sigs contract is validated: a sigs frame missing doc
+    ids (or signed at a different num_hashes) raises instead of
+    silently dropping docs from the index (ADVICE r9)."""
+    import pytest as _pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    prefix = "mh_meta_test"
+    tables = [f"{prefix}_{t}"
+              for t in ("banded", "sigs", "counts", "meta", "applied")]
+    D.reset_managed_tables(spark, *tables)
+    docs = spark.createDataFrame(
+        [(i, f"common text body shared w{i % 3}") for i in range(8)],
+        "doc_id long, text string")
+    with D.cache_scope():
+        D.minhash_index(docs, prefix, num_hashes=16, bands=4)
+        more = docs.select((F.col("doc_id") + 100).alias("doc_id"),
+                           "text")
+        with _pytest.raises(ValueError, match="disagree"):
+            D.minhash_index_append(more, prefix, num_hashes=16,
+                                   bands=8)
+        with _pytest.raises(ValueError, match="disagree"):
+            D.minhash_lsh_join_indexed(spark, prefix, more,
+                                       num_hashes=32, bands=4)
+        # threaded sigs covering only HALF the appended docs
+        half_sigs = D.minhash_signatures_for(
+            more.filter(F.col("doc_id") < 104), num_hashes=16)
+        with _pytest.raises(ValueError, match="threaded sigs cover"):
+            D.minhash_index_append(more, prefix, num_hashes=16,
+                                   bands=4, sigs=half_sigs)
+        # wrong signature width (signed at num_hashes=8)
+        short_sigs = D.minhash_signatures_for(more, num_hashes=8)
+        with _pytest.raises(ValueError, match="threaded sigs cover"):
+            D.minhash_index_append(more, prefix, num_hashes=16,
+                                   bands=4, sigs=short_sigs)
     D.reset_managed_tables(spark, *tables)

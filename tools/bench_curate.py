@@ -77,7 +77,11 @@ def run_config(spark, docs, cfg: str, base: str, n_batches: int):
     idx = f"{base}/bm25"
     prefix = "bench_curate_mh"
     level = CONFIGS.index(cfg)
-    kwargs: dict = dict(min_q_score=0.5, buckets=16, index_buckets=16)
+    # adaptive=False: the maintainer's measured micro-batch profile
+    # (stream_curate_maintain's default; apply_curate_batch itself
+    # now defaults to inherit — ADVICE r9)
+    kwargs: dict = dict(min_q_score=0.5, buckets=16,
+                        index_buckets=16, adaptive=False)
     if level >= 1:
         kwargs.update(model=(frozen_weights(64), 0.05),
                       min_model_score=0.5, model_dim=64)
@@ -88,7 +92,8 @@ def run_config(spark, docs, cfg: str, base: str, n_batches: int):
     if level >= 4:
         reset_managed_tables(
             spark, *[f"{prefix}_{t}"
-                     for t in ("banded", "sigs", "counts", "applied")])
+                     for t in ("banded", "sigs", "counts", "meta",
+                               "applied")])
         kwargs.update(minhash_prefix=prefix, near_dup_threshold=0.2,
                       minhash_kwargs=MINHASH_KW)
     if level >= 5:
@@ -153,6 +158,7 @@ def run_replay(spark, docs, base: str, n_batches: int) -> dict:
     post-replay histogram."""
     out, seen, lm = f"{base}/curated", f"{base}/seen", f"{base}/lm"
     kwargs = dict(min_q_score=0.5, buckets=16, index_buckets=16,
+                  adaptive=False,
                   model=(frozen_weights(64), 0.05), min_model_score=0.5,
                   model_dim=64, dsir=(DSIR_LAM, 0.0),
                   lm_state=lm, max_ppl=5000.0,

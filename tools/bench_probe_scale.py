@@ -153,6 +153,8 @@ def _timed_probe(spark, prefix, batch, *, cap, sigs):
 
 
 def measure_cell(spark, tag, prefix, batch, results, *, n_docs):
+    from pyspark.sql import functions as F
+
     from remote_storage_adapter_spark.operators.dedup import (
         _pin, minhash_signatures_for)
 
@@ -175,6 +177,23 @@ def measure_cell(spark, tag, prefix, batch, results, *, n_docs):
             cell[f"probe_{cap_tag}_spread_s"] = round(
                 max(times) - min(times), 3)
             cell[f"pairs_{cap_tag}"] = sorted(ns)
+        # 32-doc probe: n·bands ≤ probe_push_limit, so on the v2
+        # layout the banded scan gets the pushed bucket In-filter —
+        # the point-lookup serving path whose wall should be FLAT in
+        # corpus size
+        tiny = batch.orderBy("doc_id").limit(32)
+        tiny_ids = tiny.select(F.col("doc_id").alias("id"))
+        sigs32 = _pin(sigs.join(tiny_ids, "id"))
+        sigs32.count()
+        _timed_probe(spark, prefix, tiny, cap=1000, sigs=sigs32)
+        times, ns = [], set()
+        for _ in range(REPS):
+            s, n = _timed_probe(spark, prefix, tiny, cap=1000,
+                                sigs=sigs32)
+            times.append(s)
+            ns.add(n)
+        cell["probe32_capped_s"] = round(statistics.median(times), 3)
+        cell["pairs32"] = sorted(ns)
     results[tag] = cell
     print(tag, json.dumps(cell), flush=True)
 
