@@ -796,13 +796,21 @@ def _sigs_for_docs(docs: DataFrame, sigs: DataFrame | None, *,
         return s
     joined = sigs.join(docs.select(F.col(id_col).alias("id")), "id")
     n_docs = docs.count()
-    n_ok = joined.filter(F.size("sig") == num_hashes).count()
-    if n_ok != n_docs:
+    # distinct + total in ONE agg: a duplicate sig id must not mask
+    # a missing doc id behind an equal row count (review r10)
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(
+            F.when(F.size("sig") == num_hashes, F.col("id"))
+        ).alias("n_ok"),
+    ).first()
+    if row["n_ok"] != n_docs or row["n_rows"] != n_docs:
         raise ValueError(
-            f"{what}: threaded sigs cover {n_ok} of {n_docs} docs "
-            f"at size {num_hashes} — the sigs frame must hold "
-            f"exactly one num_hashes-length signature per doc id "
-            f"(same num_hashes/shingle_n/mode as this call)")
+            f"{what}: threaded sigs cover {row['n_ok']} of {n_docs} "
+            f"docs at size {num_hashes} across {row['n_rows']} rows "
+            f"— the sigs frame must hold exactly one "
+            f"num_hashes-length signature per doc id (same "
+            f"num_hashes/shingle_n/mode as this call)")
     return joined
 
 
@@ -830,6 +838,18 @@ def write_minhash_index_tables(banded: DataFrame, sigs: DataFrame,
     bench tooling that synthesizes corpus-shaped tables directly).
     See :func:`minhash_index` for the layout contract."""
     spark = banded.sparkSession
+    # reset BEFORE writing (review r10): a REBUILD that changes
+    # parts/sig_parts and crashes mid-way must not leave a new-layout
+    # banded table described by the old meta row — stale layout
+    # params would make every probe prune REAL partitions silently.
+    # Reset-first turns every crash window into missing-table
+    # (probes fail loudly; the maintainer's bootstrap replay
+    # rebuilds) or tables-without-meta (probes/appends fall back to
+    # the conservative full-scan legacy treatment, or fail loudly on
+    # the layout mismatch) — never wrong-pruning.
+    reset_managed_tables(spark, *[f"{table_prefix}_{t}"
+                                  for t in ("banded", "sigs",
+                                            "counts", "meta")])
     # partition-aligned repartition: every pk lands wholly in one
     # task, so each append/build writes ONE file per touched pk
     # directory (bands·parts worst case, vs tasks×dirs unaligned);
@@ -1391,10 +1411,20 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     With ``caps_stats`` requested, the right-side cap accounting
     aggregates the FULL counts table (the documented corpus-wide
     semantics, identical to scan mode); without it the cap check
-    reads only the batch's probed buckets — the anti-join outcome
-    is identical because the probed rows are already pk-pruned, and
-    over-cap populations count PHYSICAL probed rows exactly as the
-    counts table does."""
+    counts the batch's probed PHYSICAL banded rows directly. In the
+    crash-free steady state the two agree exactly. Under the
+    protocol's one unclosable append window (banded committed, crash
+    before the ledger mark, replay re-appends — duplicate banded
+    rows, counts delta landed once) they can momentarily differ:
+    the physical count sees the duplicates the O(batch) counts delta
+    missed — and physical rows are the BLESSED ground truth here
+    (the r8 repair ruling: "counts exist to cap candidate-join
+    fan-out, and physical rows are exactly what the join fans out
+    over; a cap that trips early on a duplicated bucket errs
+    conservative"), with the next counts repair/compaction
+    converging the table to the same answer. Decide-once replay is
+    unaffected either way: committed decisions are read back, never
+    recomputed."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     meta = read_minhash_meta(spark, table_prefix)
@@ -1402,6 +1432,20 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
         _validate_mh_meta(meta, num_hashes=num_hashes, bands=bands,
                           shingle_n=shingle_n, mode=mode,
                           what="minhash_lsh_join_indexed")
+    # a standing compaction ready-marker means an INSERT OVERWRITE
+    # crashed mid-rewrite and the table may hold PARTIAL data — a
+    # probe would silently miss near-dups and the curate gate would
+    # COMMIT those decisions (review r10: the append-side guard alone
+    # fires too late to protect decisions). Catalog-only checks.
+    dirty = [t for t in ("banded", "sigs")
+             if spark.catalog.tableExists(
+                 f"{table_prefix}_{t}__compact_ready")]
+    if dirty:
+        raise RuntimeError(
+            f"{table_prefix}: compaction ready-markers stand for "
+            f"{dirty} — the table may hold partial data from a "
+            f"crashed compaction; re-run minhash_index_compact "
+            f"before probing")
     partitioned = meta is not None and meta["parts"] is not None
     rb = spark.table(f"{table_prefix}_banded")
     rs = spark.table(f"{table_prefix}_sigs")
@@ -1564,10 +1608,14 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                          cand.select(ikc).distinct().collect())
             rs = rs.filter(F.col("ik").isin(iks))
     sig_r = rs.select(F.col("id").alias("id_r"), F.col("sig").alias("sig_r"))
-    paired = cand.join(sig_l, "id_l")
     if small_cand:
-        paired = F.broadcast(paired)
-    paired = paired.join(sig_r, "id_r")
+        # broadcast the PRUNED reference signatures (≤ id_push_limit
+        # rows — bounded), never the pair side: the pair COUNT is
+        # batch-side-unbounded (a dup-flood batch can pair millions
+        # of rows against a handful of reference ids), so hinting it
+        # would materialize an unbounded broadcast (review r10)
+        sig_r = F.broadcast(sig_r)
+    paired = cand.join(sig_l, "id_l").join(sig_r, "id_r")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_l"), F.col("sig_r"),

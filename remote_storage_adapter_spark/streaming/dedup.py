@@ -157,6 +157,16 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
                 sigs=(None if sigs is None else sigs.join(
                     kept.select(F.col(id_col).alias("id")), "id")),
                 **join_kwargs)
+            # the driver collect is deliberate HERE (unlike the r10
+            # curate gate's lazy decision frame, which has exactly
+            # one consumer): ``kept`` feeds THREE table appends, and
+            # a lazy (or cached-but-evictable) decision frame could
+            # recompute between them against an index the first
+            # append already mutated — banded and sigs would commit
+            # DIFFERENT kept sets. The materialized id list is the
+            # cross-append consistency barrier; it holds matched ids
+            # only (longs), bounded by the batch's own size since
+            # id_l ∈ batch.
             cross_ids = spark.createDataFrame(
                 [(int(r["id_l"]),) for r in
                  cross.filter(F.col("id_l") != F.col("id_r"))

@@ -551,7 +551,14 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
     with D.cache_scope():
         D.minhash_index(ref, prefix, num_hashes=16, bands=4,
                         shingle_n=3)
-        for cap in (1000, None):
+        # cap=2 genuinely trips (buckets hold up to 12 ref rows), so
+        # the over-cap regimes of BOTH cap implementations are
+        # exercised: the caps_stats path (full counts-table
+        # aggregation + anti-join) and the fast path (caps_stats
+        # None: pruned-scan physical counts + bounded over-cap
+        # collect + literal exclusion — review r10: previously
+        # untested against the direct join)
+        for cap in (1000, 2, None):
             st_d, st_i = {}, {}
             direct = D.minhash_lsh_join(
                 inc, ref, num_hashes=16, bands=4, threshold=0.1,
@@ -565,8 +572,15 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
                        for r in direct.collect())
             b = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
                        for r in indexed.collect())
-            assert a == b and a  # identical, non-empty
+            assert a == b  # identical (cap=2 legitimately empties)
+            assert (cap == 2) or a
             assert st_d == st_i  # same drop accounting, both sides
+            fast = D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, max_bucket_size=cap, prune=True)
+            c = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
+                       for r in fast.collect())
+            assert a == c
         plan = _spark_plan(D.minhash_lsh_join_indexed(
             spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1,
             prune=True))

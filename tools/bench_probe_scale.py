@@ -177,23 +177,27 @@ def measure_cell(spark, tag, prefix, batch, results, *, n_docs):
             cell[f"probe_{cap_tag}_spread_s"] = round(
                 max(times) - min(times), 3)
             cell[f"pairs_{cap_tag}"] = sorted(ns)
-        # 32-doc probe: n·bands ≤ probe_push_limit, so on the v2
-        # layout the banded scan gets the pushed bucket In-filter —
-        # the point-lookup serving path whose wall should be FLAT in
-        # corpus size
-        tiny = batch.orderBy("doc_id").limit(32)
-        tiny_ids = tiny.select(F.col("doc_id").alias("id"))
-        sigs32 = _pin(sigs.join(tiny_ids, "id"))
-        sigs32.count()
-        _timed_probe(spark, prefix, tiny, cap=1000, sigs=sigs32)
-        times, ns = [], set()
-        for _ in range(REPS):
-            s, n = _timed_probe(spark, prefix, tiny, cap=1000,
-                                sigs=sigs32)
-            times.append(s)
-            ns.add(n)
-        cell["probe32_capped_s"] = round(statistics.median(times), 3)
-        cell["pairs32"] = sorted(ns)
+        # small probes: 32 docs (512 banded keys — dir-pruned
+        # broadcast path) and 4 docs (64 keys ≤ probe_push_limit, so
+        # the banded scan gets the pushed bucket In-filter — the
+        # point-lookup serving path whose wall should be FLAT in
+        # corpus size). NB only the 4-doc cell exercises the push
+        # (review r10: the 32-doc cell was mislabeled as the push
+        # path — 32·16 = 512 > 64).
+        for n_tiny, key in ((32, "probe32"), (4, "probe4")):
+            tiny = batch.orderBy("doc_id").limit(n_tiny)
+            tiny_ids = tiny.select(F.col("doc_id").alias("id"))
+            sigs_t = _pin(sigs.join(tiny_ids, "id"))
+            sigs_t.count()
+            _timed_probe(spark, prefix, tiny, cap=1000, sigs=sigs_t)
+            times, ns = [], set()
+            for _ in range(REPS):
+                s, n = _timed_probe(spark, prefix, tiny, cap=1000,
+                                    sigs=sigs_t)
+                times.append(s)
+                ns.add(n)
+            cell[f"{key}_capped_s"] = round(statistics.median(times), 3)
+            cell[f"pairs_{key}"] = sorted(ns)
     results[tag] = cell
     print(tag, json.dumps(cell), flush=True)
 
