@@ -139,6 +139,17 @@ FLOWS = {
 
 
 def main():
+    # SPARK_GRAFT_FLOWS=tar_shards,exif_scrub limits the run (sf100
+    # sessions size the heap for the flows they actually run)
+    only = os.environ.get("SPARK_GRAFT_FLOWS")
+    if only:
+        keep = {f.strip() for f in only.split(",")}
+        unknown = keep - FLOWS.keys()
+        if unknown:
+            raise SystemExit(f"unknown flows: {sorted(unknown)}")
+        for k in list(FLOWS):
+            if k not in keep:
+                del FLOWS[k]
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "scratch/sf1",
                                "scratch/sf10"]
     sf_dirs = [d for d in sf_dirs
