@@ -712,6 +712,39 @@ _MH_META_SCHEMA = ("parts int, sig_parts int, buckets int, "
                    "num_hashes int, bands int, shingle_n int, "
                    "mode string")
 
+#: Canonical kwarg routing for callers that fan one ``minhash_kwargs``
+#: dict out to builds, appends, and probes (streaming.dedup.
+#: apply_index_batch, streaming.curate's near-dup gate). Probe-only
+#: knobs raise TypeError in the index writers (ADVICE r10: the
+#: documented ``max_bucket_size=None`` escape hatch crashed step 3's
+#: index fold), so the fan-out points strip by these sets instead of
+#: each maintaining its own drift-prone literal tuples.
+#: accepted by the probes only (minhash_lsh_pairs / _join_indexed):
+MH_PROBE_ONLY_KWARGS = frozenset({
+    "max_bucket_size", "caps_stats", "prune", "probe_push_limit",
+    "id_push_limit"})
+#: accepted by minhash_lsh_join_indexed only — pairs has no
+#: partitioned layout to prune or push into:
+MH_INDEXED_ONLY_KWARGS = frozenset({
+    "prune", "probe_push_limit", "id_push_limit"})
+#: build-time layout knobs — probes and appends read the layout from
+#: ``{prefix}_meta``, never from call-site kwargs:
+MH_LAYOUT_KWARGS = frozenset({"buckets", "parts", "sig_parts"})
+
+#: Auto-prune floor for the partitioned MinHash probe, in banded-table
+#: bytes. CALIBRATED against the measured probe series (BENCH_NOTES
+#: r10/r11, tools/bench_probe_scale.py, fixed 500-doc batch): pruning
+#: costs ~5-6 bounded planning actions of fixed per-job overhead,
+#: which beats the full scans only once the corpus term dominates —
+#: legacy capped probe grows 1.65→13.23 s across 500k→5M docs while
+#: the pruned probe stays ~3.1-3.5 s flat, putting the break-even at
+#: ~1.1M docs ≈ 160 MiB of banded parquet (9.3 B/row × 16 bands,
+#: measured). The r10 floor of 64 MiB engaged pruning at the 500k
+#: cell (71 MiB) where it cost 1.9× legacy — the r10 verdict's
+#: mid-scale regression. Force with ``prune=True/False`` where the
+#: deployment knows better (e.g. remote storage with high scan cost).
+MH_AUTO_PRUNE_FLOOR_BYTES = 160 << 20
+
 
 def _mh_pk(parts: int) -> Column:
     """Derived partition key of the banded reference table (r10):
@@ -940,7 +973,19 @@ def minhash_index(docs: DataFrame, table_prefix: str, *,
             bands=bands, shingle_n=shingle_n, mode=mode,
             buckets=buckets, parts=parts, sig_parts=sig_parts)
         return
-    # legacy bucketed layout. repartition ALIGNED to the bucket spec
+    # legacy bucketed layout. Reset BEFORE writing (ADVICE r10),
+    # mirroring write_minhash_index_tables: a legacy rebuild over an
+    # existing r10 PARTITIONED index that crashes between the table
+    # overwrites must not leave bucketed tables described by the old
+    # partitioned meta row — probes would fail on the missing pk
+    # column (loud, but inconsistent with the reset-first rationale).
+    # Reset-first turns every crash window into missing-table or
+    # tables-without-meta, both of which probe conservatively.
+    reset_managed_tables(docs.sparkSession,
+                         *[f"{table_prefix}_{t}"
+                           for t in ("banded", "sigs", "counts",
+                                     "meta")])
+    # repartition ALIGNED to the bucket spec
     # before every bucketed write (HashPartitioning and bucket-id use
     # the same pmod(murmur3, n), so task i holds exactly bucket i):
     # without it each of the W write tasks emits a file per bucket it
@@ -1400,11 +1445,13 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     (validated against ``{prefix}_meta`` when present).
 
     ``prune``: None (default) auto-enables pruning on a partitioned-
-    layout index whose banded table is ≥64 MiB or lives on a
-    non-local filesystem — below that, the extra planning actions
-    (a bounded collect of touched partition keys ≤ bands·parts
-    rows, plus candidate-set pin/count for the sigs-side prune)
-    cost more than the full scans they save. True/False forces.
+    layout index whose banded table is ≥``MH_AUTO_PRUNE_FLOOR_BYTES``
+    (160 MiB — the measured break-even, see the constant's
+    calibration note) or lives on a non-local filesystem — below
+    that, the extra planning actions (a bounded collect of touched
+    partition keys ≤ bands·parts rows, plus candidate-set pin/count
+    for the sigs-side prune) cost more than the full scans they
+    save. True/False forces.
     Pruning engages the pinned-cache contract: the candidate set is
     persisted until ``cache_scope`` exit / ``unpersist_pinned``.
 
@@ -1461,7 +1508,7 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     do_prune = partitioned and prune is not False
     if do_prune and prune is None:
         sz = _mh_table_bytes(spark, f"{table_prefix}_banded")
-        do_prune = sz is None or sz >= (64 << 20)
+        do_prune = sz is None or sz >= MH_AUTO_PRUNE_FLOOR_BYTES
     broadcast_probe = False
     if do_prune:
         lbk = lb.withColumn("pk", _mh_pk(meta["parts"]))

@@ -37,6 +37,27 @@ _RUNTIME_CONF = {
     # default task stacks (measured), which is also why the probes
     # cap their push sizes (minhash_lsh_join_indexed push limits)
     # instead of raising this.
+    #
+    # SESSION-WIDE by necessity, not preference (ADVICE r10): the
+    # conf is read at ACTION time, and every probe returns a lazy
+    # frame the caller executes later, so a set/restore scope around
+    # the probe function cannot cover the scan (unlike
+    # dedup_clusters' AQE toggle, whose loop runs its own actions).
+    # Why 11-1200-literal In lists are safe for THIS engine's other
+    # scans (inventory, r11): every parquet-scan isin() in that range
+    # targets a key-SORTED index table where page-skipping is the
+    # point — BM25 posting scans push query terms over term-sorted
+    # posting files (operators/text.py), ANN probes push bucket/cell
+    # ids over key-partitioned index tables (operators/similarity.py)
+    # — the same pattern this threshold was raised FOR. The remaining
+    # isin() sites are either expressions over DERIVED columns
+    # (web.py suffix match, text.py array lambdas — never pushed to
+    # parquet) or user matcher alternations (plans/matchers.py),
+    # which are regex-alternation-sized (a handful of label values).
+    # The measured 3×-slower-than-unpushed regime needed ~500 pushed
+    # values over UNSORTED files — no engine scan constructs that
+    # shape. External code sharing the session inherits the
+    # tradeoff; tune() is the documented place to override.
     "spark.sql.parquet.pushdown.inFilterThreshold": "1200",
 }
 

@@ -138,7 +138,12 @@ def apply_curate_batch(batch_df: DataFrame, batch_id: int, *,
     failure direction. A ≥cap-sized near-identical cluster inside
     one batch should have collapsed at the exact-dup gate first;
     pass ``max_bucket_size=None`` in ``minhash_kwargs`` for exact
-    banding.
+    banding. Probe-only knobs in ``minhash_kwargs``
+    (``max_bucket_size``, ``prune``, ``probe_push_limit``,
+    ``id_push_limit``, ``caps_stats``) reach the gate's joins and
+    are stripped from the index build/append (routing tested; r11
+    ``prune=True`` forces the partitioned-pruned probe plan for
+    deployments past the auto-prune floor).
 
     ``model=(weights, bias)`` with ``min_model_score`` arms the
     TRAINED-CLASSIFIER gate (`operators.classify.lr_score` — the
@@ -414,8 +419,23 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
         table_live,
     )
 
-    join_kwargs = {k: v for k, v in mk.items()
-                   if k not in ("buckets", "parts", "sig_parts")}
+    from remote_storage_adapter_spark.operators.dedup import (
+        MH_INDEXED_ONLY_KWARGS,
+        MH_LAYOUT_KWARGS,
+    )
+
+    # kwarg routing (ADVICE r10 / r10 verdict #5): the indexed cross
+    # probe takes the full probe-knob set — including ``prune`` and
+    # the push limits, so deployments past the auto-prune floor can
+    # FORCE the partitioned-pruned plan from ``minhash_kwargs``
+    # instead of depending on the size heuristic — while the
+    # within-batch pair join (no index to prune) and the downstream
+    # index fold (apply_index_batch routes its own) get the knobs
+    # stripped that their signatures reject.
+    indexed_kwargs = {k: v for k, v in mk.items()
+                      if k not in MH_LAYOUT_KWARGS}
+    pairs_kwargs = {k: v for k, v in indexed_kwargs.items()
+                    if k not in MH_INDEXED_ONLY_KWARGS}
     sig_kwargs = {k: v for k, v in mk.items()
                   if k in ("num_hashes", "shingle_n", "mode")}
     cand = scored.filter(F.col("_status0") == "kept") \
@@ -448,13 +468,13 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     # exact banding).
     pairs = minhash_lsh_pairs(cand, threshold=threshold,
                               id_col=id_col, text_col=text_col,
-                              sigs=sigs, **join_kwargs)
+                              sigs=sigs, **pairs_kwargs)
     nd_frame = pairs.select(F.col("id_b").alias("_nd_id"))
     if table_live(spark, f"{prefix}_applied"):
         cross = minhash_lsh_join_indexed(
             spark, prefix, cand, threshold=threshold,
             id_col=id_col, text_col=text_col, sigs=sigs,
-            **join_kwargs)
+            **indexed_kwargs)
         nd_frame = nd_frame.unionByName(
             cross.filter(F.col("id_l") != F.col("id_r"))
             .select(F.col("id_l").alias("_nd_id")))

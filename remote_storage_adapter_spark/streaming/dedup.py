@@ -88,12 +88,28 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
     from remote_storage_adapter_spark.operators.dedup import table_live
 
     ledger_live = table_live(spark, ledger)
+    from remote_storage_adapter_spark.operators.dedup import (
+        MH_INDEXED_ONLY_KWARGS,
+        MH_LAYOUT_KWARGS,
+        MH_PROBE_ONLY_KWARGS,
+    )
+
     id_col = index_kwargs.get("id_col", "doc_id")
-    # build-only kwargs: layout knobs apply to the bootstrap build
-    # only — probes AND appends read the layout from {prefix}_meta
+    # kwarg routing (ADVICE r10): one ``index_kwargs`` dict serves
+    # four consumers with different signatures. Layout knobs go to
+    # the bootstrap build only (probes AND appends read the layout
+    # from {prefix}_meta); probe knobs (max_bucket_size, prune, push
+    # limits, caps_stats) go to the joins only — forwarding them to
+    # minhash_index/minhash_index_append raises TypeError on every
+    # batch, which is exactly how the documented
+    # ``max_bucket_size=None`` escape hatch used to crash the fold.
     join_kwargs = {k: v for k, v in index_kwargs.items()
-                   if k not in ("buckets", "parts", "sig_parts")}
-    append_kwargs = {k: v for k, v in index_kwargs.items()
+                   if k not in MH_LAYOUT_KWARGS}
+    pairs_kwargs = {k: v for k, v in join_kwargs.items()
+                    if k not in MH_INDEXED_ONLY_KWARGS}
+    build_kwargs = {k: v for k, v in index_kwargs.items()
+                    if k not in MH_PROBE_ONLY_KWARGS}
+    append_kwargs = {k: v for k, v in build_kwargs.items()
                      if k not in ("parts", "sig_parts")}
     if sigs is not None:
         # exact-coverage filter once: the pair/indexed joins consume
@@ -107,10 +123,10 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
         kept = batch_df
         if dedup_threshold is not None:
             kept = _drop_within_batch(batch_df, dedup_threshold,
-                                      id_col, join_kwargs, sigs=sigs)
+                                      id_col, pairs_kwargs, sigs=sigs)
         with cache_scope():
             minhash_index(kept, table_prefix, sigs=sigs,
-                          **index_kwargs)
+                          **build_kwargs)
         # ONE job-atomic append of all three marks (r8 review): three
         # sequential marks left partial-ledger windows where a replay
         # would take the APPEND path over freshly-built tables —
@@ -150,7 +166,7 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
 
         with cache_scope():
             kept = _drop_within_batch(batch_df, dedup_threshold,
-                                      id_col, join_kwargs, sigs=sigs)
+                                      id_col, pairs_kwargs, sigs=sigs)
             cross = minhash_lsh_join_indexed(
                 spark, table_prefix, kept,
                 threshold=dedup_threshold,

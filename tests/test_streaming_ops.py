@@ -2321,3 +2321,148 @@ def test_minhash_meta_validates_params_and_sigs_contract(spark):
             D.minhash_index_append(more, prefix, num_hashes=16,
                                    bands=4, sigs=short_sigs)
     D.reset_managed_tables(spark, *tables)
+
+
+def test_apply_index_batch_routes_probe_only_kwargs(spark):
+    """ADVICE r10: the curate docstring's documented escape hatch —
+    ``max_bucket_size=None`` in ``minhash_kwargs`` for exact banding —
+    used to raise TypeError in the index fold, because apply_index_batch
+    forwarded probe-only knobs to minhash_index / minhash_index_append.
+    The routed kwargs must reach the joins (cap semantics observable)
+    while the writers get only what their signatures accept, on BOTH
+    the bootstrap and the append path."""
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming import dedup as SD
+
+    schema = "doc_id long, text string"
+    prefix = "mh_kwarg_route_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
+    caps = {}
+    mk = dict(num_hashes=16, bands=8, shingle_n=3, buckets=4,
+              dedup_threshold=0.3,
+              # the full probe-only set, including the r11 prune
+              # forcing knob and push limits
+              max_bucket_size=None, prune=False,
+              probe_push_limit=8, id_push_limit=16, caps_stats=caps)
+    base = ("the quick brown fox jumps over the lazy dog near "
+            "the river bank today")
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tonight")),
+         (3, "completely different content about spark partitions")],
+        schema)
+    assert SD.apply_index_batch(b0, 0, prefix, **mk)
+    # within-batch fuzzy dedup ran under the uncapped probe: doc 2
+    # (near-dup of 1) never entered the index
+    kept0 = {r["id"] for r in spark.table(f"{prefix}_sigs")
+             .select("id").collect()}
+    assert kept0 == {1, 3}
+    # append path: doc 11 fuzzy-matches the ACCUMULATED index
+    b1 = spark.createDataFrame(
+        [(11, base.replace("river", "ocean")),
+         (12, "another unrelated text about minhash signatures")],
+        schema)
+    assert SD.apply_index_batch(b1, 1, prefix, **mk)
+    kept1 = {r["id"] for r in spark.table(f"{prefix}_sigs")
+             .select("id").collect()}
+    assert kept1 == {1, 3, 12}
+    # replay is still a ledger skip with the knobs present
+    assert SD.apply_index_batch(b1, 1, prefix, **mk) is False
+
+
+def test_curate_gate_forwards_probe_kwargs(spark, tmp_path):
+    """r10 verdict #5 + ADVICE r10: ``minhash_kwargs`` carrying
+    probe-only knobs (max_bucket_size=None, forced ``prune``, push
+    limits) must flow through the curate near-dup gate — to the
+    indexed cross probe, stripped for the within-batch pair join and
+    the downstream index fold — and produce the same decisions as the
+    default knobs on an under-cap corpus."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from remote_storage_adapter_spark.operators import dedup as D
+    from remote_storage_adapter_spark.streaming.curate import (
+        apply_curate_batch,
+    )
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    out = str(tmp_path / "curated")
+    seen = str(tmp_path / "seen")
+    prefix = "curate_kwarg_route_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "applied")])
+    mk = dict(num_hashes=16, bands=8, shingle_n=3,
+              max_bucket_size=None, prune=False,
+              probe_push_limit=8, id_push_limit=16)
+    base = ("the quick brown fox jumps over the lazy dog near "
+            "the river bank today")
+    b0 = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("today", "tonight")),
+         (3, "completely different content about spark partitions "
+             "and bucketed joins in this one")], schema)
+    b1 = spark.createDataFrame(
+        [(11, base.replace("river", "ocean")),
+         (12, "another unrelated text about minhash signatures "
+              "and lsh bands entirely")], schema)
+    kwargs = dict(out_dir=out, seen_state=seen, minhash_prefix=prefix,
+                  near_dup_threshold=0.3, minhash_kwargs=mk,
+                  min_q_score=0.0, buckets=4)
+    assert apply_curate_batch(b0, 0, **kwargs) is True
+    assert apply_curate_batch(b1, 1, **kwargs) is True
+    statuses = {r["doc_id"]: r["status"]
+                for r in spark.read.parquet(out).collect()}
+    assert statuses == {1: "kept", 2: "near_dup", 3: "kept",
+                        11: "near_dup", 12: "kept"}
+
+
+def test_minhash_legacy_rebuild_resets_meta_first(spark, monkeypatch):
+    """ADVICE r10: a legacy (parts=None) rebuild over an existing r10
+    PARTITIONED index must reset the meta row BEFORE writing data
+    tables — a crash mid-rebuild must never leave bucketed tables
+    described by a stale partitioned meta row (probes would prune on
+    a pk column that no longer exists)."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    schema = "doc_id long, text string"
+    prefix = "mh_legacy_reset_test"
+    D.reset_managed_tables(
+        spark, *[f"{prefix}_{t}"
+                 for t in ("banded", "sigs", "counts", "meta")])
+    docs = spark.createDataFrame(
+        [(i, f"common text body shared across docs w{i % 2}")
+         for i in range(6)], schema)
+    # partitioned build first — meta records parts=8
+    D.minhash_index(docs, prefix, num_hashes=16, bands=4, buckets=4)
+    assert D.read_minhash_meta(spark, prefix)["parts"] is not None
+    # legacy rebuild that crashes during the FIRST data write
+    # (after signing/validation): the stale partitioned meta must
+    # already be gone
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    real_save = DataFrameWriter.saveAsTable
+
+    def dying_save(self, name, *a, **kw):
+        if name.endswith("_banded"):
+            raise RuntimeError("injected crash during banded write")
+        return real_save(self, name, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "saveAsTable", dying_save)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        D.minhash_index(docs, prefix, num_hashes=16, bands=4,
+                        buckets=4, parts=None)
+    monkeypatch.undo()
+    assert D.read_minhash_meta(spark, prefix) is None
+    # a clean legacy rebuild then lands a parts=None meta row
+    D.minhash_index(docs, prefix, num_hashes=16, bands=4, buckets=4,
+                    parts=None)
+    assert D.read_minhash_meta(spark, prefix)["parts"] is None

@@ -26,9 +26,24 @@ Usage::
     python tools/bench_curate.py [sf_dir] [n_batches]
     # defaults: /root/testdata/sf0.1, 5 batches
 
+Env knobs (r11, the composed-probe evidence run):
+
+- ``SPARK_GRAFT_CURATE_CONFIGS``: comma-list subset of the ladder
+  (e.g. ``+lm,+neardup`` — the near-dup MARGINAL pair), so the
+  multi-minute sf100 cells don't pay for the whole ladder. The
+  replay-no-op invariant runs only when the subset ends at the full
+  config.
+- ``SPARK_GRAFT_MINHASH_PRUNE``: ``1``/``0`` forces ``prune`` in the
+  gate's ``minhash_kwargs`` (the r11 forwarding knob); unset = the
+  auto floor heuristic.
+
 Prints one JSON line per config:
 ``{"config", "sf_dir", "docs", "batches", "wall_s", "docs_per_s",
-"batch_walls", "histogram"}``.
+"batch_walls", "histogram"}``; near-dup configs additionally carry
+``minhash_probe`` — banded-table MiB, whether the PRUNED probe plan
+engaged for the accumulated index under the gate's exact kwargs, and
+whether the executed plan string shows the pk PartitionFilters (the
+"verifiably engaged" evidence the r10 verdict asked for).
 """
 
 from __future__ import annotations
@@ -67,6 +82,35 @@ CONFIGS = ["quality", "+model", "+dsir", "+lm", "+neardup", "+bm25"]
 DSIR_LAM = frozen_weights(64, seed=48271)
 
 MINHASH_KW = dict(num_hashes=64, bands=16, shingle_n=3)
+_prune_env = os.environ.get("SPARK_GRAFT_MINHASH_PRUNE")
+if _prune_env is not None:
+    MINHASH_KW["prune"] = _prune_env == "1"
+
+
+def probe_evidence(spark, docs, prefix: str) -> dict:
+    """Post-ladder evidence that the gate's cross-index probe runs
+    (or correctly declines) the partition-pruned plan against the
+    ACCUMULATED index, under the gate's exact kwargs: banded bytes vs
+    the auto floor, and the executed-plan PartitionFilters check."""
+    from remote_storage_adapter_spark.operators import dedup as D
+
+    banded = D._mh_table_bytes(spark, f"{prefix}_banded")
+    sample = docs.orderBy("doc_id").limit(100)
+    with D.cache_scope():
+        probe = D.minhash_lsh_join_indexed(
+            spark, prefix, sample, threshold=0.2, **MINHASH_KW)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    forced = MINHASH_KW.get("prune")
+    engaged = (forced if forced is not None
+               else banded is None
+               or banded >= D.MH_AUTO_PRUNE_FLOOR_BYTES)
+    pk_pruned = "PartitionFilters: [pk" in plan
+    assert pk_pruned == engaged, (pk_pruned, engaged, banded)
+    return {"banded_mib": (None if banded is None
+                           else round(banded / 2**20, 1)),
+            "floor_mib": D.MH_AUTO_PRUNE_FLOOR_BYTES >> 20,
+            "prune_forced": forced, "prune_engaged": engaged,
+            "plan_partition_filters_pk": pk_pruned}
 
 
 def run_config(spark, docs, cfg: str, base: str, n_batches: int):
@@ -125,24 +169,37 @@ def main():
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     root = os.path.join("scratch", f"curate_bench_{tag}")
 
+    configs = CONFIGS
+    subset = os.environ.get("SPARK_GRAFT_CURATE_CONFIGS")
+    if subset:
+        configs = [c for c in CONFIGS if c in
+                   {s.strip() for s in subset.split(",")}]
     full_hist = None
-    for cfg in CONFIGS:
+    for cfg in configs:
         base = os.path.join(root, cfg.lstrip("+"))
         wall, walls, hist = run_config(spark, docs, cfg, base, n_batches)
         full_hist = hist  # last iteration == the full config
-        print(json.dumps({
+        line = {
             "config": cfg, "sf_dir": sf_dir, "docs": n_docs,
             "batches": n_batches, "wall_s": round(wall, 2),
             "docs_per_s": round(n_docs / wall, 1),
             "batch_walls": walls,
             "histogram": dict(sorted(hist.items())),
-        }))
+        }
+        if CONFIGS.index(cfg) >= 4:  # near-dup gate in play
+            line["minhash_probe"] = probe_evidence(
+                spark, docs, "bench_curate_mh")
+        print(json.dumps(line))
         sys.stdout.flush()
 
-    # invariants on the full-config run: statuses partition the
-    # corpus; a complete replay is a no-op with an identical histogram
-    base = os.path.join(root, CONFIGS[-1].lstrip("+"))
+    # statuses partition the corpus at every ladder stop
     assert sum(full_hist.values()) == n_docs, (full_hist, n_docs)
+    if configs[-1] != CONFIGS[-1]:
+        spark.stop()
+        return
+    # invariants on the full-config run: a complete replay is a
+    # no-op with an identical histogram
+    base = os.path.join(root, CONFIGS[-1].lstrip("+"))
     t0 = time.time()
     hist2 = run_replay(spark, docs, base, n_batches)
     assert hist2 == full_hist, (hist2, full_hist)
