@@ -731,6 +731,17 @@ MH_INDEXED_ONLY_KWARGS = frozenset({
 #: ``{prefix}_meta``, never from call-site kwargs:
 MH_LAYOUT_KWARGS = frozenset({"buckets", "parts", "sig_parts"})
 
+#: Floor (banded-table bytes) above which an UNPRUNED capped probe
+#: counts bucket populations from the banded scan (k-semi-join +
+#: lazy broadcast anti-join exclusion) instead of aggregating the
+#: counts table. Measured seesaw (BENCH_NOTES r11): the counts-table
+#: aggregation is corpus-sized AND single-task (the compacted counts
+#: layout is one sorted file — right for pushed point lookups, wrong
+#: for full scans), costing 3.5 s at 500k docs; the semi-join path is
+#: flat but pays ~0.3-0.4 s of broadcast-build fixed cost, losing at
+#: ≤50k docs (1.72 s vs 1.42 s). Break-even ≈ 100-150k docs ≈ 16 MiB.
+MH_SEMI_CAP_FLOOR_BYTES = 16 << 20
+
 #: Auto-prune floor for the partitioned MinHash probe, in banded-table
 #: bytes. CALIBRATED against the measured probe series (BENCH_NOTES
 #: r10/r11, tools/bench_probe_scale.py, fixed 500-doc batch): pruning
@@ -1423,9 +1434,13 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
       batch probes the broadcast join + JVM InSet is the fast path
       at every measured scale (50k-5M docs);
     - the cap check aggregates bucket populations from that SAME
-      pruned scan instead of re-aggregating the corpus-sized counts
-      table (the r9 capped probe's largest term — the counts table
-      holds one row per distinct corpus bucket);
+      banded scan (pruned or not — r11 decoupled it from pruning:
+      below the prune floor the counts-table aggregation cost MORE
+      than the whole uncapped probe, 5.2 s vs 1.3 s at 500k docs,
+      because the point-lookup-sorted single-file counts layout
+      scans single-task) instead of re-aggregating the corpus-sized
+      counts table (the r9 capped probe's largest term — the counts
+      table holds one row per distinct corpus bucket);
     - the sigs verify scan prunes to the candidate ids' ``ik``
       partitions, with the exact id list pushed over the id-sorted
       files when the candidate set fits ``id_push_limit`` — the
@@ -1505,14 +1520,41 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
         ls.count()  # banding + join-back read one materialization
     lb = _band_frame(ls, bands=bands,
                      rows_per_band=num_hashes // bands, mode=mode)
+    sz = None
     do_prune = partitioned and prune is not False
     if do_prune and prune is None:
         sz = _mh_table_bytes(spark, f"{table_prefix}_banded")
         do_prune = sz is None or sz >= MH_AUTO_PRUNE_FLOOR_BYTES
+    # semi_cap: count bucket populations from the banded scan
+    # (k-semi-join + exclusion) instead of aggregating the
+    # corpus-sized counts table. Always when pruned (the pruned scan
+    # makes it nearly free — r10); UNPRUNED only past the 16 MiB
+    # floor (r11): below it the counts table is small enough that
+    # its aggregation beats the semi-join path's ~0.3-0.4 s of
+    # broadcast-build fixed cost, above it the single-file
+    # point-lookup-sorted counts layout scans single-task and cost
+    # 5.2 s at the 500k cell where the whole uncapped probe costs
+    # 1.3 s — a capped probe paid MORE below the prune floor than
+    # above it. Measured series on both constants' notes.
     broadcast_probe = False
+    semi_cap = False
+    if partitioned and (do_prune or (max_bucket_size is not None
+                                     and caps_stats is None)):
+        # cached (pinned) — a cheap statistics job; bounds the
+        # batch-side broadcast of the candidate join and the
+        # semi-join cap path's build sides
+        n_in = ls.count()
+        small_batch = n_in * bands <= 1_000_000
+        if do_prune:
+            broadcast_probe = small_batch
+            semi_cap = small_batch and caps_stats is None
+        elif small_batch:
+            if sz is None:
+                sz = _mh_table_bytes(spark, f"{table_prefix}_banded")
+            semi_cap = sz is None or sz >= MH_SEMI_CAP_FLOOR_BYTES
+            broadcast_probe = semi_cap
     if do_prune:
         lbk = lb.withColumn("pk", _mh_pk(meta["parts"]))
-        n_in = ls.count()  # cached (pinned) — a cheap statistics job
         if n_in * bands <= probe_push_limit:
             touched = lbk.select("pk", "bucket").distinct().collect()
             pks = sorted({r["pk"] for r in touched})
@@ -1526,9 +1568,9 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                          lbk.select("pk").distinct().collect())
             rb = rb.filter(F.col("pk").isin(pks))
         rb = rb.select("id", "band", "bucket")
-        # a micro-batch's banded side is tiny next to the reference —
-        # broadcast it so neither side of the candidate join shuffles
-        broadcast_probe = n_in * bands <= 1_000_000
+    # a micro-batch's banded side is tiny next to the reference —
+    # when bounded (broadcast_probe above), broadcast it so neither
+    # side of the candidate join shuffles.
     # single derived long join key: Spark's broadcast hash join keys
     # a MULTI-column key through the generic UnsafeHashedRelation
     # (measured 7-9 s to probe 80M rows) but a single long key
@@ -1545,9 +1587,11 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     if max_bucket_size is not None:
         counts_l = lb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_n"))
-        if do_prune and caps_stats is None and broadcast_probe:
-            # bucket populations from the SAME pruned scan the join
-            # reads, k-SEMI-JOINED to the batch's (broadcast) bucket
+        if semi_cap:
+            # bucket populations from the SAME scan the join reads
+            # (pruned when pruning engaged — r11: engages without
+            # pruning too past MH_SEMI_CAP_FLOOR_BYTES, see semi_cap
+            # above), k-SEMI-JOINED to the batch's (broadcast) bucket
             # set BEFORE aggregating — the agg input shrinks from the
             # corpus to the touched postings (plus 2^-64 k-collision
             # strays, whose extra exact-keyed groups are harmless),
@@ -1558,11 +1602,12 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
             # over-cap bucket contributes its population LINEARLY
             # here; the quadratic blow-up only ever existed in the
             # candidate join, which this filter exists to protect.
-            # The over-cap set itself is collected BOUNDED (limit+1)
-            # and applied as a literal exclusion — in the common
-            # zero-over-cap case the final plan carries no cap work
-            # at all; a pathological corpus falls back to the exact
-            # anti-join.
+            # When PRUNED, the over-cap set is collected BOUNDED
+            # (limit+1) and applied as a literal exclusion — in the
+            # common zero-over-cap case the final plan carries no
+            # cap work at all; a pathological corpus falls back to
+            # the exact anti-join. When UNPRUNED the exclusion stays
+            # a lazy broadcast anti-join instead (see below).
             lbd_k = lb.select(kcol.alias("_k")).distinct()
             rcounts = (
                 rb.withColumn("_k", kcol)
@@ -1571,18 +1616,33 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                 .agg(F.count(F.lit(1)).alias("_n")))
             over = rcounts.filter(F.col("_n") > max_bucket_size) \
                 .select("band", "bucket")
-            over_rows = over.limit(33).collect()
-            if len(over_rows) <= 32:
-                from functools import reduce as _reduce
-                if over_rows:
-                    bad = _reduce(
-                        lambda a, b: a | b,
-                        [(F.col("band") == r["band"])
-                         & (F.col("bucket") == r["bucket"])
-                         for r in over_rows])
-                    rb = rb.filter(~bad)
+            if do_prune:
+                over_rows = over.limit(33).collect()
+                if len(over_rows) <= 32:
+                    from functools import reduce as _reduce
+                    if over_rows:
+                        bad = _reduce(
+                            lambda a, b: a | b,
+                            [(F.col("band") == r["band"])
+                             & (F.col("bucket") == r["bucket"])
+                             for r in over_rows])
+                        rb = rb.filter(~bad)
+                else:
+                    rb = rb.join(over, ["band", "bucket"],
+                                 "left_anti")
             else:
-                rb = rb.join(over, ["band", "bucket"], "left_anti")
+                # UNPRUNED (below the prune floor): the bounded
+                # collect above would force a second FULL banded
+                # scan as its own job — measured ~1.2 s of the
+                # mid-scale capped probe. Keep the exclusion lazy
+                # instead: a broadcast anti-join whose build side is
+                # the over-cap list (bounded by the batch's touched
+                # buckets — ≤ n_in·bands keys, and broadcast_probe
+                # already bounds that at 1M), evaluated inside the
+                # SAME action as the candidate join, where the
+                # second table read hits the page cache.
+                rb = rb.join(F.broadcast(over), ["band", "bucket"],
+                             "left_anti")
         else:
             # counts rows are per-batch DELTAS (r8) — sum per bucket;
             # a legacy single-row-per-bucket table sums to itself

@@ -581,6 +581,16 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             c = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
                        for r in fast.collect())
             assert a == c
+            # r11: the physical-count cap path engages WITHOUT
+            # pruning too (the unpruned counts-table aggregation was
+            # the probe's largest term below the prune floor) — same
+            # decisions with pruning forced off
+            unpruned = D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, max_bucket_size=cap, prune=False)
+            d = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
+                       for r in unpruned.collect())
+            assert a == d
         plan = _spark_plan(D.minhash_lsh_join_indexed(
             spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1,
             prune=True))

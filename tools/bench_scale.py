@@ -106,6 +106,21 @@ def f_tar_shards(spark, sf_dir):
         F.sum(part_bytes).alias("bytes"))
 
 
+def f_tar_walk(spark, sf_dir):
+    """tar_shards DECOMPOSED (r11, the superlinear-diagnosis split):
+    the archive walk alone — generate + Arrow-transfer the shards,
+    tarfile-walk the members — with NO webdataset grouping, so a
+    superlinear tar_shards splits into walk-side (Arrow/Python
+    memory) vs grouping-side (payload shuffle) causes."""
+    mem = TA.tar_members(
+        Q.tar_planted_shards(load_table(spark, sf_dir, "documents")),
+        min_tasks=MIN_TASKS)
+    return mem.agg(
+        F.sum("size").alias("bytes"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.count("err").alias("n_err"))
+
+
 def f_exif_scrub(spark, sf_dir):
     media = Q.exif_strip_planted_media(
         load_table(spark, sf_dir, "documents"))
@@ -135,6 +150,7 @@ FLOWS = {
     "pipeline_crawl": f_pipeline_crawl,
     "pipeline_webdataset": f_pipeline_webdataset,
     "tar_shards": f_tar_shards,
+    "tar_walk": f_tar_walk,
     "exif_scrub": f_exif_scrub,
     "image_dhash": f_image_dhash,
 }
@@ -158,6 +174,15 @@ def main():
                if os.path.exists(os.path.join(d, "documents.parquet"))]
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_ARROW_BATCH caps rows per Arrow batch for the
+    # mapInPandas flows (default 10000) — the r10 verdict's named
+    # lever for the sf100 superlinear rows (bound Python-worker
+    # batch bytes, measure before/after)
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    if arrow_batch:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            arrow_batch)
     # warm the Arrow worker pool once
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long").count()
