@@ -45,7 +45,7 @@ def _media_sel(media: DataFrame, id_col: str, payload_col: str,
     stages partition-preserving)."""
     return ensure_min_tasks(
         media.select(F.col(id_col).alias(id_col), F.col(payload_col)),
-        min_tasks)
+        min_tasks, payload_col=payload_col)
 
 #: typed metadata carried next to every media payload.
 MEDIA_META_SCHEMA = T.StructType(

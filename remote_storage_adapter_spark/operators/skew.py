@@ -22,7 +22,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ensure_min_tasks(df: DataFrame, min_tasks: int | None) -> DataFrame:
+#: Volume ceilings for ONE Python-bound task when the min_tasks floor
+#: engages. Measured (BENCH_SF10 r11): long mapInPandas tasks degrade
+#: SUPERLINEARLY in per-task volume — the sf100 tar walk cost 188 s
+#: at 32 tasks × 470 MB/task but 54 s at 128 tasks × 117 MB/task, and
+#: image_dhash (73-byte payloads, so a per-task ROW effect, not
+#: bytes) cost 59 s at 32 × 156k rows but 12 s at 128 × 39k rows,
+#: with 512 tasks plateauing at 128's wall. Smaller Arrow batches do
+#: NOT help (batch 1000 was 19% WORSE than 10000 on the tar walk) —
+#: the lever is task volume, not batch size. 128 MB matches the
+#: maxPartitionBytes philosophy for file-backed inputs.
+MAX_TASK_PAYLOAD_BYTES = 128 << 20
+MAX_TASK_PYTHON_ROWS = 50_000
+
+
+def ensure_min_tasks(df: DataFrame, min_tasks: int | None, *,
+                     payload_col: str | None = None) -> DataFrame:
     """Parallelism floor for file-layout-bound Python stages: a
     mapInPandas source inherits the INPUT file layout (a 2-file
     landing directory ⇒ 2 tasks, 30 idle cores), so callers that are
@@ -32,14 +47,43 @@ def ensure_min_tasks(df: DataFrame, min_tasks: int | None) -> DataFrame:
     shuffle; a value only repartitions when the input has FEWER
     partitions, and that one bounded round-robin shuffle of
     (id, payload) is the explicit price of fair fan-out. At 100 TB a
-    landing layout has thousands of files and this is a no-op."""
+    landing layout has thousands of files and this is a no-op (and
+    ``maxPartitionBytes`` already bounds per-task FILE bytes there).
+
+    ``payload_col`` (r11): when the floor engages, also bound the
+    VOLUME of one task — ``min_tasks`` alone handed each task 1/32 of
+    the corpus however big the corpus, and long Python tasks degrade
+    superlinearly (see the constants above). The volume estimate is
+    deliberately CHEAP (a payload-pruned row count plus a 1024-row
+    payload-size sample — a full octet_length sum re-generates or
+    re-reads the whole payload column, which measured as a 30%
+    planning tax on the sf10 tar flows): the fan-out scales to
+    ``max(min_tasks, est_bytes/128MB, rows/50k)``. Sampling bias is
+    acceptable here — the ceilings are order-of-magnitude task
+    sizing, not contracts, and the row ceiling is exact. The
+    measured effect: the sf100 tar walk's 24×-per-decade
+    superlinearity (r10 verdict weak row) flattens to ~7.6× per
+    decade."""
     if min_tasks is None:
         return df
     if min_tasks <= 0:
         raise ValueError(f"min_tasks must be positive, got {min_tasks}")
     if df.rdd.getNumPartitions() >= min_tasks:
         return df
-    return df.repartition(min_tasks)
+    target = min_tasks
+    if payload_col is not None:
+        import math
+
+        rows = df.count()  # payload column pruned — cheap
+        avg_b = 0
+        if rows:
+            avg_b = (df.limit(1024)
+                     .agg(F.avg(F.octet_length(F.col(payload_col)))
+                          .alias("_b")).first()["_b"]) or 0
+        target = max(min_tasks,
+                     math.ceil(rows * avg_b / MAX_TASK_PAYLOAD_BYTES),
+                     math.ceil(rows / MAX_TASK_PYTHON_ROWS))
+    return df.repartition(target)
 
 
 def salted(df: DataFrame, n_salts: int = 32,

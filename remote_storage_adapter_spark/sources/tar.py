@@ -124,7 +124,7 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
 
     return ensure_min_tasks(
         df.select(F.col(id_col).alias("src_id"), F.col(payload_col)),
-        min_tasks,
+        min_tasks, payload_col=payload_col,
     ).mapInPandas(run, schema=TAR_SCHEMA)
 
 

@@ -213,3 +213,41 @@ def test_min_tasks_parallelism_floor(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ensure_min_tasks(df, 0)
+
+
+def test_ensure_min_tasks_volume_aware(spark):
+    """r11: when the floor engages and a payload column is named, the
+    fan-out scales with task VOLUME — per-task bytes (128 MB ceiling)
+    and per-task rows (50k ceiling) — because long Python tasks
+    degrade superlinearly (BENCH_SF10 r11: sf100 tar walk 188 s at 32
+    tasks vs 54 s at 128). Results stay identical to the plain
+    floor."""
+    from remote_storage_adapter_spark.operators.skew import (
+        MAX_TASK_PYTHON_ROWS,
+        ensure_min_tasks,
+    )
+
+    n = 2 * MAX_TASK_PYTHON_ROWS + 1  # rows ceiling → 3 tasks min
+    df = (spark.range(n)
+          .select(F.col("id").alias("src_id"),
+                  F.encode(F.col("id").cast("string"), "UTF-8")
+                  .alias("payload"))
+          .coalesce(1))
+    # rows bound dominates: ceil(100001/50000) = 3 > min_tasks=2
+    out = ensure_min_tasks(df, 2, payload_col="payload")
+    assert out.rdd.getNumPartitions() == 3
+    # floor still wins when volume is small
+    tiny = df.limit(10).coalesce(1)
+    out2 = ensure_min_tasks(tiny, 4, payload_col="payload")
+    assert out2.rdd.getNumPartitions() == 4
+    # already-wide input: volume logic never engages (no extra agg)
+    wide = df.repartition(8)
+    assert ensure_min_tasks(
+        wide, 2, payload_col="payload").rdd.getNumPartitions() == 8
+    # byte ceiling: 3 rows × ~1 MB at a 2 MB ceiling via monkeypatched
+    # constant is overkill — instead check the arithmetic directly
+    import math
+
+    from remote_storage_adapter_spark.operators import skew as SK
+    total = 300 << 20  # 300 MB
+    assert max(2, math.ceil(total / SK.MAX_TASK_PAYLOAD_BYTES)) == 3
