@@ -50,26 +50,35 @@ def ensure_min_tasks(df: DataFrame, min_tasks: int | None, *,
     landing layout has thousands of files and this is a no-op (and
     ``maxPartitionBytes`` already bounds per-task FILE bytes there).
 
-    ``payload_col`` (r11): when the floor engages, also bound the
-    VOLUME of one task — ``min_tasks`` alone handed each task 1/32 of
-    the corpus however big the corpus, and long Python tasks degrade
-    superlinearly (see the constants above). The volume estimate is
-    deliberately CHEAP (a payload-pruned row count plus a 1024-row
-    payload-size sample — a full octet_length sum re-generates or
-    re-reads the whole payload column, which measured as a 30%
-    planning tax on the sf10 tar flows): the fan-out scales to
+    ``payload_col`` (r11): also bound the VOLUME of one task —
+    ``min_tasks`` alone handed each task 1/32 of the corpus however
+    big the corpus, and long Python tasks degrade superlinearly (see
+    the constants above). The volume estimate is deliberately CHEAP
+    (a payload-pruned row count plus a 1024-row payload-size sample —
+    a full octet_length sum re-generates or re-reads the whole
+    payload column, which measured as a 30% planning tax on the sf10
+    tar flows): the fan-out scales to
     ``max(min_tasks, est_bytes/128MB, rows/50k)``. Sampling bias is
     acceptable here — the ceilings are order-of-magnitude task
-    sizing, not contracts, and the row ceiling is exact. The
-    measured effect: the sf100 tar walk's 24×-per-decade
-    superlinearity (r10 verdict weak row) flattens to ~7.6× per
-    decade."""
+    sizing, not contracts, and the row ceiling is exact.
+
+    The volume check runs EVEN when the input already has
+    ``min_tasks`` partitions: "wide enough by file bytes" does not
+    bound per-task GENERATED/decoded payload bytes. That was the
+    first r11 attempt's exact failure — at sf100 the 520 MB docs
+    parquet scanned as 32 partitions, the ``>= min_tasks`` early
+    return skipped the volume fan-out, and each of the 32 tasks
+    walked ~470 MB of synthesized tar payload: tar_shards stayed
+    24×-per-decade superlinear (219 s) with the "fix" in the tree.
+    With the target computed first (this version) the walk runs at
+    ~128 MB/task and the decade ratio drops to ~linear. At a real
+    100 TB file-backed layout the stored payload bytes ARE the file
+    bytes, so the scan width already satisfies the byte target and
+    the check costs two bounded driver actions, no shuffle."""
     if min_tasks is None:
         return df
     if min_tasks <= 0:
         raise ValueError(f"min_tasks must be positive, got {min_tasks}")
-    if df.rdd.getNumPartitions() >= min_tasks:
-        return df
     target = min_tasks
     if payload_col is not None:
         import math
@@ -83,6 +92,8 @@ def ensure_min_tasks(df: DataFrame, min_tasks: int | None, *,
         target = max(min_tasks,
                      math.ceil(rows * avg_b / MAX_TASK_PAYLOAD_BYTES),
                      math.ceil(rows / MAX_TASK_PYTHON_ROWS))
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 

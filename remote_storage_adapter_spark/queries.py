@@ -4799,13 +4799,42 @@ def _ustar_header(name: str, size: int) -> bytes:
     return bytes(hdr)
 
 
+#: bytes of ONE planted shard, fixed by construction: 2 × (512-byte
+#: header + 512-byte padded content) + 1024 bytes of end padding.
+_PLANTED_SHARD_BYTES = 3072
+
+
 def tar_planted_shards(docs):
     """The planted 2-member ustar shard frame (constant headers via
     :func:`_ustar_header`, doc-dependent fixed-length contents). ONE
     builder shared by the `tar_shards` oracle and `bench_tar_shards`
-    so the bench measures the oracle-locked payload."""
-    c1 = F.lpad(F.col("doc_id").cast("string"), 10, "0")
-    c2 = F.lpad((F.col("doc_id") % 997).cast("string"), 12, "x")
+    so the bench measures the oracle-locked payload.
+
+    Fan-out happens HERE, on the narrow pre-inflation frame (r11):
+    the payload is built from ``doc_id`` alone, inflating 8 bytes/row
+    into 3,072 — so bounding per-task volume after the concat (the
+    ``ensure_min_tasks(payload_col=...)`` path) must round-robin the
+    BUILT archives: measured 20 s warm / 108 s cold for the 15.4 GB
+    exchange at sf100, the whole residual superlinearity of the
+    tar_shards decade series. Repartitioning the id frame BEFORE the
+    concat moves ~8 bytes/row instead (~400× less) and the
+    downstream volume check then sees enough width and skips its
+    shuffle. The width uses the known closed-form inflation
+    (rows × 3,072 / 128 MB); the count on the raw scan is
+    metadata-cheap."""
+    import math
+
+    from remote_storage_adapter_spark.operators.skew import (
+        MAX_TASK_PAYLOAD_BYTES,
+    )
+
+    narrow = docs.select(F.col("doc_id").alias("src_id"))
+    target = math.ceil(
+        narrow.count() * _PLANTED_SHARD_BYTES / MAX_TASK_PAYLOAD_BYTES)
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    c1 = F.lpad(F.col("src_id").cast("string"), 10, "0")
+    c2 = F.lpad((F.col("src_id") % 997).cast("string"), 12, "x")
     payload = F.concat(
         F.lit(_ustar_header("s.txt", 10)),
         F.encode(c1, "US-ASCII"), F.lit(b"\x00" * 502),
@@ -4813,8 +4842,7 @@ def tar_planted_shards(docs):
         F.encode(c2, "US-ASCII"), F.lit(b"\x00" * 500),
         F.lit(b"\x00" * 1024),
     )
-    return docs.select(F.col("doc_id").alias("src_id"),
-                       payload.alias("payload"))
+    return narrow.select(F.col("src_id"), payload.alias("payload"))
 
 
 def q_tar_shards(spark, sf_dir):

@@ -216,12 +216,15 @@ def test_min_tasks_parallelism_floor(spark):
 
 
 def test_ensure_min_tasks_volume_aware(spark):
-    """r11: when the floor engages and a payload column is named, the
-    fan-out scales with task VOLUME — per-task bytes (128 MB ceiling)
-    and per-task rows (50k ceiling) — because long Python tasks
-    degrade superlinearly (BENCH_SF10 r11: sf100 tar walk 188 s at 32
-    tasks vs 54 s at 128). Results stay identical to the plain
-    floor."""
+    """r11: when a payload column is named, the fan-out scales with
+    task VOLUME — per-task bytes (128 MB ceiling) and per-task rows
+    (50k ceiling) — because long Python tasks degrade superlinearly
+    (BENCH_SF10 r11: sf100 tar walk 188 s at 32 tasks vs 54 s at
+    128). Critically, the volume target is computed BEFORE the
+    already-wide early return: the first r11 attempt checked
+    ``cur >= min_tasks`` first, so a 32-partition sf100 scan skipped
+    the volume fan-out entirely and tar_shards stayed superlinear
+    (219 s measured with that "fix" in the tree)."""
     from remote_storage_adapter_spark.operators.skew import (
         MAX_TASK_PYTHON_ROWS,
         ensure_min_tasks,
@@ -240,10 +243,18 @@ def test_ensure_min_tasks_volume_aware(spark):
     tiny = df.limit(10).coalesce(1)
     out2 = ensure_min_tasks(tiny, 4, payload_col="payload")
     assert out2.rdd.getNumPartitions() == 4
-    # already-wide input: volume logic never engages (no extra agg)
+    # already-wide input whose width exceeds the volume target: no-op
     wide = df.repartition(8)
     assert ensure_min_tasks(
         wide, 2, payload_col="payload").rdd.getNumPartitions() == 8
+    # the sf100 regression: input ALREADY at min_tasks width but
+    # over-volumed per task — the volume target must still engage
+    at_floor = df.repartition(2)
+    assert ensure_min_tasks(
+        at_floor, 2, payload_col="payload").rdd.getNumPartitions() == 3
+    # without payload_col the plain floor keeps the old semantics
+    assert ensure_min_tasks(
+        at_floor, 2).rdd.getNumPartitions() == 2
     # byte ceiling: 3 rows × ~1 MB at a 2 MB ceiling via monkeypatched
     # constant is overkill — instead check the arithmetic directly
     import math
