@@ -4919,15 +4919,30 @@ def q_pipeline_webdataset(spark, sf_dir):
     ascii_t = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
                                r"[^\x20-\x7E]", "")
     txt = F.rpad(F.substring(ascii_t, 1, 64), 64, " ")
+    # pre-inflation fan-out (r11, same pattern as tar_planted_shards):
+    # the shard only needs (doc_id, the 64-char prefix) ≈ 72 B/row;
+    # bounding task volume AFTER the concat would round-robin the
+    # built 3,072 B/row archives instead (~40× the exchange bytes)
+    import math
+
+    from remote_storage_adapter_spark.operators.skew import (
+        MAX_TASK_PAYLOAD_BYTES,
+    )
+
+    narrow = docs.select(F.col("doc_id"), txt.alias("_txt64"))
+    target = math.ceil(
+        narrow.count() * _PLANTED_SHARD_BYTES / MAX_TASK_PAYLOAD_BYTES)
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
     payload = F.concat(
         F.lit(_ustar_header("k.png", 73)),
-        _dhash_planted_png(docs), F.lit(b"\x00" * 439),
+        _dhash_planted_png(narrow), F.lit(b"\x00" * 439),
         F.lit(_ustar_header("k.txt", 64)),
-        F.encode(txt, "UTF-8"), F.lit(b"\x00" * 448),
+        F.encode(F.col("_txt64"), "UTF-8"), F.lit(b"\x00" * 448),
         F.lit(b"\x00" * 1024),
     )
-    shards = docs.select(F.col("doc_id").alias("src_id"),
-                         payload.alias("payload"))
+    shards = narrow.select(F.col("doc_id").alias("src_id"),
+                           payload.alias("payload"))
     samples = TA.webdataset_samples(TA.tar_members(shards))
     media = samples.select(
         F.col("src_id").alias("media_id"),
