@@ -4715,7 +4715,7 @@ _CRAWL_ROBOTS = ("User-agent: *\nDisallow: /\n\n"
                  "User-agent: trainingbot\nDisallow: /p/1\n")
 
 
-def q_pipeline_crawl(spark, sf_dir):
+def q_pipeline_crawl(spark, sf_dir, *, min_tasks=None):
     """E2E crawl-ingest capstone, oracle-gated (oracled orphan): the
     full web front-end as ONE composed flow — planted WARC response
     archives (messy Target-URI + hostile HTML wrapping REAL doc
@@ -4741,7 +4741,10 @@ def q_pipeline_crawl(spark, sf_dir):
               "\r\n\r\n"), html, F.lit("\r\n\r\n")), "UTF-8")
     archives = docs.select(F.col("doc_id").alias("src_id"),
                            payload.alias("payload"))
-    recs = WR.warc_records(archives).filter(
+    # min_tasks (r11): the bench ladder forwards the carriers'
+    # parallelism floor + per-task volume bound here; the registry
+    # row keeps None (layout-preserving) at oracle scale
+    recs = WR.warc_records(archives, min_tasks=min_tasks).filter(
         F.col("warc_type") == "response")
     # hosts come from the planted URL directly, NOT from recs: the
     # record walk is the expensive Python stage and feeding it into
@@ -4897,7 +4900,7 @@ FROM d
 """
 
 
-def q_pipeline_webdataset(spark, sf_dir):
+def q_pipeline_webdataset(spark, sf_dir, *, min_tasks=None):
     """E2E multimodal-shard capstone, oracle-gated (oracled orphan):
     the WebDataset ingestion flow as ONE composed pipeline — planted
     2-member ustar shards per document (``k.png`` = the 73-byte
@@ -4943,7 +4946,8 @@ def q_pipeline_webdataset(spark, sf_dir):
     )
     shards = narrow.select(F.col("doc_id").alias("src_id"),
                            payload.alias("payload"))
-    samples = TA.webdataset_samples(TA.tar_members(shards))
+    samples = TA.webdataset_samples(
+        TA.tar_members(shards, min_tasks=min_tasks))
     media = samples.select(
         F.col("src_id").alias("media_id"),
         F.element_at(F.col("parts"), F.lit("png")).alias("payload"),

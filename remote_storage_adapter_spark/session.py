@@ -86,6 +86,23 @@ def get_spark(app_name: str = "remote-storage-adapter-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # r11: Python workers talk to the JVM over UNIX DOMAIN
+        # sockets, not loopback TCP (startup-time conf, so set here
+        # rather than in _RUNTIME_CONF). Motive: a 30-minute
+        # mapInPandas wedge observed at sf100 — the worker blocked
+        # writing output, the JVM's advertised receive window stuck
+        # at ZERO with an empty Recv-Q, the JVM→worker direction in
+        # RTO backoff 22 with retransmits lost ON LOOPBACK (ss
+        # showed rwnd_limited 99.9%, 21 MB unread input) — i.e. a
+        # kernel TCP flow-control wedge under heavy bidirectional
+        # Arrow traffic, not an application deadlock. UDS has no
+        # windows, no congestion control, no retransmission: the
+        # whole failure class vanishes, and same-host framing is
+        # cheaper. ``SPARK_GRAFT_UDS=0`` restores TCP (the conf
+        # only applies to local/classic mode, which is where we
+        # run; a real cluster's executors set their own transport).
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPARK_GRAFT_UDS", "1") != "0")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -262,3 +262,47 @@ def test_ensure_min_tasks_volume_aware(spark):
     from remote_storage_adapter_spark.operators import skew as SK
     total = 300 << 20  # 300 MB
     assert max(2, math.ceil(total / SK.MAX_TASK_PAYLOAD_BYTES)) == 3
+
+
+def test_planted_shard_builders_pre_inflation_fanout(spark):
+    """r11: the planted-shard builders fan out the NARROW id frame
+    BEFORE the 3,072 B/row payload concat (closed-form inflation ×
+    a metadata-cheap count), so bounding task volume never
+    round-robins built archives (measured 20 s warm / 108 s cold for
+    the 15.4 GB exchange at sf100). Small inputs keep their layout;
+    a corpus whose built bytes exceed the per-task ceiling widens to
+    the closed-form width; shard bytes match the constant."""
+    import math
+
+    from remote_storage_adapter_spark import queries as Q
+    from remote_storage_adapter_spark.operators import skew as SK
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("some text").alias("text")).coalesce(1)
+    shards = Q.tar_planted_shards(docs)
+    # 100 docs × 3,072 B ≪ 128 MB: layout preserved, no widening
+    assert shards.rdd.getNumPartitions() == 1
+    row = shards.limit(1).select(
+        F.octet_length("payload").alias("b")).first()
+    assert row["b"] == Q._PLANTED_SHARD_BYTES
+    # the closed-form width matches what sf100 measured (115 tasks)
+    assert math.ceil(
+        5_000_000 * Q._PLANTED_SHARD_BYTES
+        / SK.MAX_TASK_PAYLOAD_BYTES) == 115
+    # widening engages when built bytes exceed one task's ceiling:
+    # shrink the ceiling instead of building 128 MB of shards
+    orig = SK.MAX_TASK_PAYLOAD_BYTES
+    try:
+        SK.MAX_TASK_PAYLOAD_BYTES = 100 * Q._PLANTED_SHARD_BYTES
+        Q_target = math.ceil(
+            1000 * Q._PLANTED_SHARD_BYTES / SK.MAX_TASK_PAYLOAD_BYTES)
+        wide_docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text")).coalesce(1)
+        # builders read the ceiling through the module attr at call
+        # time, so the monkeypatched value must drive the width
+        assert Q.tar_planted_shards(
+            wide_docs).rdd.getNumPartitions() == Q_target == 10
+    finally:
+        SK.MAX_TASK_PAYLOAD_BYTES = orig

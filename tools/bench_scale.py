@@ -80,14 +80,15 @@ def f_passage_portable(spark, sf_dir):
 
 
 def f_pipeline_crawl(spark, sf_dir):
-    return Q.q_pipeline_crawl(spark, sf_dir).agg(
+    return Q.q_pipeline_crawl(spark, sf_dir, min_tasks=MIN_TASKS).agg(
         F.sum(F.length("text_out")).alias("chars"),
         F.sum("canon_id").alias("canon_sum"),
         F.count(F.lit(1)).alias("n"))
 
 
 def f_pipeline_webdataset(spark, sf_dir):
-    return Q.q_pipeline_webdataset(spark, sf_dir).agg(
+    return Q.q_pipeline_webdataset(spark, sf_dir,
+                                   min_tasks=MIN_TASKS).agg(
         # pmod before the sum: a raw sum of 64-bit fingerprints
         # overflows long under ANSI
         F.sum(F.pmod(F.col("dhash"), F.lit(10**9))).alias("dhash_sum"),
