@@ -1538,6 +1538,7 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     # above it. Measured series on both constants' notes.
     broadcast_probe = False
     semi_cap = False
+    n_in = None
     if partitioned and (do_prune or (max_bucket_size is not None
                                      and caps_stats is None)):
         # cached (pinned) — a cheap statistics job; bounds the
@@ -1585,8 +1586,20 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     # stance the engine's md5 exact-dedup fingerprints already take.
     kcol = F.xxhash64("band", "bucket")
     if max_bucket_size is not None:
-        counts_l = lb.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_n"))
+        # left-side cap engages only when it CAN trip: a batch doc
+        # contributes exactly one banded row per band (one min-hash
+        # bucket), so no batch bucket can hold more than n_in rows —
+        # when n_in ≤ cap the counts_l aggregation + anti-join are a
+        # dead exchange + broadcast stage pair (r12: the bench-cell
+        # capped probe spent ~0.15 s of its 1.5 s wall there).
+        # caps_stats keeps the aggregation unconditionally: the
+        # documented corpus-wide drop accounting needs the numbers
+        # even when they are provably zero.
+        if n_in is None and caps_stats is None:
+            n_in = ls.count()  # pinned (caller contract) — cheap
+        cap_l = caps_stats is not None or n_in > max_bucket_size
+        counts_l = (lb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")) if cap_l else None)
         if semi_cap:
             # bucket populations from the SAME scan the join reads
             # (pruned when pruning engaged — r11: engages without
@@ -1606,14 +1619,27 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
             # (limit+1) and applied as a literal exclusion — in the
             # common zero-over-cap case the final plan carries no
             # cap work at all; a pathological corpus falls back to
-            # the exact anti-join. When UNPRUNED the exclusion stays
-            # a lazy broadcast anti-join instead (see below).
+            # the exact anti-join.
+            # r12: the semi-joined TOUCHED POSTINGS are pinned and
+            # BOTH the cap counts and the candidate join's stream
+            # side derive from the one cached frame — previously the
+            # two consumers each scanned the banded table (the
+            # crossover-region tax: two full 71 MiB decodes at the
+            # 500k cell, "page cache" notwithstanding; the pruned
+            # regime's bounded collect likewise forced a second
+            # pruned scan). The pin is linear in the batch's touched
+            # postings — the same rows the cap count already had to
+            # read, cap-excluded AFTER counting by design — and the
+            # over-cap broadcast/collect materializes the cache
+            # before the candidate join streams it, so the banded
+            # parquet is read exactly once per probe.
             lbd_k = lb.select(kcol.alias("_k")).distinct()
-            rcounts = (
+            touched = _pin(
                 rb.withColumn("_k", kcol)
                 .join(F.broadcast(lbd_k), "_k", "left_semi")
-                .groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("_n")))
+                .select("id", "band", "bucket"))
+            rcounts = (touched.groupBy("band", "bucket")
+                       .agg(F.count(F.lit(1)).alias("_n")))
             over = rcounts.filter(F.col("_n") > max_bucket_size) \
                 .select("band", "bucket")
             if do_prune:
@@ -1626,23 +1652,22 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                             [(F.col("band") == r["band"])
                              & (F.col("bucket") == r["bucket"])
                              for r in over_rows])
-                        rb = rb.filter(~bad)
+                        rb = touched.filter(~bad)
+                    else:
+                        rb = touched
                 else:
-                    rb = rb.join(over, ["band", "bucket"],
-                                 "left_anti")
+                    rb = touched.join(over, ["band", "bucket"],
+                                      "left_anti")
             else:
-                # UNPRUNED (below the prune floor): the bounded
-                # collect above would force a second FULL banded
-                # scan as its own job — measured ~1.2 s of the
-                # mid-scale capped probe. Keep the exclusion lazy
-                # instead: a broadcast anti-join whose build side is
-                # the over-cap list (bounded by the batch's touched
-                # buckets — ≤ n_in·bands keys, and broadcast_probe
-                # already bounds that at 1M), evaluated inside the
-                # SAME action as the candidate join, where the
-                # second table read hits the page cache.
-                rb = rb.join(F.broadcast(over), ["band", "bucket"],
-                             "left_anti")
+                # UNPRUNED (below the prune floor): keep the
+                # exclusion lazy — a broadcast anti-join whose build
+                # side is the over-cap list (bounded by the batch's
+                # touched buckets — ≤ n_in·bands keys, and
+                # broadcast_probe already bounds that at 1M),
+                # evaluated inside the SAME action as the candidate
+                # join; the broadcast build fills the touched cache.
+                rb = touched.join(F.broadcast(over),
+                                  ["band", "bucket"], "left_anti")
         else:
             # counts rows are per-batch DELTAS (r8) — sum per bucket;
             # a legacy single-row-per-bucket table sums to itself
@@ -1661,9 +1686,11 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                 rcounts.filter(F.col("_n") > max_bucket_size)
                 .select("band", "bucket"), ["band", "bucket"],
                 "left_anti")
-        lb = lb.join(
-            counts_l.filter(F.col("_n") > max_bucket_size)
-            .select("band", "bucket"), ["band", "bucket"], "left_anti")
+        if cap_l:
+            lb = lb.join(
+                counts_l.filter(F.col("_n") > max_bucket_size)
+                .select("band", "bucket"), ["band", "bucket"],
+                "left_anti")
     if broadcast_probe:
         cand = (
             F.broadcast(lb.select(kcol.alias("_k"),

@@ -54,13 +54,28 @@ def ensure_min_tasks(df: DataFrame, min_tasks: int | None, *,
     ``min_tasks`` alone handed each task 1/32 of the corpus however
     big the corpus, and long Python tasks degrade superlinearly (see
     the constants above). The volume estimate is deliberately CHEAP
-    (a payload-pruned row count plus a 1024-row payload-size sample —
-    a full octet_length sum re-generates or re-reads the whole
-    payload column, which measured as a 30% planning tax on the sf10
-    tar flows): the fan-out scales to
-    ``max(min_tasks, est_bytes/128MB, rows/50k)``. Sampling bias is
-    acceptable here — the ceilings are order-of-magnitude task
-    sizing, not contracts, and the row ceiling is exact.
+    (a payload-pruned row count plus a ≤32-rows-PER-PARTITION
+    payload-size sample — a full octet_length sum re-generates or
+    re-reads the whole payload column, which measured as a 30%
+    planning tax on the sf10 tar flows): the fan-out scales to
+    ``max(min_tasks, est_bytes/128MB, rows/50k)``. The per-partition
+    sample (r12, ADVICE r11) decorrelates the estimate from file
+    layout — a ``limit(1024)`` took the head of ONE partition, so a
+    size-sorted landing directory biased avg bytes arbitrarily; each
+    task now contributes its first ≤32 rows and stops (lazy
+    iterator), so the job touches every partition but computes ~32
+    payloads each. Residual within-partition head bias is
+    acceptable — the ceilings are order-of-magnitude task sizing,
+    not contracts, and the row ceiling is exact.
+
+    With ``payload_col`` set this function is EAGER: it runs two
+    bounded driver actions (count + sample) at plan-construction
+    time, and an uncached upstream shuffle re-executes under each
+    (plus the real job). Callers that already applied a closed-form
+    pre-inflation fan-out (the planted-shard builders) know the
+    volume bound holds by construction and should pass
+    ``payload_col=None`` — that keeps this a pure width floor:
+    lazy, no actions, no shuffle when the input is already wide.
 
     The volume check runs EVEN when the input already has
     ``min_tasks`` partitions: "wide enough by file bytes" does not
@@ -86,9 +101,14 @@ def ensure_min_tasks(df: DataFrame, min_tasks: int | None, *,
         rows = df.count()  # payload column pruned — cheap
         avg_b = 0
         if rows:
-            avg_b = (df.limit(1024)
-                     .agg(F.avg(F.octet_length(F.col(payload_col)))
-                          .alias("_b")).first()["_b"]) or 0
+            from itertools import islice
+
+            lens = (df.select(F.octet_length(F.col(payload_col))
+                              .alias("_b"))
+                    .rdd.mapPartitions(lambda it: islice(it, 32))
+                    .collect())
+            vals = [r["_b"] for r in lens if r["_b"] is not None]
+            avg_b = sum(vals) / len(vals) if vals else 0
         target = max(min_tasks,
                      math.ceil(rows * avg_b / MAX_TASK_PAYLOAD_BYTES),
                      math.ceil(rows / MAX_TASK_PYTHON_ROWS))

@@ -4807,11 +4807,21 @@ def _ustar_header(name: str, size: int) -> bytes:
 _PLANTED_SHARD_BYTES = 3072
 
 
-def tar_planted_shards(docs):
+def tar_planted_shards(docs, *, min_tasks=None):
     """The planted 2-member ustar shard frame (constant headers via
     :func:`_ustar_header`, doc-dependent fixed-length contents). ONE
     builder shared by the `tar_shards` oracle and `bench_tar_shards`
     so the bench measures the oracle-locked payload.
+
+    EAGER: runs one metadata-cheap count over the id column at
+    construction time to size the closed-form fan-out — explain-only
+    callers pay that one bounded action (ADVICE r11, documented
+    trade: the count is what lets the downstream walk skip its own
+    estimate actions AND the post-inflation shuffle entirely).
+    ``min_tasks`` joins the closed-form width as a floor so sub-sf100
+    inputs (closed form < 32) don't fall back to the downstream
+    round-robin of the BUILT 3,072 B/row archives — the exact
+    exchange the pre-inflation fan-out exists to skip.
 
     Fan-out happens HERE, on the narrow pre-inflation frame (r11):
     the payload is built from ``doc_id`` alone, inflating 8 bytes/row
@@ -4832,8 +4842,8 @@ def tar_planted_shards(docs):
     )
 
     narrow = docs.select(F.col("doc_id").alias("src_id"))
-    target = math.ceil(
-        narrow.count() * _PLANTED_SHARD_BYTES / MAX_TASK_PAYLOAD_BYTES)
+    target = max(min_tasks or 1, math.ceil(
+        narrow.count() * _PLANTED_SHARD_BYTES / MAX_TASK_PAYLOAD_BYTES))
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
     c1 = F.lpad(F.col("src_id").cast("string"), 10, "0")
@@ -4932,9 +4942,15 @@ def q_pipeline_webdataset(spark, sf_dir, *, min_tasks=None):
         MAX_TASK_PAYLOAD_BYTES,
     )
 
+    # min_tasks joins the closed-form width HERE (ADVICE r11): below
+    # sf100 the closed form is < 32, and without the floor the
+    # downstream ensure_min_tasks(min_tasks) would round-robin the
+    # built archives — the exact shuffle this fan-out skips. EAGER:
+    # one metadata-cheap count sizes the fan-out (see
+    # tar_planted_shards).
     narrow = docs.select(F.col("doc_id"), txt.alias("_txt64"))
-    target = math.ceil(
-        narrow.count() * _PLANTED_SHARD_BYTES / MAX_TASK_PAYLOAD_BYTES)
+    target = max(min_tasks or 1, math.ceil(
+        narrow.count() * _PLANTED_SHARD_BYTES / MAX_TASK_PAYLOAD_BYTES))
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
     payload = F.concat(
@@ -4947,7 +4963,8 @@ def q_pipeline_webdataset(spark, sf_dir, *, min_tasks=None):
     shards = narrow.select(F.col("doc_id").alias("src_id"),
                            payload.alias("payload"))
     samples = TA.webdataset_samples(
-        TA.tar_members(shards, min_tasks=min_tasks))
+        TA.tar_members(shards, min_tasks=min_tasks,
+                       volume_bounded=True))
     media = samples.select(
         F.col("src_id").alias("media_id"),
         F.element_at(F.col("parts"), F.lit("png")).alias("payload"),

@@ -60,7 +60,8 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
                 max_member_bytes: int = MAX_MEMBER_BYTES,
                 max_members: int = MAX_MEMBERS,
                 max_archive_bytes: int = MAX_ARCHIVE_BYTES,
-                min_tasks: int | None = None) -> DataFrame:
+                min_tasks: int | None = None,
+                volume_bounded: bool = False) -> DataFrame:
     """Explode TAR archives into (src_id, idx, name, size, payload,
     err) member rows — ``idx`` is the member's archive ordinal;
     regular files only (directories/links carry no training
@@ -69,7 +70,13 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
     ``max_members`` quarantines the ARCHIVE (caps are contracts, not
     truncations — silent partial reads would look complete).
     ``min_tasks`` is the parallelism floor for a too-few-files
-    landing layout (see ``operators.skew.ensure_min_tasks``)."""
+    landing layout (see ``operators.skew.ensure_min_tasks``).
+    ``volume_bounded=True`` declares the caller ALREADY bounded
+    per-task payload volume (the planted-shard builders fan out the
+    narrow pre-inflation frame by closed form — ADVICE r11): the
+    floor then stays a pure lazy width check (no estimate actions,
+    which would re-execute the caller's fan-out shuffle once per
+    action on an uncached input)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["src_id", "idx", "name", "size", "payload", "err"]
@@ -124,7 +131,8 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
 
     return ensure_min_tasks(
         df.select(F.col(id_col).alias("src_id"), F.col(payload_col)),
-        min_tasks, payload_col=payload_col,
+        min_tasks,
+        payload_col=None if volume_bounded else payload_col,
     ).mapInPandas(run, schema=TAR_SCHEMA)
 
 

@@ -36,6 +36,17 @@ Env knobs (r11, the composed-probe evidence run):
 - ``SPARK_GRAFT_MINHASH_PRUNE``: ``1``/``0`` forces ``prune`` in the
   gate's ``minhash_kwargs`` (the r11 forwarding knob); unset = the
   auto floor heuristic.
+- ``SPARK_GRAFT_CURATE_SEED_DOCS`` (r12, VERDICT r11 next #2): seed
+  the near-dup gate's index with a FABRICATED n-doc reference corpus
+  before batch 1 (the bench_probe_scale fabrication trick: synthetic
+  buckets live in ``[0, n)`` and synthetic ids far outside doc-id
+  space, so gate DECISIONS are untouched at 2^-64 collision odds —
+  only the index SIZE the auto-prune heuristic sees changes). With
+  ``8000000`` the banded table starts ≈ 7× past the 160 MiB floor:
+  the one composed configuration a 100 TB deployment actually runs —
+  AUTO-engaged pruning inside the gate under ``prune=None`` — then
+  executes end-to-end, and ``minhash_probe.prune_engaged`` machine-
+  checks it against the executed plan.
 
 Prints one JSON line per config:
 ``{"config", "sf_dir", "docs", "batches", "wall_s", "docs_per_s",
@@ -85,6 +96,40 @@ MINHASH_KW = dict(num_hashes=64, bands=16, shingle_n=3)
 _prune_env = os.environ.get("SPARK_GRAFT_MINHASH_PRUNE")
 if _prune_env is not None:
     MINHASH_KW["prune"] = _prune_env == "1"
+
+SEED_DOCS = int(os.environ.get("SPARK_GRAFT_CURATE_SEED_DOCS", "0"))
+
+
+def seed_index(spark, prefix: str, n_docs: int) -> float:
+    """Fabricate an ``n_docs``-reference index at the gate's prefix
+    (see the env-knob doc above). Synthetic ids are offset by 2^40 so
+    the sigs verify join-back can never pick up a synthetic sig row
+    for a REAL candidate id; synthetic buckets are ``pmod(xxhash64,
+    n_docs)`` — disjoint from real xxhash64 bucket values except at
+    2^-64 rates, so no synthetic row ever becomes a candidate.
+    Returns the fabrication wall (excluded from gate timings)."""
+    from remote_storage_adapter_spark.operators.dedup import (
+        write_minhash_index_tables,
+    )
+
+    bands, nh = MINHASH_KW["bands"], MINHASH_KW["num_hashes"]
+    off = 1 << 40
+    t0 = time.time()
+    banded = (
+        spark.range(n_docs * bands)
+        .select(((F.col("id") / bands).cast("long") + off).alias("id"),
+                (F.col("id") % bands).cast("int").alias("band"))
+        .withColumn("bucket", F.pmod(F.xxhash64("id", "band"),
+                                     F.lit(n_docs))))
+    sigs = (
+        spark.range(n_docs)
+        .select((F.col("id") + off).alias("id"),
+                F.expr(f"transform(sequence(0, {nh - 1}), "
+                       f"i -> xxhash64(id, i))").alias("sig")))
+    write_minhash_index_tables(banded, sigs, prefix, num_hashes=nh,
+                               bands=bands,
+                               shingle_n=MINHASH_KW["shingle_n"])
+    return time.time() - t0
 
 
 def probe_evidence(spark, docs, prefix: str) -> dict:
@@ -138,6 +183,10 @@ def run_config(spark, docs, cfg: str, base: str, n_batches: int):
             spark, *[f"{prefix}_{t}"
                      for t in ("banded", "sigs", "counts", "meta",
                                "applied")])
+        if SEED_DOCS:
+            s = seed_index(spark, prefix, SEED_DOCS)
+            print(f"# seeded {SEED_DOCS}-doc index at {prefix} "
+                  f"in {s:.1f}s (untimed)", file=sys.stderr)
         kwargs.update(minhash_prefix=prefix, near_dup_threshold=0.2,
                       minhash_kwargs=MINHASH_KW)
     if level >= 5:
@@ -187,6 +236,8 @@ def main():
             "histogram": dict(sorted(hist.items())),
         }
         if CONFIGS.index(cfg) >= 4:  # near-dup gate in play
+            if SEED_DOCS:
+                line["seed_docs"] = SEED_DOCS
             line["minhash_probe"] = probe_evidence(
                 spark, docs, "bench_curate_mh")
         print(json.dumps(line))

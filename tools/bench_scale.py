@@ -97,8 +97,9 @@ def f_pipeline_webdataset(spark, sf_dir):
 
 def f_tar_shards(spark, sf_dir):
     mem = TA.tar_members(
-        Q.tar_planted_shards(load_table(spark, sf_dir, "documents")),
-        min_tasks=MIN_TASKS)
+        Q.tar_planted_shards(load_table(spark, sf_dir, "documents"),
+                             min_tasks=MIN_TASKS),
+        min_tasks=MIN_TASKS, volume_bounded=True)
     part_bytes = F.expr(
         "aggregate(map_values(parts), 0L, (a, x) -> a + octet_length(x))")
     return TA.webdataset_samples(mem).agg(
@@ -114,8 +115,9 @@ def f_tar_walk(spark, sf_dir):
     superlinear tar_shards splits into walk-side (Arrow/Python
     memory) vs grouping-side (payload shuffle) causes."""
     mem = TA.tar_members(
-        Q.tar_planted_shards(load_table(spark, sf_dir, "documents")),
-        min_tasks=MIN_TASKS)
+        Q.tar_planted_shards(load_table(spark, sf_dir, "documents"),
+                             min_tasks=MIN_TASKS),
+        min_tasks=MIN_TASKS, volume_bounded=True)
     return mem.agg(
         F.sum("size").alias("bytes"),
         F.count(F.lit(1)).alias("n_members"),
