@@ -485,7 +485,7 @@ def bench_tar_shards(spark, sf_dir):
     # would measure two walks, not one
     part_bytes = F.expr(
         "aggregate(map_values(parts), 0L, (a, x) -> a + octet_length(x))")
-    return TA.webdataset_samples(mem).agg(
+    return TA.webdataset_samples(mem, archive_local=True).agg(
         F.sum(F.size("parts")).alias("n_parts"),
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(part_bytes).alias("bytes"))

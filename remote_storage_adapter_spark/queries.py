@@ -4875,7 +4875,7 @@ def q_tar_shards(spark, sf_dir):
     member_rows = mem.select(
         "src_id", F.lit("member").alias("leg"), "idx", "name",
         "size", F.md5("payload").alias("payload_md5"))
-    samples = TA.webdataset_samples(mem)
+    samples = TA.webdataset_samples(mem, archive_local=True)
     sample_rows = samples.select(
         "src_id", F.lit("sample").alias("leg"),
         F.lit(None).cast("int").alias("idx"),
@@ -4964,7 +4964,7 @@ def q_pipeline_webdataset(spark, sf_dir, *, min_tasks=None):
                            payload.alias("payload"))
     samples = TA.webdataset_samples(
         TA.tar_members(shards, min_tasks=min_tasks,
-                       volume_bounded=True))
+                       volume_bounded=True), archive_local=True)
     media = samples.select(
         F.col("src_id").alias("media_id"),
         F.element_at(F.col("parts"), F.lit("png")).alias("payload"),

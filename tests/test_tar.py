@@ -127,6 +127,54 @@ def test_webdataset_sample_grouping(spark):
     }
 
 
+def test_webdataset_archive_local_equals_default(spark):
+    """The r12 archive-local grouping (no payload shuffle) must
+    produce byte-identical samples to the repartition+agg path on the
+    tricky-name shard, across MULTIPLE archives in one partition and
+    archives split across Arrow batches, and its plan must hold ZERO
+    Exchanges."""
+    shard = [
+        ("a/00001.jpg", b"J1"), ("a/00001.txt", b"T1"),
+        ("a/00001.seg.png", b"S1"),
+        ("b/00001.jpg", b"J2"),
+        ("a.b/c.txt", b"DOT"),
+        ("LICENSE", b"L"),
+        (".hidden", b"H"),
+        ("dup.txt", b"old"), ("dup.txt", b"new"),
+    ]
+    shard2 = [("a/00001.jpg", b"OTHER"), ("x.txt", b"X2")]
+    # one partition holding BOTH archives: the flush-on-src_id-change
+    # boundary inside a task is exercised, not just task boundaries
+    df = _df(spark, [_mktar(shard), _mktar(shard2)]).coalesce(1)
+    members = TA.tar_members(df)
+
+    def canon(rows):
+        return sorted(
+            (r["src_id"], r["key"],
+             tuple(sorted((e, bytes(v))
+                          for e, v in dict(r["parts"]).items())))
+            for r in rows)
+
+    base = canon(TA.webdataset_samples(members).collect())
+    local_df = TA.webdataset_samples(members, archive_local=True)
+    assert canon(local_df.collect()) == base
+    # map key ORDER also matches (sorted-by-ext on both paths)
+    order_base = sorted(
+        (r["src_id"], r["key"], list(dict(r["parts"]).keys()))
+        for r in TA.webdataset_samples(members).collect())
+    order_local = sorted(
+        (r["src_id"], r["key"], list(dict(r["parts"]).keys()))
+        for r in local_df.collect())
+    assert order_local == order_base
+    plan = local_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # a quarantined archive yields no samples on either path
+    bad = _df(spark, [b"not a tar at all"])
+    badm = TA.tar_members(bad)
+    assert TA.webdataset_samples(badm, archive_local=True).count() == 0
+    assert TA.webdataset_samples(badm).count() == 0
+
+
 def test_tar_archive_byte_and_entry_caps(spark):
     """The TOTAL decompressed-bytes cap trips even when every member
     is individually under the per-member cap (the gzip-bomb shape),
