@@ -129,6 +129,17 @@ def seed_index(spark, prefix: str, n_docs: int) -> float:
     write_minhash_index_tables(banded, sigs, prefix, num_hashes=nh,
                                bands=bands,
                                shingle_n=MINHASH_KW["shingle_n"])
+    # mark the seed applied (batch_id -1, no real batch collides):
+    # the maintainer's exactly-once protocol treats an index WITHOUT
+    # a ledger as a crashed bootstrap and rebuilds in overwrite mode
+    # — which would wipe the seed on batch 0 (observed in the r12
+    # smoke: banded_mib 0.7 after the ladder). With the ledger row
+    # the first real batch takes the append path, exactly the
+    # standing-deployment posture this evidence cell represents.
+    spark.createDataFrame(
+        [(-1, t) for t in ("banded", "sigs", "counts")],
+        "batch_id long, tbl string",
+    ).coalesce(1).write.mode("append").saveAsTable(f"{prefix}_applied")
     return time.time() - t0
 
 
