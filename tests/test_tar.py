@@ -310,6 +310,30 @@ def test_ensure_min_tasks_volume_aware(spark):
     from remote_storage_adapter_spark.operators import skew as SK
     total = 300 << 20  # 300 MB
     assert max(2, math.ceil(total / SK.MAX_TASK_PAYLOAD_BYTES)) == 3
+    # r12 (ADVICE r11): the payload-size sample is SPREAD across
+    # partitions, not limit(1024) off one partition's head — a
+    # size-sorted layout whose first partition holds only tiny
+    # payloads must not collapse the byte estimate. Two partitions:
+    # 40k × 8 B then 40k × ~4 KB (avg ~2 KB ⇒ ~160 MB total ⇒ byte
+    # target 2); a head-of-first-partition sample would see 8 B/row
+    # (~0.6 MB total) and fall back to the rows target of 2 as well,
+    # so ALSO check the estimate itself via a layout where only the
+    # spread sample pushes the target past the rows bound: 3 × 50k
+    # rows → rows target 3, but spread-sampled bytes ≈ 2.7 KB/row ×
+    # 150k ≈ 400 MB → byte target 4.
+    big = F.encode(F.rpad(F.col("id").cast("string"), 4096, "x"),
+                   "UTF-8")
+    small = F.encode(F.col("id").cast("string"), "UTF-8")
+    skewed = (spark.range(3 * MAX_TASK_PYTHON_ROWS)
+              .select(F.col("id").alias("src_id"),
+                      F.when(F.col("id") < MAX_TASK_PYTHON_ROWS,
+                             small).otherwise(big).alias("payload"))
+              .repartitionByRange(3, "src_id"))
+    out3 = ensure_min_tasks(skewed, 2, payload_col="payload")
+    # head-of-one-partition sampling would see the 8 B rows only and
+    # return the rows target (3); the spread sample must see the 4 KB
+    # partitions and widen further
+    assert out3.rdd.getNumPartitions() > 3
 
 
 def test_planted_shard_builders_pre_inflation_fanout(spark):
