@@ -643,6 +643,18 @@ def _machine_state():
             int(mem["Cached"].strip().split()[0]) / 1024 ** 2, 1)
     except Exception:
         pass
+    # r12: a deterministic single-core reference loop (~0.5 s). The
+    # r12 session measured code-identical cells uniformly 25-35%
+    # above r11's artifacts on a QUIET box (load1 0.12, steal 0.15%
+    # under full load) — load averages can't see a slower host/VM
+    # day, so the artifact carries its own CPU yardstick: compare
+    # cpu_ref_s across rounds before reading anything into a
+    # round-over-round total delta.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    state["cpu_ref_s"] = round(time.perf_counter() - t0, 3)
     return state
 
 
@@ -668,6 +680,20 @@ def main():
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+    # r12 second environment canary: per-JOB scheduling latency. The
+    # r12 session saw short rows inflate ~1.3-2.2× vs r11 on a quiet,
+    # zero-steal box while long scans stayed ~flat — the signature of
+    # a higher per-job constant (129 ms/1-task job measured vs the
+    # tens-of-ms normal), which multiplies into every stage-rich
+    # short row. Recorded so a cross-round total delta can be
+    # attributed before anyone chases plan regressions.
+    _job_ts = []
+    for _ in range(10):
+        _t0 = time.perf_counter()
+        spark.range(1).count()
+        _job_ts.append(time.perf_counter() - _t0)
+    env_start["job_ref_ms"] = round(
+        1000 * sorted(_job_ts)[len(_job_ts) // 2], 1)
     # build the materialized ANN indexes untimed: the indexed bench
     # rows measure the PROBE (the recurring at-scale operation), not
     # the one-time build
@@ -874,6 +900,8 @@ def main():
             "load1_end": env_end.get("load1"),
             "cached_gb_start": env_start.get("cached_gb"),
             "cached_gb_end": env_end.get("cached_gb"),
+            "cpu_ref_s": env_start.get("cpu_ref_s"),
+            "job_ref_ms": env_start.get("job_ref_ms"),
             "reps_min": min(rep_counts.values()),
             "reps_max": max(rep_counts.values()),
         },
