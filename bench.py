@@ -864,12 +864,15 @@ def main():
             with open(out_path) as fh:
                 prev = json.load(fh)
             if (prev.get("sf") == sf_val
+                    and set(prev.get("queries", {})) == set(timings)
                     and prev.get("env_start", {}).get("load1",
                                                       99.0) <= 2.0):
                 quiet_ref = {"value": prev["value"],
                              "load1_start":
                                  prev["env_start"].get("load1")}
-            elif prev.get("sf") == sf_val and "quiet_ref" in prev:
+            elif (prev.get("sf") == sf_val
+                    and set(prev.get("queries", {})) == set(timings)
+                    and "quiet_ref" in prev):
                 # prev was busy too — inherit ITS quiet reference so
                 # a run of busy sessions never loses the last quiet
                 # total
