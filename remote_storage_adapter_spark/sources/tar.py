@@ -197,6 +197,10 @@ def webdataset_samples(members: DataFrame, *,
               .select("src_id", key.alias("key"), ext.alias("ext"),
                       "idx", "payload"))
     if archive_local:
+        # idx is not shipped to Python: mapInPandas preserves the
+        # walk's partition-local row order, so "last row wins" IS the
+        # max-idx semantics — one fewer column over Arrow
+        parsed = parsed.drop("idx")
         def grp(batches: Iterator[pd.DataFrame]
                 ) -> Iterator[pd.DataFrame]:
             cols = ["src_id", "key", "entries"]

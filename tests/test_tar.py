@@ -175,6 +175,49 @@ def test_webdataset_archive_local_equals_default(spark):
     assert TA.webdataset_samples(badm).count() == 0
 
 
+def test_webdataset_archive_local_name_fuzz(spark):
+    """Parse-parity fuzz for the archive-local path: the key/ext
+    split happens JVM-side in BOTH paths, but the local path's
+    grouping/dedup/sort is reimplemented in Python — lock it against
+    a seeded corpus of adversarial member names (multi-dot, dotted
+    dirs, dot-leading, unicode, spaces, duplicates, extension-less,
+    deep paths) across many archives in few partitions."""
+    import random
+
+    rng = random.Random(48271)
+    frags = ["a", "b.c", ".hidden", "x y", "ünïcode", "UPPER", "0",
+             "tar", "..", "d.e.f"]
+    exts = ["", ".jpg", ".txt", ".seg.png", ".a.b.c", ".J"]
+
+    def name():
+        depth = rng.randrange(3)
+        dirs = "".join(rng.choice(frags) + "/" for _ in range(depth))
+        return dirs + rng.choice(frags) + rng.choice(exts)
+
+    archives = []
+    for i in range(40):
+        members = [(name(), f"payload-{i}-{j}".encode())
+                   for j in range(rng.randrange(1, 7))]
+        if rng.random() < 0.5 and members:  # force a duplicate name
+            members.append((members[0][0], f"dup-{i}".encode()))
+        archives.append(_mktar(members))
+    df = _df(spark, archives).repartition(3)
+    members = TA.tar_members(df)
+
+    def canon(rows):
+        return sorted(
+            (r["src_id"], r["key"],
+             tuple(sorted((e, bytes(v))
+                          for e, v in dict(r["parts"]).items())))
+            for r in rows)
+
+    got = canon(TA.webdataset_samples(
+        members, archive_local=True).collect())
+    want = canon(TA.webdataset_samples(members).collect())
+    assert got == want
+    assert got  # the fuzz corpus produced real samples
+
+
 def test_tar_archive_byte_and_entry_caps(spark):
     """The TOTAL decompressed-bytes cap trips even when every member
     is individually under the per-member cap (the gzip-bomb shape),
@@ -321,7 +364,13 @@ def test_ensure_min_tasks_volume_aware(spark):
     # spread sample pushes the target past the rows bound: 3 × 50k
     # rows → rows target 3, but spread-sampled bytes ≈ 2.7 KB/row ×
     # 150k ≈ 400 MB → byte target 4.
-    big = F.encode(F.rpad(F.col("id").cast("string"), 4096, "x"),
+    # 12 KiB big rows: range-partition boundaries are sample-estimated
+    # and shuffle-fetch order is nondeterministic, so partition 2's
+    # head MAY be small rows — but partition 3 (ids ≥ 2/3·n) is big
+    # by construction, and its 32 sampled rows alone push the byte
+    # estimate past the rows bound: worst case avg ≥ 32×12,288/96 =
+    # 4,096 B ⇒ ~615 MB ⇒ byte target 5 > rows target 3.
+    big = F.encode(F.rpad(F.col("id").cast("string"), 12288, "x"),
                    "UTF-8")
     small = F.encode(F.col("id").cast("string"), "UTF-8")
     skewed = (spark.range(3 * MAX_TASK_PYTHON_ROWS)
@@ -331,7 +380,7 @@ def test_ensure_min_tasks_volume_aware(spark):
               .repartitionByRange(3, "src_id"))
     out3 = ensure_min_tasks(skewed, 2, payload_col="payload")
     # head-of-one-partition sampling would see the 8 B rows only and
-    # return the rows target (3); the spread sample must see the 4 KB
+    # return the rows target (3); the spread sample must see the big
     # partitions and widen further
     assert out3.rdd.getNumPartitions() > 3
 
