@@ -658,6 +658,80 @@ def _machine_state():
     return state
 
 
+def _pick_quiet_ref(cands, now=None):
+    """Pick the defensible quiet reference (VERDICT r12 wrong #3).
+
+    Fastest of the recent quiet runs at comparable page cache:
+    candidates older than 48 h are dropped (they measured different
+    code — the query-set equality check can't see within-set plan
+    changes), then candidates whose recorded cache is >30% colder
+    than the warmest candidate's are dropped (cold cache inflates
+    scan rows: text_shard_pack read 0.80 s warm vs 3.83 s on the
+    5 GB-colder r12 outlier) unless nothing warm remains, then the
+    smallest total wins. Candidates missing ts/cached_gb (older
+    artifact versions) are kept — unknown beats discarding the only
+    reference."""
+    cands = [c for c in cands if isinstance(c, dict)
+             and isinstance(c.get("value"), (int, float))]
+    if now is not None:
+        cands = [c for c in cands
+                 if not isinstance(c.get("ts"), (int, float))
+                 or now - c["ts"] <= 48 * 3600]
+    if not cands:
+        return None
+    caches = [c["cached_gb"] for c in cands
+              if isinstance(c.get("cached_gb"), (int, float))]
+    if caches:
+        warm = max(caches)
+        ok = [c for c in cands
+              if not isinstance(c.get("cached_gb"), (int, float))
+              or c["cached_gb"] >= 0.7 * warm]
+        cands = ok or cands
+    return min(cands, key=lambda c: c["value"])
+
+
+def _emit_final_line(line, spark):
+    """Print the driver-parsed JSON line as the LAST bytes this
+    process emits (VERDICT r12 wrong #1 / next #1).
+
+    BENCH_r12.json was ``parsed: null``: the line printed fine, but
+    the subsequent ``spark.stop()`` unleashed Python-daemon
+    BrokenPipeError tracebacks on stderr that exceeded the driver's
+    2,000-char combined tail capture and scrolled the line out. So:
+    stop Spark FIRST with OS-level fd 2 parked on /dev/null (the
+    daemon workers write tracebacks straight to the inherited fd —
+    a sys.stderr swap can't intercept them), give straggler daemon
+    threads a beat to finish spewing into the null sink, then print.
+    fd 2 stays on /dev/null afterwards so any late async spew still
+    can't land after the line. Belt-and-braces: a SIGTERM arriving
+    during the stop still ships the line before exit."""
+    import signal
+
+    def _sigterm(_sig, _frm):
+        try:
+            os.write(1, (line + "\n").encode())
+        finally:
+            os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except (ValueError, OSError):
+        pass  # non-main thread / exotic platform: lose only the belt
+    sys.stdout.flush()
+    sys.stderr.flush()
+    try:
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, 2)
+    except OSError:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(1.0)  # drain window for async daemon-shutdown spew
+    print(line, flush=True)
+
+
 def main():
     # capture BEFORE the session spins up: a bench started on a busy
     # machine (pytest, sf1 generation, another Spark) is the one
@@ -845,6 +919,7 @@ def main():
         # late (where ambient contention lands)
         "order_seed": order_seed,
         "order": bench_order,
+        "ts": round(time.time(), 1),
         "sf": sf_val,
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -858,27 +933,44 @@ def main():
     # when that run started under the threshold). Read BEFORE the
     # overwrite below.
     busy_start = env_start.get("load1", 0.0) > 2.0
-    quiet_ref = None
-    if busy_start:
-        try:
-            with open(out_path) as fh:
-                prev = json.load(fh)
-            if (prev.get("sf") == sf_val
-                    and set(prev.get("queries", {})) == set(timings)
-                    and prev.get("env_start", {}).get("load1",
-                                                      99.0) <= 2.0):
-                quiet_ref = {"value": prev["value"],
-                             "load1_start":
-                                 prev["env_start"].get("load1")}
-            elif (prev.get("sf") == sf_val
-                    and set(prev.get("queries", {})) == set(timings)
-                    and "quiet_ref" in prev):
-                # prev was busy too — inherit ITS quiet reference so
-                # a run of busy sessions never loses the last quiet
-                # total
-                quiet_ref = prev["quiet_ref"]
-        except Exception:
-            pass
+    # r13 (VERDICT r12 wrong #3): quiet_ref used to inherit the most
+    # RECENT quiet run, which in r12 was a 5 GB-colder-cache outlier
+    # (65.5 s) while the same round's warm quiet run (51.0 s) was
+    # available — a reader overstated the quiet total by ~28%. Now
+    # every run (quiet or busy) maintains the best recent quiet
+    # reference: candidates are this run (if quiet), the previous
+    # run (if quiet), and the previous run's carried quiet_ref;
+    # candidates >48 h old or with a page cache >30% colder than the
+    # warmest candidate's are rejected, then the FASTEST wins. The
+    # chosen ref carries cached_gb/job_ref_ms/ts so the next reader
+    # can judge its comparability.
+    cands = []
+    if not busy_start:
+        cands.append({"value": total,
+                      "load1_start": env_start.get("load1"),
+                      "cached_gb": env_start.get("cached_gb"),
+                      "job_ref_ms": env_start.get("job_ref_ms"),
+                      "ts": full["ts"]})
+    try:
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if (prev.get("sf") == sf_val
+                and set(prev.get("queries", {})) == set(timings)):
+            pes = prev.get("env_start", {})
+            if pes.get("load1", 99.0) <= 2.0:
+                cands.append({"value": prev["value"],
+                              "load1_start": pes.get("load1"),
+                              "cached_gb": pes.get("cached_gb"),
+                              "job_ref_ms": pes.get("job_ref_ms"),
+                              "ts": prev.get("ts")})
+            if isinstance(prev.get("quiet_ref"), dict):
+                # a busy prev carries its own quiet reference — keep
+                # it in the pool so a run of busy sessions never
+                # loses the last quiet total
+                cands.append(prev["quiet_ref"])
+    except Exception:
+        pass
+    quiet_ref = _pick_quiet_ref(cands, now=full["ts"])
     full["busy_start"] = busy_start
     if quiet_ref is not None:
         full["quiet_ref"] = quiet_ref
@@ -924,8 +1016,7 @@ def main():
             if quiet_ref is not None:
                 fallback["quiet_ref"] = quiet_ref
         line = json.dumps(fallback, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    _emit_final_line(line, spark)
 
 
 if __name__ == "__main__":

@@ -1413,7 +1413,8 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
                              sigs: DataFrame | None = None,
                              prune: bool | None = None,
                              probe_push_limit: int = 64,
-                             id_push_limit: int = 1000
+                             id_push_limit: int = 1000,
+                             n_in: int | None = None
                              ) -> DataFrame:
     """Cross-corpus fuzzy join of an incoming batch against a
     :func:`minhash_index` — identical pair semantics to
@@ -1486,7 +1487,25 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     conservative"), with the next counts repair/compaction
     converging the table to the same answer. Decide-once replay is
     unaffected either way: committed decisions are read back, never
-    recomputed."""
+    recomputed.
+
+    ``n_in``: the EXACT row count of ``incoming`` (post-dedup on
+    ``id_col``) when the caller already tracks it — the curate gate
+    and streaming maintainer know their batch sizes, and passing it
+    saves one driver count action per probe (VERDICT r12 next #6).
+    It feeds plan-shape decisions only made safe by exactness: the
+    broadcast-probe threshold, the push-down path, and the left-cap
+    skip (provably dead only when ``n_in`` really bounds every batch
+    bucket). When in doubt pass None — the pinned count is cheap.
+
+    ``sigs``: a caller-supplied signature frame MUST be persisted
+    (the gate pins and materializes before passing — that is the
+    contract, not a hint): this function counts it, bands it, and
+    joins it back, and an unpersisted frame re-runs the shingle+
+    minhash computation once per consumer — on an unpartitioned
+    index with a cap and no ``caps_stats`` the fallback count alone
+    re-signs the whole batch (ADVICE r12). Pass ``n_in`` to remove
+    the count's exposure entirely."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     meta = read_minhash_meta(spark, table_prefix)
@@ -1538,13 +1557,14 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
     # above it. Measured series on both constants' notes.
     broadcast_probe = False
     semi_cap = False
-    n_in = None
     if partitioned and (do_prune or (max_bucket_size is not None
                                      and caps_stats is None)):
-        # cached (pinned) — a cheap statistics job; bounds the
-        # batch-side broadcast of the candidate join and the
-        # semi-join cap path's build sides
-        n_in = ls.count()
+        if n_in is None:
+            # cached (pinned) — a cheap statistics job; bounds the
+            # batch-side broadcast of the candidate join and the
+            # semi-join cap path's build sides. Skipped when the
+            # caller supplied the batch size (r13, VERDICT r12 #6).
+            n_in = ls.count()
         small_batch = n_in * bands <= 1_000_000
         if do_prune:
             broadcast_probe = small_batch

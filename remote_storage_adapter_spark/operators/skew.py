@@ -117,6 +117,31 @@ def ensure_min_tasks(df: DataFrame, min_tasks: int | None, *,
     return df.repartition(target)
 
 
+def plan_bytes_tasks(df: DataFrame, *, bytes_per_task: int,
+                     max_tasks: int = 4096) -> int | None:
+    """Task-width target from Catalyst's optimized-plan size
+    estimate — ZERO driver actions, unlike the sampling estimate in
+    :func:`ensure_min_tasks` (two bounded jobs), so it can gate a
+    fan-out even on sub-second small-scale calls where an extra job
+    costs more than it saves (the r12 host's per-job constant ran
+    119-173 ms). The estimate is file-bytes-grade (a parquet scan's
+    ``sizeInBytes`` is compressed file size scaled by column
+    pruning), good for order-of-magnitude task sizing only. Returns
+    None when the plan carries no usable estimate (in-memory/RDD
+    relations report the ``defaultSizeInBytes`` sentinel — those
+    inputs are test-sized; a 100 TB input is always file-backed)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # non-JVM frame / connect — size unknowable
+        return None
+    if est <= 0 or est >= (1 << 50):  # 1 PiB: unknown-size sentinel
+        return None
+    import math
+
+    return min(max_tasks, math.ceil(est / bytes_per_task))
+
+
 def salted(df: DataFrame, n_salts: int = 32,
            salt_col: str = "_salt") -> DataFrame:
     """Add a uniform deterministic salt derived from the row content.

@@ -1094,9 +1094,31 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
         raise ValueError(f"window must be >= 2 tokens, got {window}")
     if hash_mode not in ("portable", "fast"):
         raise ValueError(f"hash_mode must be portable|fast, got {hash_mode}")
-    base = docs.select(F.col(id_col).alias("id"),
-                       nonempty_tokens(F.col(text_col)).alias("toks"))
+    narrow = docs.select(F.col(id_col).alias("id"),
+                         F.col(text_col).alias("_t"))
+    base = narrow.select("id",
+                         nonempty_tokens(F.col("_t")).alias("toks"))
     k = int(window)
+    # r13 (VERDICT r12 next #5): bound WINDOWS PER TASK before the
+    # explode. At sf100 each of 32 tasks held ~33M window rows and
+    # the shuffle sorter's single pointer-array allocation went G1-
+    # humongous (GCLocker retry in a tail rep). The fan-out target
+    # comes from Catalyst's plan-size estimate — zero extra driver
+    # actions, so the sub-second small-scale rows pay nothing (the
+    # estimate is None/tiny there and the floor no-ops); the
+    # repartition moves the narrow (id, text) frame BEFORE
+    # tokenization, the same pre-inflation discipline as the tar
+    # fan-out (BENCH_SF10 r11). ~16 MB of input text per task ≈
+    # 2-3M windows ≈ a few tens of MB of sorter state.
+    from remote_storage_adapter_spark.operators.skew import (
+        plan_bytes_tasks,
+    )
+
+    tgt = plan_bytes_tasks(narrow, bytes_per_task=16 << 20)
+    wsrc = base
+    if tgt is not None and tgt > narrow.rdd.getNumPartitions():
+        wsrc = narrow.repartition(tgt).select(
+            "id", nonempty_tokens(F.col("_t")).alias("toks"))
 
     # map-side window hashes: pos is 1-based, windows [pos, pos+k-1];
     # guard the short-doc case — sequence(1, 0) DESCENDS (the lm2
@@ -1126,7 +1148,7 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        base = base.withColumn(
+        wsrc = wsrc.withColumn(
             "th", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
 
         def _buz_fn(th_col):
@@ -1155,7 +1177,7 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
         # plain-function form: `from __future__ import annotations`
         # stringifies type hints, which pandas_udf can't resolve
         _buz = pandas_udf(_buz_fn, "array<bigint>")
-        wins = (base.withColumn("whs", _buz("th"))
+        wins = (wsrc.withColumn("whs", _buz("th"))
                 .select("id", F.posexplode("whs").alias("p0", "wh"))
                 .select("id", (F.col("p0") + 1).alias("pos"), "wh"))
     else:
@@ -1163,7 +1185,7 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
             src, whash = "toks", (lambda p: portable_hash64(
                 F.array_join(F.slice("toks", p, k), " ")))
         else:
-            base = base.withColumn(
+            wsrc = wsrc.withColumn(
                 "th", F.transform(F.col("toks"),
                                   lambda t: F.xxhash64(t)))
             # fold combiner is xxhash64(acc, h): overflow-free under
@@ -1179,7 +1201,7 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
                 lambda p: F.struct(p.alias("pos"), whash(p).alias("wh")),
             ),
         ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
-        wins = base.select("id", F.explode(win_arr).alias("w")) \
+        wins = wsrc.select("id", F.explode(win_arr).alias("w")) \
             .select("id", F.col("w.pos").alias("pos"),
                     F.col("w.wh").alias("wh"))
     # ONE explicit exchange on wh serves both consumers below: the
@@ -1188,8 +1210,16 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
     # hash build — the expensive stage — runs ONCE instead of once
     # per branch (measured 14 s → 5 s for the decision core at sf1;
     # without this the two branches' exchanges differ (partial-agg
-    # vs raw) and nothing reuses)
-    wins = wins.repartition("wh")
+    # vs raw) and nothing reuses). Reduce width follows the same
+    # windows-per-task bound as the map side (r13): at sf100 the
+    # default 32 shuffle partitions put ~31M window rows in one
+    # reduce task — the other humongous-sorter site.
+    shuf = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200") or 200)
+    if tgt is not None and tgt > shuf:
+        wins = wins.repartition(tgt, "wh")
+    else:
+        wins = wins.repartition("wh")
     firsts = wins.groupBy("wh").agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"))
     flagged = wins.join(firsts, "wh").select(

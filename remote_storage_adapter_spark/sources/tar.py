@@ -177,12 +177,15 @@ def webdataset_samples(members: DataFrame, *,
     path's (src_id, key) repartition moved 15.4 GB of member
     payloads on one box; this path moves zero. Requires what
     ``tar_members`` guarantees: each input row is a distinct archive
-    and an archive's member rows are emitted contiguously within its
-    task. For member frames WITHOUT that shape (unions, re-sorted or
-    re-partitioned member tables), keep the default — local grouping
-    over a frame where one ``src_id``'s rows are split across tasks
-    or interleaved would emit duplicate sample rows instead of
-    merging them."""
+    with a non-null id and an archive's member rows are emitted
+    contiguously within its task. For member frames WITHOUT that
+    shape (unions, re-sorted or re-partitioned member tables), keep
+    the default — a src_id whose rows are interleaved with another
+    archive's within a task RAISES (per-task tripwire, r13; silent
+    duplicate sample rows were the r12 failure mode), and null
+    src_id rows are excluded up front (the archive is the grouping
+    unit; see inline note). A src_id split across TASKS is beyond
+    the tripwire's sight — that stays on the caller's contract."""
     name = F.col("name")
     dirp = F.regexp_extract(name, r"^(.*/)", 1)   # '' when none
     base = F.regexp_replace(name, r"^.*/", "")
@@ -199,40 +202,91 @@ def webdataset_samples(members: DataFrame, *,
     if archive_local:
         # idx is not shipped to Python: mapInPandas preserves the
         # walk's partition-local row order, so "last row wins" IS the
-        # max-idx semantics — one fewer column over Arrow
-        parsed = parsed.drop("idx")
+        # max-idx semantics — one fewer column over Arrow.
+        # src_id nulls are excluded by contract (ADVICE r12): the
+        # archive IS the grouping unit here, so a member row without
+        # an archive identity has no well-defined sample group — and
+        # a pandas nullable long arrives as float NaN, which would
+        # fail the whole task inside int(). (The default path keeps
+        # null src_id as a group key per SQL GROUP BY semantics; a
+        # caller with null archive ids shouldn't be on this path —
+        # its tar_members contract already requires one row per
+        # distinct archive.)
+        parsed = (parsed.drop("idx")
+                  .filter(F.col("src_id").isNotNull()))
+
         def grp(batches: Iterator[pd.DataFrame]
                 ) -> Iterator[pd.DataFrame]:
-            cols = ["src_id", "key", "entries"]
-            cur_sid = None
-            acc: dict = {}  # key -> {ext -> payload} (last idx wins)
+            import numpy as np
 
-            def flush():
+            cur_sid = None
+            acc: dict = {}  # key -> {ext -> payload} (last row wins)
+            # r13 tripwire (VERDICT r12 next #7): the contract says
+            # each archive's member rows are contiguous within one
+            # task — a re-partitioned/re-sorted member frame would
+            # otherwise silently emit duplicate sample rows. One set
+            # lookup per ARCHIVE converts that into a loud failure.
+            done: set = set()
+
+            def flush(out_s, out_k, out_e):
                 # sorted by ext == array_sort over (ext, payload)
                 # structs on the default path (ext unique post-dedup)
-                out = [(cur_sid, k,
-                        [(e, p) for e, p in sorted(exts.items())])
-                       for k, exts in acc.items()]
+                for k, exts in acc.items():
+                    out_s.append(cur_sid)
+                    out_k.append(k)
+                    out_e.append(sorted(exts.items()))
                 acc.clear()
-                return out
+                done.add(cur_sid)
 
             for pdf in batches:
-                rows = []
-                for sid, k, e, p in zip(pdf["src_id"], pdf["key"],
-                                        pdf["ext"], pdf["payload"]):
-                    sid = int(sid)
+                n = len(pdf)
+                if not n:
+                    continue
+                # r13 (VERDICT r12 next #4): the sf100 grouping
+                # marginal grew 15×/decade on per-row Python — sid
+                # checks collapse to per-RUN via numpy boundary
+                # detection (archives arrive as contiguous runs),
+                # Series iteration becomes one .tolist() per column,
+                # and the output frame is built columnar instead of
+                # from per-sample tuples.
+                sids = pdf["src_id"].to_numpy()
+                keys = pdf["key"].tolist()
+                exts_b = pdf["ext"].tolist()
+                pays = pdf["payload"].tolist()
+                cuts = (np.flatnonzero(sids[1:] != sids[:-1]) + 1
+                        ).tolist()
+                out_s: list = []
+                out_k: list = []
+                out_e: list = []
+                for s, e in zip([0] + cuts, cuts + [n]):
+                    sid = int(sids[s])
                     if sid != cur_sid:
                         if cur_sid is not None:
-                            rows.extend(flush())
+                            flush(out_s, out_k, out_e)
+                        if sid in done:
+                            raise ValueError(
+                                "webdataset_samples(archive_local):"
+                                f" src_id {sid} recurs after its run"
+                                " ended — input member rows are not"
+                                " contiguous per archive (re-"
+                                "partitioned/re-sorted frame?); use"
+                                " the default shuffle path")
                         cur_sid = sid
                     # rows arrive in idx order: overwrite == max(idx)
-                    acc.setdefault(k, {})[e] = p
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-            if cur_sid is not None:
-                rows = flush()
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                    for i in range(s, e):
+                        d = acc.get(keys[i])
+                        if d is None:
+                            d = acc[keys[i]] = {}
+                        d[exts_b[i]] = pays[i]
+                if out_s:
+                    yield pd.DataFrame({"src_id": out_s,
+                                        "key": out_k,
+                                        "entries": out_e})
+            if cur_sid is not None and acc:
+                out_s, out_k, out_e = [], [], []
+                flush(out_s, out_k, out_e)
+                yield pd.DataFrame({"src_id": out_s, "key": out_k,
+                                    "entries": out_e})
 
         entries_t = "array<struct<ext:string,payload:binary>>"
         return (parsed.mapInPandas(

@@ -434,6 +434,10 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     # stripped that their signatures reject.
     indexed_kwargs = {k: v for k, v in mk.items()
                       if k not in MH_LAYOUT_KWARGS}
+    # n_in is per-batch state the gate computes itself (the pinned
+    # sigs count) — a static value smuggled via minhash_kwargs would
+    # poison every later batch's plan decisions
+    indexed_kwargs.pop("n_in", None)
     pairs_kwargs = {k: v for k, v in indexed_kwargs.items()
                     if k not in MH_INDEXED_ONLY_KWARGS}
     sig_kwargs = {k: v for k, v in mk.items()
@@ -447,7 +451,10 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
     # for the survivor join is sound)
     sigs = _pin(minhash_signatures_for(
         cand, id_col=id_col, text_col=text_col, **sig_kwargs))
-    sigs.count()
+    # the materialization count IS the probe's batch size (one sig
+    # row per candidate doc) — passed as n_in so the indexed probe
+    # skips its own per-probe count job (r13, VERDICT r12 next #6)
+    n_sigs = sigs.count()
     # ONE action evaluates both joins (r9 — the gate's cost at sf1 is
     # dominated by per-job fixed costs, not data): the within-batch
     # pair join and the cross-index join are unioned and collected
@@ -474,7 +481,7 @@ def _near_dup_ids(spark, scored, prefix: str, threshold: float,
         cross = minhash_lsh_join_indexed(
             spark, prefix, cand, threshold=threshold,
             id_col=id_col, text_col=text_col, sigs=sigs,
-            **indexed_kwargs)
+            n_in=n_sigs, **indexed_kwargs)
         nd_frame = nd_frame.unionByName(
             cross.filter(F.col("id_l") != F.col("id_r"))
             .select(F.col("id_l").alias("_nd_id")))

@@ -618,6 +618,17 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             d = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
                        for r in unpruned.collect())
             assert a == d
+            # r13 (VERDICT r12 next #6): a caller-supplied exact
+            # batch size replaces the per-probe count job — every
+            # plan decision it feeds (broadcast threshold, push
+            # path, left-cap skip) lands identically
+            supplied = D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, max_bucket_size=cap, prune=True,
+                n_in=inc.count())
+            e = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
+                       for r in supplied.collect())
+            assert a == e
         plan = _spark_plan(D.minhash_lsh_join_indexed(
             spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1,
             prune=True))
