@@ -1100,21 +1100,27 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
                          nonempty_tokens(F.col("_t")).alias("toks"))
     k = int(window)
     # r13 (VERDICT r12 next #5): bound WINDOWS PER TASK before the
-    # explode. At sf100 each of 32 tasks held ~33M window rows and
-    # the shuffle sorter's single pointer-array allocation went G1-
-    # humongous (GCLocker retry in a tail rep). The fan-out target
-    # comes from Catalyst's plan-size estimate — zero extra driver
-    # actions, so the sub-second small-scale rows pay nothing (the
-    # estimate is None/tiny there and the floor no-ops); the
-    # repartition moves the narrow (id, text) frame BEFORE
-    # tokenization, the same pre-inflation discipline as the tar
-    # fan-out (BENCH_SF10 r11). ~16 MB of input text per task ≈
-    # 2-3M windows ≈ a few tens of MB of sorter state.
+    # explode. At sf100 each of 32 tasks held tens of millions of
+    # window rows and the shuffle sorter's single pointer-array
+    # allocation went G1-humongous (a 33.5M-word allocation;
+    # GCLocker retry in a tail rep). The fan-out target comes from
+    # Catalyst's plan-size estimate — zero extra driver actions, so
+    # the sub-second small-scale rows pay nothing (sf0.1 documents
+    # is 0.57 MB → target 1 → no-op); the repartition moves the
+    # narrow (id, text) frame BEFORE tokenization, the same
+    # pre-inflation discipline as the tar fan-out (BENCH_SF10 r11).
+    # Divisor arithmetic: the estimate is COMPRESSED parquet bytes
+    # (~3× under raw text here), windows ≈ raw_chars / ~6, and the
+    # sorter's pointer array is 8 B/row with the G1 humongous
+    # threshold at 16 MB for the 32 MB regions of a 48 GiB heap —
+    # so 2 MB of estimate ≈ 6 MB raw ≈ ~1M windows ≈ an 8 MB
+    # pointer array, comfortably under. sf100 (520 MB estimate)
+    # lands at 260 tasks ≈ 1.2M windows each.
     from remote_storage_adapter_spark.operators.skew import (
         plan_bytes_tasks,
     )
 
-    tgt = plan_bytes_tasks(narrow, bytes_per_task=16 << 20)
+    tgt = plan_bytes_tasks(narrow, bytes_per_task=2 << 20)
     wsrc = base
     if tgt is not None and tgt > narrow.rdd.getNumPartitions():
         wsrc = narrow.repartition(tgt).select(
