@@ -303,7 +303,8 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
     Physical plan: tokenize → (id, term) tf hash-agg → df hash-agg
     (term-keyed, tiny) broadcast back → pure-map score → window-free
     per-doc top-k (:func:`_topk_terms`). N is one driver-side count —
-    a scalar literal in the plan.
+    a scalar literal in the plan (kept deliberately: see the r13
+    A/B note inline).
 
     ``broadcast_df``: the df-stats side is the distinct VOCABULARY,
     which is sublinear in corpus size but not bounded — at a 100 TB
@@ -319,6 +320,11 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 5,
     term-keyed hash aggregates, so the shuffle is skew-safe.
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
+    # N stays a driver-side count (unlike bm25_top_terms' avgdl):
+    # it's metadata-cheap on parquet, and an interleaved r13 A/B of
+    # the lazy 1-row crossJoin alternative measured ~15% SLOWER here
+    # — with no expensive eager pass to remove, the broadcast-loop
+    # row overhead costs more than the one count job it saves.
     n_docs = docs.count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
     scored = (
@@ -343,24 +349,42 @@ def bm25_top_terms(docs: DataFrame, *, k: int = 5,
     (Robertson–Spärck Jones idf = ln(1 + (N − df + 0.5)/(df + 0.5));
     tf saturation k1, length normalization b — the public Okapi
     formulation). Same plan shape as :func:`tfidf_top_terms`; the
-    average document length folds in as a driver-computed literal.
+    corpus scalars (N, avgdl) ride a lazy broadcast 1-row frame —
+    zero driver actions, one term-stats computation (see inline).
     ``broadcast_df`` follows :func:`tfidf_top_terms`'s size-guarded
     tri-state: ``None`` (default) defers to Spark's broadcast
     threshold + AQE, ``True`` forces the hint, ``False`` shuffles.
     """
     tf_dl, df_counts = _term_stats(docs, id_col, text_col)
-    n_docs = docs.count()
-    avgdl = tf_dl.select("id", "dl").dropDuplicates(["id"]) \
-        .agg(F.avg("dl")).first()[0] or 1.0
+    # corpus scalars as a LAZY broadcast 1-row frame, not eager
+    # driver actions (r13): the old `avgdl = ....first()` executed
+    # the whole term-stats pipeline once at plan-build time and the
+    # real query then re-ran it — a SEQUENTIAL extra corpus pass per
+    # call, plus two driver round-trips that each cost a scheduling
+    # constant (r12/r13 measured 120-170 ms/job on this box). Lazy,
+    # the avgdl branch still recomputes its stats (column pruning
+    # gives each branch a different tf subtree, so no ReusedExchange
+    # — deliberate: tf is corpus-sized and caching it at 100 TB is
+    # worse than recompute), but all branches now run CONCURRENTLY
+    # inside the one job and the plan-build round-trips are gone.
+    # n_docs counts ALL docs (empty/null-text ones carry no tf_dl
+    # row but do lower idf — the old docs.count() semantics);
+    # coalesce(avg, 1.0) is the old `or 1.0` empty-corpus guard.
+    stats = (
+        tf_dl.select("id", "dl").dropDuplicates(["id"])
+        .agg(F.coalesce(F.avg("dl"), F.lit(1.0)).alias("_avgdl"))
+        .crossJoin(docs.agg(
+            F.count(F.lit(1)).cast("double").alias("_n")))
+    )
     idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-        / (F.col("df") + 0.5)
+        1.0 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
     )
     scored = (
         tf_dl.join(_stats_side(df_counts, broadcast_df), "term")
+        .crossJoin(F.broadcast(stats))
         .select("id", "term", F.round(idf * tf_part, 9).alias("score"))
     )
     return _topk_terms(scored, k).select(
