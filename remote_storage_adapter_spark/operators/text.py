@@ -980,8 +980,10 @@ def lm_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
     SQL-expressible for the oracle).
 
     logp(t) = ln((c_t + alpha) / (T + alpha·V)) with corpus term
-    counts c, total tokens T, vocabulary size V (T and V fold in as
-    literals — one tiny driver agg). Per-term logp rounds at 9 dp so
+    counts c, total tokens T, vocabulary size V (T and V ride a lazy
+    broadcast 1-row frame — zero driver actions; the eager variant
+    re-ran the whole tf pipeline at plan-build, r13). Per-term logp
+    rounds at 9 dp so
     both engines weight identically; ``ppl`` = exp(mean_nll) computed
     from the 6-dp-rounded mean so the rounding happens BEFORE the
     exponential amplifies it.
@@ -1007,13 +1009,20 @@ def lm_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     termc = tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    tot = termc.agg(
-        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")).first()
-    denom = float(tot["T"]) + alpha * float(tot["V"])
-    lm = termc.select(
+    # T/V as a LAZY broadcast 1-row frame (r13, the bm25_top_terms
+    # fold): the eager `.first()` executed the whole tokenize + two-
+    # aggregate pipeline at plan-build before the query ran it again
+    # — a sequential extra corpus pass plus a driver round-trip.
+    # Bit-exact vs the old literal: T and V are exact long sums and
+    # the denom expression keeps the same double op order
+    # (T + alpha·V), so every logp rounds identically at 9 dp.
+    tot = termc.agg(F.sum("c").cast("double").alias("_T"),
+                    F.count(F.lit(1)).cast("double").alias("_V"))
+    lm = termc.crossJoin(F.broadcast(tot)).select(
         "term",
-        F.round(F.log((F.col("c") + alpha) / F.lit(denom)), 9)
-        .alias("logp"),
+        F.round(F.log((F.col("c") + alpha)
+                      / (F.col("_T") + F.lit(alpha) * F.col("_V"))),
+                9).alias("logp"),
     )
     scored = tf.join(_stats_side(lm, broadcast_lm), "term")
     return (
@@ -1672,9 +1681,13 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
         .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     termc = uni_tf.groupBy("term").agg(F.sum("tf").alias("c"))
-    tot = termc.agg(
-        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")).first()
-    denom = float(tot["T"]) + alpha * float(tot["V"])
+    # T/V lazy broadcast fold (r13, the lm_doc_scores/bm25 pattern):
+    # the eager `.first()` executed the tokenize + unigram-count
+    # pipeline at plan-build before the query re-ran it. Bit-exact:
+    # exact long sums, same double op order (T + alpha·V).
+    tot = termc.agg(F.sum("c").cast("double").alias("_T"),
+                    F.count(F.lit(1)).cast("double").alias("_V"))
+    denom = F.col("_T") + F.lit(alpha) * F.col("_V")
     # map-side bigram construction; guard: sequence(2, 1) descends
     bigram_arr = F.when(
         F.size("toks") >= 2,
@@ -1702,13 +1715,14 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
             _stats_side(termc, broadcast_lm)
             .select(F.col("term").alias("w"), F.col("c").alias("cw")),
             "w")
+        .crossJoin(F.broadcast(tot))
         .select(
             "prev", "w",
             F.round(
                 F.log(
                     F.lit(lam) * (F.col("c2") / F.col("c1").cast("double"))
                     + F.lit(1.0 - lam)
-                    * ((F.col("cw") + F.lit(alpha)) / F.lit(denom))
+                    * ((F.col("cw") + F.lit(alpha)) / denom)
                 ),
                 9,
             ).alias("logp2"),
@@ -1720,9 +1734,9 @@ def lm2_doc_scores(docs: DataFrame, *, alpha: float = 0.5,
         .groupBy("id")
         .agg(F.sum(F.col("tf2") * F.col("logp2")).alias("lp_bi"))
     )
-    uni_lp = termc.select(
+    uni_lp = termc.crossJoin(F.broadcast(tot)).select(
         "term",
-        F.round(F.log((F.col("c") + alpha) / F.lit(denom)), 9)
+        F.round(F.log((F.col("c") + alpha) / denom), 9)
         .alias("logp1"))
     first_tok = base.select(
         "id", F.size("toks").alias("dl"),
