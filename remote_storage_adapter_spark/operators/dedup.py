@@ -43,6 +43,28 @@ from pyspark.sql import functions as F
 _PINNED: list[DataFrame] = []
 
 
+def _count_batch_sigs(ls: DataFrame, caller_supplied: bool) -> int:
+    """Count the batch signature frame — WARNING loudly when a
+    caller-supplied frame is about to be recomputed (ADVICE r12):
+    the probe's contract says threaded ``sigs`` are persisted (the
+    gate pins and materializes before passing), and on an
+    unpersisted frame this count silently re-runs the shingle+
+    minhash pipeline — the probe's dominant per-batch cost. The
+    warning names the two outs: persist the frame, or pass ``n_in``
+    and skip the count entirely."""
+    if caller_supplied and not ls.is_cached:
+        import warnings
+
+        warnings.warn(
+            "minhash_lsh_join_indexed: counting an UNPERSISTED "
+            "caller-supplied sigs frame — this re-runs the "
+            "shingle+minhash pipeline once per consumer. Persist "
+            "the frame before passing it (the curate gate pins + "
+            "materializes), or pass n_in= to skip the count.",
+            RuntimeWarning, stacklevel=3)
+    return ls.count()
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """persist + register for later release via unpersist_pinned()."""
     _PINNED.append(df.persist())
@@ -1564,7 +1586,7 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
             # batch-side broadcast of the candidate join and the
             # semi-join cap path's build sides. Skipped when the
             # caller supplied the batch size (r13, VERDICT r12 #6).
-            n_in = ls.count()
+            n_in = _count_batch_sigs(ls, sigs is not None)
         small_batch = n_in * bands <= 1_000_000
         if do_prune:
             broadcast_probe = small_batch
@@ -1616,7 +1638,8 @@ def minhash_lsh_join_indexed(spark, table_prefix: str,
         # documented corpus-wide drop accounting needs the numbers
         # even when they are provably zero.
         if n_in is None and caps_stats is None:
-            n_in = ls.count()  # pinned (caller contract) — cheap
+            # pinned (caller contract) — cheap; loud if it isn't
+            n_in = _count_batch_sigs(ls, sigs is not None)
         cap_l = caps_stats is not None or n_in > max_bucket_size
         counts_l = (lb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_n")) if cap_l else None)

@@ -629,6 +629,27 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
             e = sorted((r.id_l, r.id_r, round(r.est_jaccard, 9))
                        for r in supplied.collect())
             assert a == e
+        # r13 (ADVICE r12): counting an UNPERSISTED caller-supplied
+        # sigs frame warns loudly (the count silently re-runs the
+        # shingle+minhash pipeline); passing n_in skips the count
+        # and stays quiet
+        import warnings as _w
+
+        import pytest
+
+        raw_sigs = D.minhash_signatures_for(
+            inc, num_hashes=16, shingle_n=3, mode="oph")
+        with pytest.warns(RuntimeWarning, match="UNPERSISTED"):
+            D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, sigs=raw_sigs, prune=True).collect()
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            D.minhash_lsh_join_indexed(
+                spark, prefix, inc, num_hashes=16, bands=4,
+                threshold=0.1, sigs=raw_sigs, n_in=8,
+                prune=True).collect()
+
         plan = _spark_plan(D.minhash_lsh_join_indexed(
             spark, prefix, inc, num_hashes=16, bands=4, threshold=0.1,
             prune=True))
