@@ -51,8 +51,18 @@ def _count_batch_sigs(ls: DataFrame, caller_supplied: bool) -> int:
     unpersisted frame this count silently re-runs the shingle+
     minhash pipeline — the probe's dominant per-batch cost. The
     warning names the two outs: persist the frame, or pass ``n_in``
-    and skip the count entirely."""
+    and skip the count entirely. A frame DERIVED from a persisted
+    one (the gate filters/joins its pinned sigs before threading —
+    ``is_cached`` False but the scan reads the cache) is cheap and
+    stays quiet: detected as an InMemoryRelation in the optimized
+    plan, a plan-only check, no job."""
     if caller_supplied and not ls.is_cached:
+        try:
+            if "InMemoryRelation" in (ls._jdf.queryExecution()
+                                      .optimizedPlan().toString()):
+                return ls.count()
+        except Exception:
+            pass  # non-JVM frame: fall through to the warning
         import warnings
 
         warnings.warn(

@@ -637,17 +637,34 @@ def test_minhash_indexed_join_matches_direct_and_skips_shuffle(spark):
 
         import pytest
 
+        # a FRESH frame (new exprIds, no cache-manager plan match):
+        # the earlier probes pinned an identical-plan signed frame,
+        # and signatures over `inc` itself would legitimately count
+        # through that cache via substitution — quiet by design
+        inc2 = spark.createDataFrame(
+            [(i, f"common text body shared across docs v{i % 2}")
+             for i in range(8)], "doc_id long, text string")
         raw_sigs = D.minhash_signatures_for(
-            inc, num_hashes=16, shingle_n=3, mode="oph")
+            inc2, num_hashes=16, shingle_n=3, mode="oph")
         with pytest.warns(RuntimeWarning, match="UNPERSISTED"):
             D.minhash_lsh_join_indexed(
-                spark, prefix, inc, num_hashes=16, bands=4,
+                spark, prefix, inc2, num_hashes=16, bands=4,
                 threshold=0.1, sigs=raw_sigs, prune=True).collect()
         with _w.catch_warnings():
             _w.simplefilter("error", RuntimeWarning)
+            # n_in skips the count: quiet even on the raw frame
             D.minhash_lsh_join_indexed(
-                spark, prefix, inc, num_hashes=16, bands=4,
+                spark, prefix, inc2, num_hashes=16, bands=4,
                 threshold=0.1, sigs=raw_sigs, n_in=8,
+                prune=True).collect()
+            # derived-from-pinned (the gate's shape): quiet — the
+            # count reads the cache through plan substitution
+            pinned = D._pin(D.minhash_signatures_for(
+                inc2, num_hashes=16, shingle_n=3, mode="oph"))
+            pinned.count()
+            D.minhash_lsh_join_indexed(
+                spark, prefix, inc2, num_hashes=16, bands=4,
+                threshold=0.1, sigs=pinned.filter("id >= 0"),
                 prune=True).collect()
 
         plan = _spark_plan(D.minhash_lsh_join_indexed(
