@@ -137,7 +137,8 @@ def tar_members(df: DataFrame, *, id_col: str = "src_id",
 
 
 def webdataset_samples(members: DataFrame, *,
-                       archive_local: bool = False) -> DataFrame:
+                       archive_local: bool = False,
+                       audit: bool = False) -> DataFrame:
     """Group TAR member rows into WebDataset samples: the key is the
     directory plus the basename up to its FIRST dot — the actual
     WebDataset convention, so multi-extension members pair
@@ -182,10 +183,26 @@ def webdataset_samples(members: DataFrame, *,
     shape (unions, re-sorted or re-partitioned member tables), keep
     the default — a src_id whose rows are interleaved with another
     archive's within a task RAISES (per-task tripwire, r13; silent
-    duplicate sample rows were the r12 failure mode), and null
-    src_id rows are excluded up front (the archive is the grouping
-    unit; see inline note). A src_id split across TASKS is beyond
-    the tripwire's sight — that stays on the caller's contract."""
+    duplicate sample rows were the r12 failure mode), and a null
+    src_id RAISES too (r14, ADVICE r13: the archive is the grouping
+    unit, so a member row without an archive identity has no
+    well-defined sample group — and the default path would keep it
+    as a SQL GROUP BY null key, so a silent exclusion here made the
+    two paths diverge on the same input; see inline note). A src_id
+    split across TASKS is beyond the per-task tripwire's sight —
+    that stays on the caller's contract, unless:
+
+    ``audit=True`` (r14, VERDICT r13 next #5; requires
+    ``archive_local``) closes that last window for callers feeding
+    non-contract frames: an EAGER reconciliation compares, per
+    archive, the input's distinct key count / distinct (key, ext)
+    count against the output's sample-row count / total entry count
+    — a src_id split across tasks produces duplicate sample rows
+    (row count > distinct keys) or split entries (entry count >
+    distinct (key, ext) pairs) and raises with the offending
+    archive ids. Costs two extra passes over the member pipeline at
+    call time (the two tiny aggs re-execute the uncached walk) —
+    the default path stays zero-extra-actions."""
     name = F.col("name")
     dirp = F.regexp_extract(name, r"^(.*/)", 1)   # '' when none
     base = F.regexp_replace(name, r"^.*/", "")
@@ -199,21 +216,27 @@ def webdataset_samples(members: DataFrame, *,
     parsed = (members.filter(F.col("err").isNull())
               .select("src_id", key.alias("key"), ext.alias("ext"),
                       "idx", "payload"))
+    if not archive_local and audit:
+        raise ValueError("webdataset_samples: audit=True requires "
+                         "archive_local=True (the default shuffle "
+                         "path is correct by SQL grouping semantics "
+                         "for any input shape)")
     if archive_local:
         # idx is not shipped to Python: mapInPandas preserves the
         # walk's partition-local row order, so "last row wins" IS the
         # max-idx semantics — one fewer column over Arrow.
-        # src_id nulls are excluded by contract (ADVICE r12): the
-        # archive IS the grouping unit here, so a member row without
-        # an archive identity has no well-defined sample group — and
-        # a pandas nullable long arrives as float NaN, which would
-        # fail the whole task inside int(). (The default path keeps
-        # null src_id as a group key per SQL GROUP BY semantics; a
-        # caller with null archive ids shouldn't be on this path —
-        # its tar_members contract already requires one row per
-        # distinct archive.)
-        parsed = (parsed.drop("idx")
-                  .filter(F.col("src_id").isNotNull()))
+        # src_id nulls RAISE in the worker (r14, ADVICE r13 — was a
+        # silent filter): the archive IS the grouping unit here, so
+        # a member row without an archive identity has no
+        # well-defined sample group, and the default path keeps null
+        # src_id as a SQL GROUP BY key — the two paths must not
+        # silently diverge on the same input. The check is
+        # vectorized (one isna scan per Arrow batch), before the
+        # numpy boundary walk, because a pandas nullable long
+        # arrives as float NaN and NaN != NaN would otherwise make
+        # every null row its own run with int(NaN) failing later
+        # with an unhelpful message.
+        parsed = parsed.drop("idx")
 
         def grp(batches: Iterator[pd.DataFrame]
                 ) -> Iterator[pd.DataFrame]:
@@ -242,6 +265,15 @@ def webdataset_samples(members: DataFrame, *,
                 n = len(pdf)
                 if not n:
                     continue
+                if pdf["src_id"].isna().any():
+                    raise ValueError(
+                        "webdataset_samples(archive_local): null "
+                        "src_id member row — the archive is the "
+                        "grouping unit on this path, so a member "
+                        "without an archive identity has no sample "
+                        "group; filter or repair src_id, or use the "
+                        "default shuffle path (which keeps null as "
+                        "a group key per SQL semantics)")
                 # r13 (VERDICT r12 next #4): the sf100 grouping
                 # marginal grew 15×/decade on per-row Python — sid
                 # checks collapse to per-RUN via numpy boundary
@@ -289,11 +321,44 @@ def webdataset_samples(members: DataFrame, *,
                                     "entries": out_e})
 
         entries_t = "array<struct<ext:string,payload:binary>>"
-        return (parsed.mapInPandas(
-                    grp, schema=f"src_id long, key string, "
-                                f"entries {entries_t}")
-                .select("src_id", "key",
-                        F.map_from_entries("entries").alias("parts")))
+        out = (parsed.mapInPandas(
+                   grp, schema=f"src_id long, key string, "
+                               f"entries {entries_t}")
+               .select("src_id", "key",
+                       F.map_from_entries("entries").alias("parts")))
+        if audit:
+            # r14 (VERDICT r13 next #5): eager cross-TASK
+            # reconciliation — the per-task tripwire above cannot see
+            # an archive whose member rows were split across tasks
+            # (each task's run is internally contiguous, so both
+            # halves group "cleanly" and the archive emits duplicate
+            # sample rows). Per archive: output sample rows must
+            # equal the input's distinct keys, and output entries
+            # must equal the input's distinct (key, ext) pairs —
+            # a split inflates rows (or entries, when the halves
+            # share a key) and can never deflate them. One tiny agg
+            # each side; null src_id can't reach the join keys (the
+            # worker raises first).
+            exp = parsed.groupBy("src_id").agg(
+                F.countDistinct("key").alias("n_keys"),
+                F.countDistinct("key", "ext").alias("n_entries"))
+            got = out.groupBy("src_id").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size("parts")).alias("n_parts"))
+            bad = (exp.join(got, "src_id", "full_outer")
+                   .filter(~(F.col("n_keys").eqNullSafe(F.col("n_rows"))
+                             & F.col("n_entries").eqNullSafe(
+                                 F.col("n_parts"))))
+                   .select("src_id").limit(20).collect())
+            if bad:
+                ids = sorted(r["src_id"] for r in bad)
+                raise ValueError(
+                    "webdataset_samples(archive_local, audit): "
+                    f"sample rows do not reconcile with member rows "
+                    f"for src_id {ids} (first 20) — an archive's "
+                    "member rows are split across tasks; use the "
+                    "default shuffle path for this frame")
+        return out
     per_ext = (parsed
                .repartition("src_id", "key")
                .groupBy("src_id", "key", "ext")

@@ -96,3 +96,146 @@ def test_final_line_is_last_bytes_despite_stop_spew(tmp_path):
     # not merely preceded the line: 200 tracebacks would still flood
     # a 2,000-char tail capture if they landed on stderr at all
     assert "BrokenPipeError" not in combined
+
+
+class TestStaleAnchor:
+    """r14 (VERDICT r13 next #4): an all-stale pool ships the newest
+    candidate flagged ``stale`` instead of dropping the anchor."""
+
+    def test_all_stale_returns_newest_flagged(self):
+        a = {"value": 40.0, "cached_gb": 10.0, "ts": 0.0}
+        b = {"value": 50.0, "cached_gb": 10.0, "ts": 3600.0}
+        got = _pick_quiet_ref([a, b], now=80 * 3600.0)
+        assert got["value"] == 50.0  # newest, NOT fastest
+        assert got["stale"] is True
+
+    def test_fresh_candidate_suppresses_stale_flag(self):
+        old = {"value": 40.0, "cached_gb": 10.0, "ts": 0.0}
+        new = {"value": 50.0, "cached_gb": 10.0, "ts": 79 * 3600.0}
+        got = _pick_quiet_ref([old, new], now=80 * 3600.0)
+        assert got["value"] == 50.0
+        assert "stale" not in got
+
+    def test_stale_flag_carries_forward(self):
+        # a stale ref re-entering the pool (carried by a busy run's
+        # artifact) stays flagged when re-picked via the stale path
+        a = {"value": 40.0, "ts": 0.0, "stale": True}
+        got = _pick_quiet_ref([a], now=80 * 3600.0)
+        assert got["stale"] is True
+
+    def test_no_ts_candidates_never_go_stale(self):
+        legacy = {"value": 51.0}
+        got = _pick_quiet_ref([legacy], now=1e12)
+        assert got["value"] == 51.0
+        assert "stale" not in got
+
+
+class TestNormalizeRows:
+    """r14 (VERDICT r13 next #1): the canary-normalized view — each
+    row's measured job-bound share re-priced at the reference run's
+    per-job constant."""
+
+    def _n(self, *a):
+        from bench import _normalize_rows
+        return _normalize_rows(*a)
+
+    def test_matched_canaries_are_identity(self):
+        t = {"q": 2.0}
+        s = {"q": {"jobs": 3, "stages": 6, "reps": 3}}
+        rows, total = self._n(t, s, 120.0, 120.0)
+        assert rows == {"q": 2.0} and total == 2.0
+
+    def test_job_bound_share_scales_down(self):
+        # 1 rep, 5 stages @ 200 ms env constant -> jb = 1.0 s of the
+        # 1.5 s wall; normalized to a 100 ms ref: 0.5 + 1.0*0.5 = 1.0
+        t = {"q": 1.5}
+        s = {"q": {"jobs": 1, "stages": 5, "reps": 1}}
+        rows, total = self._n(t, s, 200.0, 100.0)
+        assert rows == {"q": 1.0} and total == 1.0
+
+    def test_jb_clamped_at_wall(self):
+        # stage estimate exceeding the wall (skipped-stage overcount)
+        # must clamp: whole wall treated job-bound, scaled by ref/env
+        t = {"q": 0.4}
+        s = {"q": {"jobs": 9, "stages": 90, "reps": 1}}
+        rows, _ = self._n(t, s, 200.0, 100.0)
+        assert rows == {"q": 0.2}
+
+    def test_scales_up_when_ref_constant_is_higher(self):
+        # normalizing TO a slower-constant reference inflates the
+        # job-bound share — mathematically consistent, keeps
+        # normalized_value comparable to quiet_ref.value
+        t = {"q": 1.5}
+        s = {"q": {"jobs": 1, "stages": 5, "reps": 1}}
+        rows, _ = self._n(t, s, 100.0, 200.0)
+        assert rows == {"q": 2.0}
+
+    def test_stages_averaged_over_reps(self):
+        # 3 reps x 5 stages recorded as 15; per-rep share uses 5
+        t = {"q": 1.5}
+        s = {"q": {"jobs": 3, "stages": 15, "reps": 3}}
+        rows, _ = self._n(t, s, 200.0, 100.0)
+        assert rows == {"q": 1.0}
+
+    def test_missing_canary_disables_view(self):
+        t = {"q": 1.0}
+        s = {"q": {"jobs": 1, "stages": 1, "reps": 1}}
+        assert self._n(t, s, None, 100.0) == (None, None)
+        assert self._n(t, s, 100.0, None) == (None, None)
+        assert self._n(t, s, 0.0, 100.0) == (None, None)
+
+    def test_missing_stage_record_leaves_row_raw(self):
+        t = {"q": 1.0, "r": 1.0}
+        s = {"q": {"jobs": 1, "stages": 2, "reps": 1}}
+        rows, total = self._n(t, s, 200.0, 100.0)
+        assert rows["r"] == 1.0  # no stage data -> no adjustment
+        assert rows["q"] == 0.8
+        assert total == 1.8
+
+
+class TestWaitForQuiet:
+    """r14 (VERDICT r13 next #6): bounded busy-start wait."""
+
+    def _run(self, loads, max_wait=300.0, poll=15.0):
+        from bench import _wait_for_quiet
+        t = [0.0]
+        it = iter(loads)
+
+        def clock():
+            return t[0]
+
+        def sleep(s):
+            t[0] += s
+
+        def loadavg():
+            return next(it)
+
+        return _wait_for_quiet(max_wait, poll_s=poll, loadavg=loadavg,
+                               sleep=sleep, clock=clock)
+
+    def test_returns_when_load_decays(self):
+        # decays below 2.0 on the third poll -> ~3 polls waited
+        assert self._run([4.0, 2.5, 1.2]) == 45.0
+
+    def test_budget_exhausted(self):
+        waited = self._run([9.9] * 100, max_wait=60.0, poll=15.0)
+        assert waited >= 60.0  # gave up at the budget, not earlier
+
+    def test_zero_budget_disables(self):
+        assert self._run([9.9], max_wait=0.0) == 0.0
+
+    def test_loadavg_oserror_aborts(self):
+        def boom():
+            raise OSError("no loadavg here")
+
+        from bench import _wait_for_quiet
+        t = [0.0]
+
+        def clock():
+            return t[0]
+
+        def sleep(s):
+            t[0] += s
+
+        assert _wait_for_quiet(300.0, loadavg=boom, sleep=sleep,
+                               clock=clock) == 15.0

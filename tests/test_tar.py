@@ -246,17 +246,63 @@ def test_webdataset_archive_local_noncontiguous_raises(spark):
     assert TA.webdataset_samples(bad).count() == 3
 
 
-def test_webdataset_archive_local_null_src_id_excluded(spark):
-    """ADVICE r12: a null src_id arrives in pandas as float NaN and
-    used to fail the whole task inside int(); the archive-local
-    contract excludes identity-less member rows up front instead."""
+def test_webdataset_archive_local_null_src_id_raises(spark):
+    """r14 (ADVICE r13, superseding the r13 silent filter): a null
+    src_id has no well-defined sample group on the archive-local
+    path, and the default path keeps it as a SQL GROUP BY key — a
+    silent exclusion made the two paths diverge on the same input.
+    Fail-loud instead (the contiguity tripwire's philosophy)."""
+    import pytest
+
     m = spark.createDataFrame(
         [(None, 0, "x.txt", 1, bytearray(b"X"), None),
          (7, 0, "y.txt", 1, bytearray(b"Y"), None)],
         "src_id long, idx int, name string, size long, "
         "payload binary, err string").coalesce(1)
-    rows = TA.webdataset_samples(m, archive_local=True).collect()
-    assert [(r["src_id"], r["key"]) for r in rows] == [(7, "y")]
+    with pytest.raises(Exception, match="null src_id"):
+        TA.webdataset_samples(m, archive_local=True).collect()
+    # the default path keeps the null group per SQL semantics
+    rows = TA.webdataset_samples(m).collect()
+    assert sorted(((r["src_id"], r["key"]) for r in rows),
+                  key=str) == [(7, "y"), (None, "x")]
+
+
+def test_webdataset_archive_local_audit_catches_cross_task_split(
+        spark):
+    """r14 (VERDICT r13 next #5): an archive split across TASKS is
+    invisible to the per-task contiguity tripwire (both halves look
+    clean); audit=True reconciles sample rows against member rows
+    per archive and raises."""
+    import pytest
+
+    # src_id 1's members land in two partitions (repartitionByRange
+    # on idx splits the archive); each partition is internally
+    # contiguous so the tripwire stays silent — and the split pair
+    # SHARES key "a", so the un-audited output emits duplicate
+    # sample rows for it
+    m = spark.createDataFrame(
+        [(1, 0, "a.jpg", 2, bytearray(b"J"), None),
+         (1, 1, "a.txt", 2, bytearray(b"T"), None)],
+        "src_id long, idx int, name string, size long, "
+        "payload binary, err string").repartitionByRange(2, "idx")
+    dup = TA.webdataset_samples(m, archive_local=True).collect()
+    assert len(dup) == 2  # the silent-duplicate failure mode, live
+    with pytest.raises(ValueError, match="reconcile|split across"):
+        TA.webdataset_samples(m, archive_local=True, audit=True)
+    # a contract-shaped frame passes the audit unchanged
+    ok = spark.createDataFrame(
+        [(1, 0, "a.jpg", 2, bytearray(b"J"), None),
+         (1, 1, "a.txt", 2, bytearray(b"T"), None),
+         (2, 0, "b.jpg", 2, bytearray(b"K"), None)],
+        "src_id long, idx int, name string, size long, "
+        "payload binary, err string").coalesce(1)
+    rows = TA.webdataset_samples(ok, archive_local=True,
+                                 audit=True).collect()
+    assert sorted((r["src_id"], r["key"]) for r in rows) \
+        == [(1, "a"), (2, "b")]
+    # audit without archive_local is a contract error, not a no-op
+    with pytest.raises(ValueError, match="audit"):
+        TA.webdataset_samples(ok, audit=True)
 
 
 def test_webdataset_archive_local_cross_batch_continuation(spark):
@@ -541,3 +587,36 @@ def test_plan_bytes_tasks_estimate(spark, tmp_path):
         spark.sparkContext.parallelize([(1, "a")]),
         "id long, t string")
     assert SK.plan_bytes_tasks(rdf, bytes_per_task=1024) is None
+
+
+def test_plan_bytes_tasks_session_derived_cap(spark):
+    """r14 (VERDICT r13 wrong #3 / next #3): the runaway backstop
+    derives from the session instead of a silent hard 4096 — on a
+    wide cluster the cap widens with defaultParallelism, and when it
+    does bind the caller hears about it (no-silent-caps rule)."""
+    import pytest
+
+    from remote_storage_adapter_spark.operators import skew as SK
+
+    # pure decision: default cap = max(4096, parallelism x 64)
+    assert SK._bounded_tasks(10**7, None, 32) == (4096, True)
+    assert SK._bounded_tasks(10**7, None, 1024) == (65536, True)
+    assert SK._bounded_tasks(100, None, 32) == (100, False)
+    assert SK._bounded_tasks(5000, None, 32) == (4096, True)
+    assert SK._bounded_tasks(5000, None, 128) == (5000, False)
+    # an explicit cap still wins over the session derivation
+    assert SK._bounded_tasks(10**7, 64, 10**6) == (64, True)
+    # end to end: a plan-stats estimate past the cap WARNS — Range
+    # carries an 8 B/row Catalyst estimate with zero data behind it
+    big = spark.range(1 << 33).toDF("id")  # ~64 GiB estimate
+    with pytest.warns(RuntimeWarning, match="binds"):
+        got = SK.plan_bytes_tasks(big, bytes_per_task=2 << 20)
+    assert got == max(4096,
+                      spark.sparkContext.defaultParallelism * 64)
+    # under the cap: no warning, raw target returned
+    import warnings as W
+
+    small = spark.range(1 << 20).toDF("id")  # 8 MiB estimate
+    with W.catch_warnings():
+        W.simplefilter("error")
+        assert SK.plan_bytes_tasks(small, bytes_per_task=2 << 20) == 4
