@@ -61,6 +61,33 @@ MIN_TASKS = 32
 # sf100 sessions run REPS=1 (multi-minute flows; one warm + one timed
 # rep is the documented tradeoff for the third-decade ratios)
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+# SPARK_GRAFT_CANARY_INTERLEAVE=1 records the two host canaries
+# (per-job scheduling median, single-core md5 throughput) immediately
+# BEFORE each timed rep and ships them per-rep in the JSON line. The
+# r14 session's motivating observation: an sf10 5-rep run on a box
+# with NOTHING else running walked 45.3 -> 117.3 s monotonically
+# while standalone cpu_ref probes drifted 0.29 -> 0.36 s in minutes
+# — without a per-rep canary, a widened spread is indistinguishable
+# from a code-side straggler (VERDICT r13 next #2's question).
+CANARY = os.environ.get("SPARK_GRAFT_CANARY_INTERLEAVE") == "1"
+
+
+def _rep_canaries(spark):
+    import hashlib
+    import time as _t
+    ts = []
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        spark.range(1).count()
+        ts.append(_t.perf_counter() - t0)
+    ts.sort()
+    t0 = _t.perf_counter()
+    h = hashlib.md5()
+    for _ in range(500_000):
+        h.update(b"x" * 32)
+    # scaled to bench.py's 2M-iteration cpu_ref_s unit (x4)
+    return {"job_ref_ms": round(1000 * ts[len(ts) // 2], 1),
+            "cpu_ref_s": round(4 * (_t.perf_counter() - t0), 3)}
 
 
 def f_passage_fast(spark, sf_dir):
@@ -196,18 +223,23 @@ def main():
         for flow, fn in FLOWS.items():
             fn(spark, sf_dir).collect()     # untimed warm rep
             unpersist_pinned(blocking=True)
-            runs = []
+            runs, canaries = [], []
             for _ in range(REPS):
+                if CANARY:
+                    canaries.append(_rep_canaries(spark))
                 t0 = time.time()
                 rows = fn(spark, sf_dir).collect()
                 runs.append(time.time() - t0)
                 unpersist_pinned(blocking=True)
+            order = runs[:]                 # chronological, pre-sort
             runs.sort()
             med = runs[len(runs) // 2]
             walls.setdefault(flow, {})[sf_dir] = round(med, 2)
             print(json.dumps({
                 "flow": flow, "sf_dir": sf_dir,
                 "docs": docs_n[sf_dir], "wall_s": round(med, 2),
+                **({"runs_chrono": [round(r, 2) for r in order],
+                    "canaries": canaries} if CANARY else {}),
                 "runs": [round(r, 2) for r in runs],
                 "docs_per_s": round(docs_n[sf_dir] / med, 1),
                 "result": {k: (int(v) if isinstance(v, int) else v)
