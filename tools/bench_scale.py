@@ -23,6 +23,14 @@ Usage::
     # default: /root/testdata/sf0.1 scratch/sf1 scratch/sf10
     # (generate the scratch dirs with tools/gen_sf.py 10|100 first;
     # absent dirs are skipped)
+    # sf100 RECIPE: one sf_dir (and one flow) per invocation. An r14
+    # session that ran 6 sf10 executions then sf100 reps in the SAME
+    # 48 GiB JVM hit a heap OOM (CollectList merge) around sf100
+    # rep 3; the identical sf100-only invocation completed 6
+    # executions clean. Multi-execution sessions accumulate heap
+    # (shuffle/broadcast metadata is GC-tracked and a 48 GiB heap
+    # full-GCs rarely), so fresh-JVM-per-sf is the measured envelope
+    # — matching r13's one-flow-at-a-time recipe.
 
 Prints one JSON line per (flow, sf_dir) with the median of 3 walls,
 then a RESULT line per flow with the sf-to-sf wall ratios. The
