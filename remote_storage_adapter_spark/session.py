@@ -103,6 +103,19 @@ def get_spark(app_name: str = "remote-storage-adapter-spark") -> SparkSession:
         # run; a real cluster's executors set their own transport).
         .config("spark.python.unix.domain.socket.enabled",
                 os.environ.get("SPARK_GRAFT_UDS", "1") != "0")
+        # r14: ContextCleaner reclaims shuffle/broadcast state only
+        # when the DRIVER GCs, and a large heap (the sf100 recipe
+        # runs 48 GiB) full-GCs rarely — an r14 session that ran 6
+        # sf10 executions then sf100 reps in one JVM OOM'd in a
+        # shuffle-heavy aggregate around rep 3 while the identical
+        # fresh-JVM run completed clean. Halving the periodic-GC
+        # interval (30 min default) bounds cross-execution
+        # accumulation in long-lived sessions; a forced full GC on
+        # an idle driver every 5 min is noise, one during a busy
+        # window is far cheaper than the allocation stall it
+        # prevents. Startup conf: ContextCleaner reads it once.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"))
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
