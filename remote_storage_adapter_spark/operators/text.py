@@ -798,7 +798,9 @@ def query_terms(query: str) -> list[str]:
     return sorted(set(query.lower().split()))
 
 
-def _bm25_score_hits(tf: DataFrame, *, n_docs: int, avgdl: float,
+def _bm25_score_hits(tf: DataFrame, *, n_docs: float | None = None,
+                     avgdl: float | None = None,
+                     stats_df: DataFrame | None = None,
                      k: int, k1: float, b: float) -> DataFrame:
     """Shared scoring tail of the scan-mode and indexed searchers:
     ``tf`` is one row per (id, dl, term) hit with its term frequency,
@@ -808,16 +810,32 @@ def _bm25_score_hits(tf: DataFrame, *, n_docs: int, avgdl: float,
     is ``orderBy().limit(k)`` — TakeOrderedAndProject, never a global
     sort. Per-term contributions round at 9 dp and the summed score at
     6 dp BEFORE ranking, with id as tiebreak, so both engines and both
-    paths rank identically."""
+    paths rank identically.
+
+    Corpus scalars arrive either as Python floats (``n_docs``/
+    ``avgdl`` — the indexed paths, whose one mandatory stats action
+    already read them) or as a LAZY 1-row ``stats_df`` with columns
+    ``(_n double, _avgdl double)`` (the scan paths — the
+    bm25_top_terms r13 fold: a broadcast crossJoin instead of an
+    eager plan-build pass over the corpus). The double expressions
+    are op-for-op identical either way, so the two forms score
+    bit-identically."""
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if stats_df is not None:
+        _n, _avgdl = F.col("_n"), F.col("_avgdl")
+    else:
+        _n, _avgdl = F.lit(float(n_docs)), F.lit(float(avgdl))
     idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        1.0 + (_n - F.col("df") + 0.5)
         / (F.col("df") + 0.5)
     )
     tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / _avgdl)
     )
-    scored = tf.join(F.broadcast(dfq), "term").select(
+    scored = tf.join(F.broadcast(dfq), "term")
+    if stats_df is not None:
+        scored = scored.crossJoin(F.broadcast(stats_df))
+    scored = scored.select(
         "id", F.round(idf * tf_part, 9).alias("contrib"))
     return (
         scored.groupBy("id")
@@ -839,38 +857,43 @@ def bm25_search(docs: DataFrame, query: str, *, k: int = 10,
     grounding), not the per-doc characteristic-term shape of
     :func:`bm25_top_terms`.
 
-    Scan-mode plan: one pass computes the corpus scalars (N, avgdl =
-    Σdl/N in exact integer arithmetic); a second pass explodes tokens
-    and FILTERS TO THE QUERY TERMS BEFORE ANY SHUFFLE, so the
-    aggregated/joined rows are only the (doc, query-term) hits — at
-    100 TB the shuffle volume is proportional to the posting lists of
-    the query's terms, not the corpus. df is derived from the hits
-    (a ≤ |query|-row broadcast); no full-vocabulary table exists in
-    this plan. The pruned hits frame is PINNED (dedup cache contract:
-    release with ``cache_scope()`` / ``unpersist_pinned()``) so the
-    df branch and the scoring branch tokenize the corpus once between
-    them — two scans total including the scalars pass, never three.
-    The at-rest form that also skips the corpus scan is
-    :func:`build_text_index` + :func:`bm25_search_indexed`.
+    Scan-mode plan: the corpus scalars (N, avgdl = Σdl/N) ride a LAZY
+    broadcast 1-row frame (the r14 fold of the bm25_top_terms r13
+    recipe — the old eager ``.first()`` ran a full sequential
+    tokenize pass at plan-build time, then the real query ran the
+    corpus again; lazy, the stats branch executes CONCURRENTLY inside
+    the one job). A second branch explodes tokens and FILTERS TO THE
+    QUERY TERMS BEFORE ANY SHUFFLE, so the aggregated/joined rows are
+    only the (doc, query-term) hits — at 100 TB the shuffle volume is
+    proportional to the posting lists of the query's terms, not the
+    corpus. df is derived from the hits (a ≤ |query|-row broadcast);
+    no full-vocabulary table exists in this plan. The pruned hits
+    frame is PINNED (dedup cache contract: release with
+    ``cache_scope()`` / ``unpersist_pinned()``) so the df branch and
+    the scoring branch tokenize the corpus once between them. The
+    empty-corpus guard stays an eager raise, but on a take(1) probe,
+    not a corpus pass. The at-rest form that also skips the corpus
+    scan is :func:`build_text_index` + :func:`bm25_search_indexed`.
 
     Returns (id_col, score, n_terms_matched), ranked (score desc, id).
     """
     qterms = query_terms(query)
     if not qterms:
         raise ValueError("query has no terms after normalization")
+    if docs.isEmpty():
+        raise ValueError("empty corpus")
     base = docs.select(
         F.col(id_col).alias("id"),
         # NULL text = empty doc (one "" token), same full-coverage
         # decision as line_dedup — and F.size(NULL) is -1, which would
         # corrupt the total_dl corpus scalar
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    # _avgdl divides as double/double — bit-identical to the old
+    # Python ``tot / n`` for any corpus whose token total fits 2^53
     stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("toks")).alias("tot")).first()
-    n_docs = stats["n"]
-    if not n_docs:
-        raise ValueError("empty corpus")
-    avgdl = stats["tot"] / n_docs
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum(F.size("toks")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("_avgdl"))
     tf = _pin(
         base.select(
             "id", F.size("toks").alias("dl"),
@@ -879,7 +902,7 @@ def bm25_search(docs: DataFrame, query: str, *, k: int = 10,
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return _bm25_score_hits(tf, n_docs=n_docs, avgdl=avgdl,
+    return _bm25_score_hits(tf, stats_df=stats,
                             k=k, k1=k1, b=b) \
         .withColumnRenamed("id", id_col)
 
@@ -942,14 +965,7 @@ def bm25_search_indexed(spark, path: str, query: str, *, k: int = 10,
     if not qterms:
         raise ValueError("query has no terms after normalization")
     tbs = sorted({term_bucket_of(t, buckets) for t in qterms})
-    sdf = _read_stats(spark, path)
-    _check_index_buckets(sdf, buckets, path)
-    st = sdf.agg(F.sum("n_docs").alias("n"),
-                 F.sum("total_dl").alias("tot")).first()
-    n_docs = st["n"]
-    if not n_docs:
-        raise ValueError(f"empty index stats at {path}/_stats")
-    avgdl = st["tot"] / n_docs
+    n_docs, avgdl = _probe_stats(spark, path, buckets)
     tf = (
         spark.read.parquet(path)
         .filter(F.col("tb").isin(tbs))
@@ -1356,6 +1372,50 @@ def _read_stats(spark, path: str) -> DataFrame:
         .parquet(f"{path}/_stats")
 
 
+def _probe_stats(spark, path: str, buckets: int) -> tuple[int, float]:
+    """Probe-time stats read: the bucket-modulus guard and the corpus
+    scalars (N, avgdl) off ONE action over the tiny ``_stats`` table
+    (r14 — the guard's ``.distinct().collect()`` and the scalars'
+    ``.agg().first()`` used to be two sequential driver jobs per
+    probe; merged they cost one). Raise semantics are identical to
+    :func:`_check_index_buckets` + the callers' empty-stats check:
+    legacy no-column index, modulus mismatch, and empty stats all
+    fail loudly before any posting is scanned."""
+    sdf = _read_stats(spark, path)
+    if "buckets" not in sdf.columns:
+        _raise_legacy_index(path, buckets)
+    st = sdf.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum("total_dl").alias("tot"),
+        F.collect_set("buckets").alias("bks")).first()
+    seen = set(st["bks"])  # collect_set drops NULL declaration gaps
+    if seen and seen != {buckets}:
+        _raise_bucket_mismatch(path, buckets, seen)
+    if not st["n"]:
+        raise ValueError(f"empty index stats at {path}/_stats")
+    return st["n"], st["tot"] / st["n"]
+
+
+def _raise_legacy_index(path: str, buckets: int) -> None:
+    raise ValueError(
+        f"text index at {path} predates term-bucket modulus "
+        f"recording (no 'buckets' column in _stats), so the "
+        f"caller's buckets={buckets} cannot be verified — a "
+        f"mismatch silently prunes probes to wrong tb partitions "
+        f"and strands appended postings. Declare the modulus the "
+        f"index was BUILT with (once) via "
+        f"declare_index_buckets(spark, path, <built_buckets>), "
+        f"then retry")
+
+
+def _raise_bucket_mismatch(path: str, buckets: int, seen: set) -> None:
+    raise ValueError(
+        f"text index at {path} was built/appended with "
+        f"term-bucket count(s) {sorted(seen)} but called with "
+        f"buckets={buckets} — tb pruning would read the wrong "
+        f"partitions; pass the build's bucket count")
+
+
 def _check_index_buckets(stats_df: DataFrame, buckets: int,
                          path: str) -> None:
     """Raise if the index's recorded term-bucket modulus differs from
@@ -1372,24 +1432,12 @@ def _check_index_buckets(stats_df: DataFrame, buckets: int,
     this guard works normally (rows that predate the declaration read
     as NULL under the merged schema and are skipped)."""
     if "buckets" not in stats_df.columns:
-        raise ValueError(
-            f"text index at {path} predates term-bucket modulus "
-            f"recording (no 'buckets' column in _stats), so the "
-            f"caller's buckets={buckets} cannot be verified — a "
-            f"mismatch silently prunes probes to wrong tb partitions "
-            f"and strands appended postings. Declare the modulus the "
-            f"index was BUILT with (once) via "
-            f"declare_index_buckets(spark, path, <built_buckets>), "
-            f"then retry")
+        _raise_legacy_index(path, buckets)
     seen = {r["b"] for r in
             stats_df.select(F.col("buckets").alias("b"))
             .distinct().collect() if r["b"] is not None}
     if seen and seen != {buckets}:
-        raise ValueError(
-            f"text index at {path} was built/appended with "
-            f"term-bucket count(s) {sorted(seen)} but called with "
-            f"buckets={buckets} — tb pruning would read the wrong "
-            f"partitions; pass the build's bucket count")
+        _raise_bucket_mismatch(path, buckets, seen)
 
 
 def declare_index_buckets(spark, path: str, buckets: int) -> None:
@@ -1522,8 +1570,10 @@ def passage_contamination(docs: DataFrame, benchmark: DataFrame, *,
 
 
 def _bm25_score_batch(tf_hits: DataFrame, qt: DataFrame, *,
-                      n_docs: int, avgdl: float, k: int,
-                      k1: float, b: float) -> DataFrame:
+                      n_docs: float | None = None,
+                      avgdl: float | None = None,
+                      stats_df: DataFrame | None = None,
+                      k: int, k1: float, b: float) -> DataFrame:
     """Shared scoring tail of the batched searchers: ``tf_hits`` is
     one row per (id, dl, term, tf) over the UNION of all queries'
     terms; ``qt`` the (q_id, term) membership pairs (broadcast-small
@@ -1531,17 +1581,26 @@ def _bm25_score_batch(tf_hits: DataFrame, qt: DataFrame, *,
     once from the hits; the per-query fan-out join multiplies each hit
     row by the queries containing its term. Top-k per query is a
     ranking window over the (q_id, id) score rows — O(Q·matched),
-    never the corpus."""
+    never the corpus. Corpus scalars arrive as floats (indexed path)
+    or a lazy 1-row ``(_n, _avgdl)`` ``stats_df`` (scan path) —
+    see :func:`_bm25_score_hits`."""
     dfq = tf_hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if stats_df is not None:
+        _n, _avgdl = F.col("_n"), F.col("_avgdl")
+    else:
+        _n, _avgdl = F.lit(float(n_docs)), F.lit(float(avgdl))
     idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        1.0 + (_n - F.col("df") + 0.5)
         / (F.col("df") + 0.5)
     )
     tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / _avgdl)
     )
+    scored = tf_hits.join(F.broadcast(dfq), "term")
+    if stats_df is not None:
+        scored = scored.crossJoin(F.broadcast(stats_df))
     scored = (
-        tf_hits.join(F.broadcast(dfq), "term")
+        scored
         .select("id", "term", F.round(idf * tf_part, 9).alias("contrib"))
         .join(F.broadcast(qt), "term")
         .groupBy("q_id", "id")
@@ -1591,16 +1650,20 @@ def bm25_search_batch(docs: DataFrame, queries: DataFrame, *,
         .distinct()
     )
     terms = qt.select("term").distinct()
+    if docs.isEmpty():
+        raise ValueError("empty corpus")
     base = docs.select(
         F.col(id_col).alias("id"),
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    # corpus scalars as a LAZY broadcast 1-row frame (r14, the
+    # bm25_search / bm25_top_terms fold): the eager ``.first()`` here
+    # ran a full sequential tokenize pass per call before the real
+    # query ran the corpus again. The guard above keeps the
+    # empty-corpus raise eager on a take(1) probe instead.
     stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("toks")).alias("tot")).first()
-    n_docs = stats["n"]
-    if not n_docs:
-        raise ValueError("empty corpus")
-    avgdl = stats["tot"] / n_docs
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum(F.size("toks")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("_avgdl"))
     tf = _pin(
         base.select(
             "id", F.size("toks").alias("dl"),
@@ -1609,7 +1672,7 @@ def bm25_search_batch(docs: DataFrame, queries: DataFrame, *,
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return _bm25_score_batch(tf, qt, n_docs=n_docs, avgdl=avgdl,
+    return _bm25_score_batch(tf, qt, stats_df=stats,
                              k=k, k1=k1, b=b) \
         .withColumnRenamed("id", id_col)
 
@@ -1641,14 +1704,7 @@ def bm25_search_batch_indexed(spark, path: str, queries: DataFrame, *,
     if not term_list:
         raise ValueError("query batch has no terms after normalization")
     tbs = sorted({term_bucket_of(t, buckets) for t in term_list})
-    sdf = _read_stats(spark, path)
-    _check_index_buckets(sdf, buckets, path)
-    st = sdf.agg(F.sum("n_docs").alias("n"),
-                 F.sum("total_dl").alias("tot")).first()
-    n_docs = st["n"]
-    if not n_docs:
-        raise ValueError(f"empty index stats at {path}/_stats")
-    avgdl = st["tot"] / n_docs
+    n_docs, avgdl = _probe_stats(spark, path, buckets)
     tf = (
         spark.read.parquet(path)
         .filter(F.col("tb").isin(tbs))
