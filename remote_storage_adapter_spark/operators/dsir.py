@@ -238,13 +238,29 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int, *,
     if reuse_counts:
         counts = _pin(counts)
     cnt_schema = "bucket int, c long"
+    # ONE tagged-union collect for both dim-row count tables (r14):
+    # collected sequentially, the raw-corpus pass and the target pass
+    # ran as two driver round-trips with the second scan idling the
+    # cluster until the first returned; unioned, both branches
+    # schedule inside one job (the q̂ branch also materializes the
+    # pinned counts frame exactly as the old first collect did), and
+    # the round-trip constant is paid once. Row sets per side are
+    # unchanged — the local relations feed bucket-keyed joins, so
+    # collect order is immaterial.
+    both = (
+        corpus_counts_from_doc_counts(counts)
+        .select(F.lit(0).alias("side"), "bucket", "c")
+        .unionByName(
+            hashed_ngram_counts(target_docs, dim=dim, bigrams=bigrams,
+                                text_col=text_col)
+            .select(F.lit(1).alias("side"), "bucket", "c"))
+    ).collect()
     rc_local = spark.createDataFrame(
-        [(r["bucket"], r["c"]) for r in
-         corpus_counts_from_doc_counts(counts).collect()], cnt_schema)
+        [(r["bucket"], r["c"]) for r in both if r["side"] == 0],
+        cnt_schema)
     tc_local = spark.createDataFrame(
-        [(r["bucket"], r["c"]) for r in
-         hashed_ngram_counts(target_docs, dim=dim, bigrams=bigrams,
-                             text_col=text_col).collect()], cnt_schema)
+        [(r["bucket"], r["c"]) for r in both if r["side"] == 1],
+        cnt_schema)
     lam = dsir_log_ratios(tc_local, rc_local, dim=dim, alpha=alpha)
     w = _weights_from_counts(counts, lam, id_col, "logw")
     # u ∈ [0, 1) is bit-identical across engines (pure hash→double
