@@ -686,9 +686,13 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame, *,
     # signature join-backs all read ls/rs, and in the uncapped path
     # those branches otherwise race an unpopulated cache and recompute
     # the signature pipeline twice (the same ~2x cold cost
-    # minhash_lsh_pairs' cap branch calls out)
-    ls.count()
-    rs.count()
+    # minhash_lsh_pairs' cap branch calls out). ONE union action
+    # (r14): scanning an InMemoryRelation populates its cache
+    # whatever the parent plan, so the union materializes BOTH pins
+    # with the two signature pipelines scheduled concurrently in one
+    # job — sequential counts left the cluster idle on the other side
+    # and paid the driver round-trip twice.
+    ls.unionByName(rs).count()
     lb = _band_frame(ls, bands=bands, rows_per_band=rows_per_band,
                      mode=mode)
     rb = _band_frame(rs, bands=bands, rows_per_band=rows_per_band,
