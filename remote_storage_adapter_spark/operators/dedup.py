@@ -1968,11 +1968,25 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                          F.col("src").alias("dst")))
     else:
         loop_edges = base
+    # edges persist HASH-PARTITIONED BY src (r14): the per-round join
+    # requires HashPartitioning(src, P), but the union of the
+    # (src,dst)-partitioned base with the self-loops reports no usable
+    # partitioning, so EVERY round re-exchanged the edge set — the
+    # big side of the loop, E+N rows — before joining the labels. One
+    # repartition at materialization makes the cached layout satisfy
+    # the join's requirement; with AQE off for the loop the partition
+    # count is stable at P, and the labels side (each round's groupBy
+    # output at the same P) already matches, so rounds run with a
+    # single exchange (the groupBy) instead of two. At 100 TB this
+    # halves the loop's shuffled bytes.
+    n_parts = int(pairs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
     edges = (
         loop_edges.unionByName(  # self-loops fold each node's own label in
             nodes.select(F.col("id").alias("src"),
                          F.col("id").alias("dst"))
         )
+        .repartition(n_parts, F.col("src"))
         .persist()
     )
     labels = nodes.withColumn("lbl", F.col("id")).persist()
