@@ -631,6 +631,24 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _occ_key(id_col: Column, pos_col: Column) -> Column:
+    """Order-isomorphic packed occurrence key for first-wins rules:
+    fixed-width uppercase hex of (sign-flipped id, position), so
+    string comparison == lexicographic (id, pos) comparison (the sign
+    flip makes two's-complement longs sort numerically under the
+    unsigned byte order; positions are non-negative ints, 8 hex chars
+    suffice). Why a string and not ``min(struct(id, pos))``: min over
+    a struct is a declarative aggregate with an immutable buffer, so
+    Catalyst plans it as SortAggregate — TWO full sorts (partial +
+    final) of the exploded occurrence frame; min over a string runs
+    in HashAggregate with map-side partial aggregation. The packing
+    is bijective on (id, pos), so ``enc == min(enc)`` decides exactly
+    what ``(first.id == id) AND (first.pos == pos)`` decided."""
+    return F.concat(
+        F.lpad(F.hex(id_col.bitwiseXOR(F.lit(-(2 ** 63)))), 16, "0"),
+        F.lpad(F.hex(pos_col.cast("long")), 8, "0"))
+
+
 def doc_lines(docs: DataFrame, *, line_tokens: int = 10,
               id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
@@ -713,13 +731,15 @@ def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
     """
     narrow = doc_lines(docs, line_tokens=line_tokens, id_col=id_col,
                        text_col=text_col).select("id", "line_idx", "lh")
-    firsts = narrow.groupBy("lh").agg(
-        F.min(F.struct(F.col("id"), F.col("line_idx"))).alias("first"),
-    )
+    # first occurrence via the packed key (r14): HashAggregate with
+    # map-side partial min instead of the struct-min SortAggregate's
+    # two full sorts of the exploded frame; the join side recomputes
+    # the key as a pure expression, so no extra bytes are shuffled
+    occ = _occ_key(F.col("id"), F.col("line_idx"))
+    firsts = narrow.groupBy("lh").agg(F.min(occ).alias("first"))
     flags = narrow.join(firsts, "lh").select(
         "id", "line_idx",
-        ((F.col("first.id") == F.col("id"))
-         & (F.col("first.line_idx") == F.col("line_idx"))).alias("keep"),
+        (occ == F.col("first")).alias("keep"),
     )
     mask = flags.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -1299,12 +1319,14 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
         wins = wins.repartition(tgt, "wh")
     else:
         wins = wins.repartition("wh")
-    firsts = wins.groupBy("wh").agg(
-        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"))
+    # packed-key first occurrence (r14, same as line_dedup): the
+    # struct-min SortAggregate sorted every window row twice; the
+    # string min hash-aggregates over the reused wh clustering
+    occ = _occ_key(F.col("id"), F.col("pos"))
+    firsts = wins.groupBy("wh").agg(F.min(occ).alias("first"))
     flagged = wins.join(firsts, "wh").select(
         "id", "pos",
-        ((F.col("first.id") == F.col("id"))
-         & (F.col("first.pos") == F.col("pos"))).alias("keep"))
+        (occ == F.col("first")).alias("keep"))
     mask = flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("keep"), 0).otherwise(1))
