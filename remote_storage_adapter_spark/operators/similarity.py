@@ -343,23 +343,33 @@ def ivf_index(embs: DataFrame, n_cells: int = 16,
         # meaningful nearest cell; sim = -2 (below any real cosine)
         # for EVERY seed makes the lexicographic max fall through to
         # the lowest cell id — deterministic, and such a vector can
-        # never win a similarity comparison downstream
-        cands = F.array(*[
-            F.struct(
-                F.coalesce(
-                    F.try_divide(
-                        _dot_lit(F.col(vec_col),
-                                 [float(x) for x in vec]),
-                        F.col("_vn")
-                        * F.lit(math.sqrt(sum(float(x) * float(x)
-                                              for x in vec)) or 1.0),
-                    ),
-                    F.lit(-2.0),
-                ).alias("sim"),
-                F.lit(-int(sid)).cast("long").alias("neg_id"),
-            )
-            for sid, vec in seed_rows
-        ])
+        # never win a similarity comparison downstream.
+        #
+        # The whole candidates array ships as ONE F.expr string (r14,
+        # the _lit_doubles rationale one level up): building it from
+        # Column operations cost ~15 py4j round-trips per seed plus
+        # lambda conversion — ~0.8 s of pure driver time per plan
+        # build at 16 seeds × 64 dims, paid per ivf_train/assignment
+        # call. The SQL text parses JVM-side in milliseconds and
+        # yields the identical expression tree (same zip_with/
+        # aggregate fold order, casts, try_divide, coalesce), so
+        # assignments are bit-identical; repr(float) round-trips
+        # doubles exactly and the D suffix keeps literals DOUBLE.
+        def one(sid, vec) -> str:
+            arr = "array(" + ",".join(
+                repr(float(x)) + "D" for x in vec) + ")"
+            sn = repr(math.sqrt(sum(float(x) * float(x)
+                                    for x in vec)) or 1.0) + "D"
+            return (
+                "named_struct('sim', coalesce(try_divide("
+                f"aggregate(zip_with(`{vec_col}`, {arr}, "
+                "(x, y) -> cast(x as double) * y), 0.0D, "
+                f"(acc, x) -> acc + x), `_vn` * {sn}), -2.0D), "
+                f"'neg_id', cast({-int(sid)} as bigint))")
+
+        cands = F.expr(
+            "array(" + ",".join(one(sid, vec)
+                                for sid, vec in seed_rows) + ")")
         # lexicographic max: highest sim, then highest -id = lowest id
         best = F.array_max(cands)
         return with_n.withColumn("cell", -best["neg_id"]).drop("_vn")
@@ -448,19 +458,26 @@ def ivf_train(embs: DataFrame, n_cells: int = 16, iters: int = 3,
     """
     import numpy as np
 
-    rows = (
+    # Arrow transfer (r14, guide: Arrow for driver pulls): the sample
+    # is train_limit × dim doubles, and the row-based collect spent
+    # most of this function's wall deserializing 64-element lists one
+    # Python object at a time (measured ~0.9 s/call at 20k×64 on the
+    # bench host). toPandas ships the same TakeOrdered result as
+    # Arrow record batches — IEEE doubles bit-exact, row order
+    # preserved — and the numpy matrix builds from whole arrays.
+    pdf = (
         embs.orderBy(F.col(id_col))
         .limit(max(int(train_limit), n_cells))
         .select(vec_col)
-        .collect()
+        .toPandas()
     )
-    if not rows:
+    if pdf.empty:
         # empty corpus (e.g. an empty micro-batch): no seeds to fold
         # into the assignment plan — return an empty assignment with
         # the output schema instead of building array_max(array())
         return embs.withColumn("cell", F.lit(0).cast("long")), []
-    X = np.array([[float(x) for x in r[vec_col]] for r in rows],
-                 dtype=np.float64)
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col]], dtype=np.float64)
     xn = np.linalg.norm(X, axis=1)
     cent = X[:n_cells].copy()
     last_cent = cent
