@@ -102,7 +102,12 @@ def hashed_features(docs: DataFrame, *, dim: int = 256,
 
 def _margin(w: Sequence[float], bias: float) -> "F.Column":
     """w·x + b as a JVM-side expression over the features array."""
-    warr = F.array(*[F.lit(float(v)) for v in w])
+    # one parsed expr, not a py4j call per element (the similarity
+    # _lit_doubles rationale): dim=256 cost ~0.25 s of driver time
+    # per margin build, paid once per lr_train ITERATION. repr(float)
+    # round-trips doubles exactly; D keeps the literals DOUBLE.
+    warr = F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in w) + ")")
     return F.aggregate(
         F.zip_with(F.col("features"), warr, lambda x, wi: x * wi),
         F.lit(0.0), lambda acc, v: acc + v,
