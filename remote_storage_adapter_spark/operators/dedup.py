@@ -2166,9 +2166,16 @@ def simhash_fingerprints(docs: DataFrame, *, bits: int = 64,
     # single long, halving the aggregate count. Lane overflow needs
     # 2^31 tokens in ONE document (≥ 4 GiB of text — Spark's 2 GiB
     # string cap is hit first), so the packing is exact.
-    lane = F.lit((1 << 32) | 1).cast("long")
+    # expression construction via expr strings (r14): the Column form
+    # of these 32 lane sums + the 64-element assembly array cost
+    # ~0.65 s of driver-side py4j round-trips and analysis PER PLAN
+    # BUILD (measured at bench scale — more than the probe's whole
+    # distributed execution). One parsed string per aggregate yields
+    # the identical integer expression tree, so fingerprints are
+    # bit-identical (everything here is integer arithmetic).
+    lane = (1 << 32) | 1
     aggs = [
-        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(lane))
+        F.expr(f"sum(shiftrightunsigned(h, {j}) & {lane})")
         .alias(f"_s{j}")
         for j in range(bits // 2)
     ] + [F.count(F.lit(1)).alias("_n")]
@@ -2181,21 +2188,16 @@ def simhash_fingerprints(docs: DataFrame, *, bits: int = 64,
     # partitioning, so the re-group adds no Exchange; a sum of
     # distinct powers of two IS the bitwise OR (bit 63 wraps to the
     # sign bit — two's complement keeps the value exact).
-    cnts = F.array(*[
-        (F.col(f"_s{b % (bits // 2)}")
-         .bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
-         if b < bits // 2
-         else F.shiftrightunsigned(F.col(f"_s{b - bits // 2}"), 32))
-        for b in range(bits)
-    ])
+    cnts = F.expr("array(" + ",".join(
+        (f"(_s{b} & 4294967295)" if b < bits // 2
+         else f"shiftrightunsigned(_s{b - bits // 2}, 32)")
+        for b in range(bits)) + ")")
     per_bit = voted.select(
         "id", "_n", F.posexplode(cnts).alias("b", "c"))
     return per_bit.groupBy("id").agg(
-        F.sum(
-            F.when(2 * F.col("c") > F.col("_n"),
-                   F.expr("shiftleft(cast(1 as bigint), b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("fp"))
+        F.expr("sum(CASE WHEN 2 * c > _n "
+               "THEN shiftleft(cast(1 as bigint), b) "
+               "ELSE cast(0 as bigint) END)").alias("fp"))
 
 
 def _simhash_fp_frame(docs: DataFrame, id_col: str, text_col: str,
