@@ -528,26 +528,29 @@ def bench_image_near_dup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # hash-derived grays (NOT linear in doc_id — a linear recipe mod
     # 256 makes every doc_id residue class the identical image and
-    # the pair output quadratic in n/256)
-    g = [F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(256))
-         for i in range(18)]
-    # adler32 of the 20 raw bytes [0 g0..g8 0 g9..g17] — closed form;
-    # s1 ≤ 4591 and s2 ≤ 45920, both < 65521 so no modulus
-    s1 = sum(g, F.lit(1))
-    s2 = sum((g[i] * (19 - i) for i in range(9)), F.lit(20)) \
-        + sum(g[9 + i] * (9 - i) for i in range(9))
-    be = Q._be_bytes  # the one shared byte-planting recipe
-    payload = F.concat(
-        F.lit(bytes.fromhex(
-            "89504E470D0A1A0A" "0000000D49484452"
+    # the pair output quadratic in n/256). adler32 of the 20 raw
+    # bytes [0 g0..g8 0 g9..g17] in closed form; s1 ≤ 4591 and
+    # s2 ≤ 45920, both < 65521 so no modulus. The whole payload ships
+    # as ONE parsed expr (r14): the Column form (18 hash exprs + 19
+    # unhex/lpad/hex byte-plants + two literal sums) cost ~0.3 s of
+    # driver-side py4j round-trips PER TIMED REP — harness
+    # construction time billed to the operator's row. Identical
+    # bytes: same functions, same integer fold order, verified
+    # aggregate-equal against the Column form when introduced.
+    gs = [f"pmod(xxhash64(doc_id, {i}), 256)" for i in range(18)]
+    s1 = "(1" + "".join(f" + {g}" for g in gs) + ")"
+    s2 = ("(20" + "".join(f" + {gs[i]} * {19 - i}" for i in range(9))
+          + "".join(f" + {gs[9 + i]} * {9 - i}" for i in range(9)) + ")")
+    be2 = [f"unhex(lpad(hex({g}), 2, '0'))" for g in gs]
+    head = ("89504E470D0A1A0A" "0000000D49484452"
             "0000000900000002" "0800000000" "00000000"
-            "0000001F49444154" "7801" "011400EBFF" "00")),
-        *[be(c, 2) for c in g[:9]],
-        F.lit(b"\x00"),
-        *[be(c, 2) for c in g[9:]],
-        be(s2 * 65536 + s1, 8),
-        F.lit(bytes.fromhex("00000000" "0000000049454E44" "00000000")),
-    )
+            "0000001F49444154" "7801" "011400EBFF" "00")
+    tail = "00000000" "0000000049454E44" "00000000"
+    payload = F.expr(
+        "concat(X'" + head + "'," + ",".join(be2[:9]) + ",X'00',"
+        + ",".join(be2[9:])
+        + f",unhex(lpad(hex({s2} * 65536 + {s1}), 8, '0'))"
+        + ",X'" + tail + "')")
     media = docs.select(F.col("doc_id").alias("media_id"),
                         payload.alias("payload"))
     return MM.image_near_dup_pairs(media, max_hamming=3).agg(
