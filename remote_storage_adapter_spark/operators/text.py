@@ -637,13 +637,20 @@ def _occ_key(id_col: Column, pos_col: Column) -> Column:
     string comparison == lexicographic (id, pos) comparison (the sign
     flip makes two's-complement longs sort numerically under the
     unsigned byte order; positions are non-negative ints, 8 hex chars
-    suffice). Why a string and not ``min(struct(id, pos))``: min over
-    a struct is a declarative aggregate with an immutable buffer, so
-    Catalyst plans it as SortAggregate — TWO full sorts (partial +
-    final) of the exploded occurrence frame; min over a string runs
-    in HashAggregate with map-side partial aggregation. The packing
-    is bijective on (id, pos), so ``enc == min(enc)`` decides exactly
-    what ``(first.id == id) AND (first.pos == pos)`` decided."""
+    suffice). Why a string and not ``min(struct(id, pos))``: both
+    forms plan as SortAggregate (min's buffer is var-length either
+    way, so HashAggregate's mutable fixed-width buffer requirement
+    fails for both — the r14 plan captures confirm the shape is
+    unchanged), but the PER-ROW UPDATE cost differs: struct min runs
+    an interpreted per-field ordering and copies a nested row into
+    the buffer on every winning update, while string min is one flat
+    byte compare (``UTF8String.compareTo``) with a flat copy. The
+    exploded occurrence frame pays that update once per row in the
+    partial aggregate — the operator's largest intermediate —
+    measured 1.75x on line_dedup at sf1 (interleaved A/B, outputs
+    equal). The packing is bijective on (id, pos), so
+    ``enc == min(enc)`` decides exactly what
+    ``(first.id == id) AND (first.pos == pos)`` decided."""
     return F.concat(
         F.lpad(F.hex(id_col.bitwiseXOR(F.lit(-(2 ** 63)))), 16, "0"),
         F.lpad(F.hex(pos_col.cast("long")), 8, "0"))
@@ -723,18 +730,19 @@ def line_dedup(docs: DataFrame, *, line_tokens: int = 10,
     tag-the-exploded-text plan it replaced — modest there because
     local shuffles are memory-cheap; on a network-shuffled cluster
     the halved text bytes are the dominant term). No window functions: the first-occurrence rule is
-    ``min(struct(doc_id, line_idx))`` per hash, reassembly is
-    ``element_at(la, idx)`` over the sorted keep mask — hash
+    a packed-key ``min`` per hash (:func:`_occ_key`), reassembly is
+    ``element_at(la, idx)`` over the sorted keep mask — plain
     aggregates and a pure map. (The 60-bit hash merges distinct lines
     with probability ~L^2/2^61 for L distinct lines corpus-wide; at
     trillion-line scale switch the group key to the full md5.)
     """
     narrow = doc_lines(docs, line_tokens=line_tokens, id_col=id_col,
                        text_col=text_col).select("id", "line_idx", "lh")
-    # first occurrence via the packed key (r14): HashAggregate with
-    # map-side partial min instead of the struct-min SortAggregate's
-    # two full sorts of the exploded frame; the join side recomputes
-    # the key as a pure expression, so no extra bytes are shuffled
+    # first occurrence via the packed key (r14): same SortAggregate
+    # shape, but each per-occurrence min update is a flat byte
+    # compare instead of an interpreted struct ordering + row copy
+    # (see _occ_key); the join side recomputes the key as a pure
+    # expression, so no extra column rides the exploded shuffle
     occ = _occ_key(F.col("id"), F.col("line_idx"))
     firsts = narrow.groupBy("lh").agg(F.min(occ).alias("first"))
     flags = narrow.join(firsts, "lh").select(
@@ -1133,8 +1141,9 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
     100 TB shape (the :func:`line_dedup` discipline): the decision
     pipeline is hash-narrow end to end — window hashes are built
     MAP-SIDE from the token array (no token explode), the
-    first-occurrence rule is an order-free ``min(struct(id, pos))``
-    hash aggregate, and only (hash/id, pos) rows ever shuffle. The
+    first-occurrence rule is an order-free packed-key ``min``
+    aggregate (:func:`_occ_key`), and only (hash/id, pos) rows ever
+    shuffle. The
     duplicate window-start lists come back as one sorted int array
     per doc; removal itself is a PURE MAP over the original token
     array — an O(D) interval-merge fold (sorted starts → disjoint
@@ -1319,9 +1328,9 @@ def passage_dedup(docs: DataFrame, *, window: int = 10,
         wins = wins.repartition(tgt, "wh")
     else:
         wins = wins.repartition("wh")
-    # packed-key first occurrence (r14, same as line_dedup): the
-    # struct-min SortAggregate sorted every window row twice; the
-    # string min hash-aggregates over the reused wh clustering
+    # packed-key first occurrence (r14, same as line_dedup): same
+    # SortAggregate shape, cheaper per-window-row min update — flat
+    # byte compare instead of interpreted struct ordering (_occ_key)
     occ = _occ_key(F.col("id"), F.col("pos"))
     firsts = wins.groupBy("wh").agg(F.min(occ).alias("first"))
     flagged = wins.join(firsts, "wh").select(
