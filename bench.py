@@ -777,15 +777,35 @@ def _wait_for_quiet(max_wait_s, threshold=2.0, *, poll_s=15.0,
     return round(clock() - t0, 1)
 
 
-def _probe_job_ref(spark):
-    """Median wall of 10 one-row jobs, in ms — the per-job scheduling
-    constant canary (r12)."""
+def _probe_job_ref(spark, n=10):
+    """Median wall of ``n`` one-row jobs, in ms — the per-job
+    scheduling constant canary (r12). In-run block probes (r15) use a
+    smaller ``n`` to bound the untimed overhead they add between
+    rows."""
     ts = []
-    for _ in range(10):
+    for _ in range(n):
         t0 = time.perf_counter()
         spark.range(1).count()
         ts.append(time.perf_counter() - t0)
     return round(1000 * sorted(ts)[len(ts) // 2], 1)
+
+
+def _job_ref_stats(probes):
+    """(median, unstable) over the run's job-ref probe series (r15,
+    VERDICT r14 next #1). The MEDIAN is the constant the run
+    typically paid — the r14 min-of-endpoints estimator missed a
+    mid-run burst that both endpoints missed and the normalized view
+    OVER-read the raw total. ``unstable`` flags (never inverts) the
+    normalized view when probes disagree >2×: per-row normalization
+    against a bursty series is still the best available estimate, but
+    a reader must know the constant moved under the run."""
+    vals = [v for v in (probes or [])
+            if isinstance(v, (int, float)) and v > 0]
+    if not vals:
+        return None, False
+    vals = sorted(vals)
+    med = vals[len(vals) // 2]
+    return med, (vals[-1] / vals[0]) > 2.0
 
 
 def _effective_job_ref(start_ms, end_ms):
@@ -809,7 +829,7 @@ def _effective_job_ref(start_ms, end_ms):
 
 
 def _normalize_rows(timings, stage_counts, env_job_ref_ms,
-                    ref_job_ref_ms):
+                    ref_job_ref_ms, row_refs=None):
     """Canary-normalized per-row view (VERDICT r13 next #1).
 
     The host's per-JOB scheduling constant has drifted 120-195 ms
@@ -836,19 +856,29 @@ def _normalize_rows(timings, stage_counts, env_job_ref_ms,
     ``(per_row_dict, total)`` or ``(None, None)`` when either job_ref
     canary is missing — normalization is only defensible against a
     reference that recorded its own constant.
+
+    r15 (VERDICT r14 next #1): ``row_refs`` — a {row: job_ref_ms} map
+    from the in-run probe series — supplies each row's OWN constant
+    (min of the probes bracketing its 5-row block), so a mid-run
+    burst re-prices only the rows that actually ran under it. The
+    scalar ``env_job_ref_ms`` stays the fallback for rows without a
+    probe record (and for the pre-r15 unit locks).
     """
     if not (isinstance(env_job_ref_ms, (int, float))
             and env_job_ref_ms > 0
             and isinstance(ref_job_ref_ms, (int, float))
             and ref_job_ref_ms > 0):
         return None, None
-    scale = ref_job_ref_ms / env_job_ref_ms
     out = {}
     for name, wall in timings.items():
         rec = stage_counts.get(name) or {}
         reps = rec.get("reps") or 1
         stages = (rec.get("stages") or 0) / reps
-        jb = min(wall, stages * env_job_ref_ms / 1000.0)
+        row_ref = (row_refs or {}).get(name)
+        if not (isinstance(row_ref, (int, float)) and row_ref > 0):
+            row_ref = env_job_ref_ms
+        scale = ref_job_ref_ms / row_ref
+        jb = min(wall, stages * row_ref / 1000.0)
         out[name] = round(max(wall - jb * (1.0 - scale), 0.0), 3)
     return out, round(sum(out.values()), 3)
 
@@ -1015,7 +1045,18 @@ def main():
     # (spark.ui.retained*) can't age the records out.
     stage_counts = {}
     sc = spark.sparkContext
-    for name in bench_order:
+    # r15 (VERDICT r14 next #1): in-run job-ref probe series. The r14
+    # official run was stalled 2.8-4.4× mid-run while BOTH endpoint
+    # probes read healthy, so min-of-endpoints normalization inverted
+    # (normalized > raw). Probe the constant at every 5-row block
+    # boundary (6 one-row jobs each, untimed — outside every row's
+    # reps); each row then normalizes against the min of the two
+    # probes bracketing its own block, so a burst re-prices only the
+    # rows that ran under it.
+    probe_block = 5
+    probes = [env_start.get("job_ref_ms")]
+    row_block = {}
+    for pos, name in enumerate(bench_order):
         fn = BENCH_QUERIES[name]
         # one untimed warm-up rep per query: the first run pays
         # one-time costs the operator doesn't own (shuffle-file
@@ -1090,6 +1131,11 @@ def main():
         raw_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: {timings[name]}s median of {n_reps} "
               f"(spread {spread[name]}s, {n} rows)", file=sys.stderr)
+        row_block[name] = pos // probe_block
+        if ((pos + 1) % probe_block == 0
+                and (pos + 1) < len(bench_order)):
+            sc.setJobGroup("bench-probe", "untimed job_ref block probe")
+            probes.append(_probe_job_ref(spark, n=6))
 
     # report in the canonical registry order regardless of the run's
     # rotation — round-over-round artifact diffs stay line-stable
@@ -1109,6 +1155,15 @@ def main():
     # (see _effective_job_ref)
     env_end = _machine_state()
     env_end["job_ref_ms"] = _probe_job_ref(spark)
+    probes.append(env_end["job_ref_ms"])
+    row_refs = {}
+    for name, blk in row_block.items():
+        lo = probes[blk] if blk < len(probes) else None
+        hi = probes[blk + 1] if blk + 1 < len(probes) else None
+        ref = _effective_job_ref(lo, hi)
+        if ref is not None:
+            row_refs[name] = ref
+    job_ref_med, job_ref_unstable = _job_ref_stats(probes)
     full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -1160,8 +1215,14 @@ def main():
     # the r14 session's host measured 1.5-1.8x slower single-core
     # than r13's at a SIMILAR job constant — the two canaries move
     # independently, so an anchor needs both on it to be judged).
-    eff_job_ref = _effective_job_ref(env_start.get("job_ref_ms"),
-                                     env_end.get("job_ref_ms"))
+    # r15: the run's representative constant is the MEDIAN of the
+    # in-run probe series (the r14 min-of-endpoints estimate missed a
+    # mid-run burst and inverted the normalized view); the endpoint
+    # min stays as the fallback when the series is somehow empty.
+    eff_job_ref = job_ref_med
+    if eff_job_ref is None:
+        eff_job_ref = _effective_job_ref(env_start.get("job_ref_ms"),
+                                         env_end.get("job_ref_ms"))
     cands = []
     if not busy_start:
         # the candidate's job_ref_ms is the burst-robust estimate,
@@ -1212,11 +1273,17 @@ def main():
     # reference's job constant, so normalized_value is directly
     # comparable to quiet_ref.value.
     full["stage_counts"] = stage_counts
+    # r15: the raw probe series + per-row constants ship with the
+    # artifact so a reader can re-derive the view with their own model
+    full["job_ref_series"] = probes
+    full["job_ref_row_refs"] = row_refs
+    if job_ref_unstable:
+        full["job_ref_unstable"] = True
     norm_rows, norm_total = (None, None)
     if quiet_ref is not None:
         norm_rows, norm_total = _normalize_rows(
             timings, stage_counts, eff_job_ref,
-            quiet_ref.get("job_ref_ms"))
+            quiet_ref.get("job_ref_ms"), row_refs)
     if norm_total is not None:
         full["normalized_queries"] = norm_rows
         full["normalized_value"] = norm_total
@@ -1245,11 +1312,17 @@ def main():
             "cached_gb_end": env_end.get("cached_gb"),
             "cpu_ref_s": env_start.get("cpu_ref_s"),
             "job_ref_ms": env_start.get("job_ref_ms"),
+            # r15: median of the in-run probe series — the constant
+            # the run typically paid (job_ref_ms above is the start
+            # probe, kept for cross-round continuity)
+            "job_ref_med": job_ref_med,
             "reps_min": min(rep_counts.values()),
             "reps_max": max(rep_counts.values()),
         },
         "sf": sf_val,
     }
+    if job_ref_unstable:
+        compact["job_ref_unstable"] = True
     if busy_start:
         compact["busy_start"] = True
     # quiet_ref ships whenever present (r14 — it used to ride only

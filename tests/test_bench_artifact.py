@@ -278,6 +278,55 @@ class TestNormalizeRows:
         assert rows["q"] == 0.8
         assert total == 1.8
 
+    def test_per_row_refs_override_scalar(self):
+        # r15 (VERDICT r14 next #1): a row that ran under a mid-run
+        # burst (its own bracketing probes read 400 ms) normalizes
+        # against ITS constant, not the run-level scalar (100 ms);
+        # a row without a probe record falls back to the scalar.
+        t = {"burst": 1.5, "quiet": 1.5}
+        s = {"burst": {"jobs": 1, "stages": 5, "reps": 1},
+             "quiet": {"jobs": 1, "stages": 5, "reps": 1}}
+        rows, _ = self._n(t, s, 100.0, 100.0, {"burst": 400.0})
+        # burst row: jb = min(1.5, 5*0.4) = 1.5 -> all job-bound,
+        # re-priced at 100/400: 1.5 * 0.25 = 0.375
+        assert rows["burst"] == 0.375
+        assert rows["quiet"] == 1.5  # matched constants -> identity
+
+    def test_garbage_row_ref_falls_back(self):
+        t = {"q": 1.5}
+        s = {"q": {"jobs": 1, "stages": 5, "reps": 1}}
+        rows, _ = self._n(t, s, 200.0, 100.0, {"q": -3.0})
+        assert rows == {"q": 1.0}  # same as the scalar-only path
+
+
+class TestJobRefStats:
+    """r15 (VERDICT r14 next #1): run-level constant = MEDIAN of the
+    in-run probe series; >2x disagreement across probes flags (never
+    inverts) the normalized view."""
+
+    def _s(self, probes):
+        from bench import _job_ref_stats
+        return _job_ref_stats(probes)
+
+    def test_median_and_stable(self):
+        med, unstable = self._s([100.0, 120.0, 110.0])
+        assert med == 110.0 and unstable is False
+
+    def test_burst_flags_unstable(self):
+        med, unstable = self._s([100.0, 543.0, 110.0, 105.0, 98.0])
+        assert unstable is True
+        assert med == 105.0  # the burst probe does not drag the median
+
+    def test_exactly_2x_is_stable(self):
+        _, unstable = self._s([100.0, 200.0])
+        assert unstable is False
+
+    def test_empty_or_garbage(self):
+        assert self._s([]) == (None, False)
+        assert self._s([None, 0, -5]) == (None, False)
+        med, _ = self._s([None, 80.0])
+        assert med == 80.0
+
 
 class TestWaitForQuiet:
     """r14 (VERDICT r13 next #6): bounded busy-start wait."""
