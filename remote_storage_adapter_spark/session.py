@@ -72,11 +72,18 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "remote-storage-adapter-spark") -> SparkSession:
+def get_spark(app_name: str = "remote-storage-adapter-spark",
+              extra_conf: dict | None = None) -> SparkSession:
     """Build a local session shaped like the test/bench environment.
 
     ``local[N]`` here stands in for a multi-executor cluster: everything
     downstream relies only on partitioning, never on single-JVM locality.
+
+    ``extra_conf`` lets measurement harnesses (tools/ab_codec_sf10.py)
+    override STARTUP confs (e.g. ``spark.io.compression.codec``, which
+    the shuffle block writers read from the frozen SparkConf) while
+    keeping every other knob identical to the production session —
+    the A/B then isolates exactly the overridden conf.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -118,5 +125,7 @@ def get_spark(app_name: str = "remote-storage-adapter-spark") -> SparkSession:
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"))
     )
     for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

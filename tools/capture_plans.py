@@ -4,8 +4,9 @@ Usage::
 
     python tools/capture_plans.py <tag> [query ...]
 
-Writes ``plans/r14/<query>_<tag>.txt`` (tag = before|after) for each
-named bench row (default: all rows in ``bench.BENCH_QUERIES``).
+Writes ``plans/r<N>/<query>_<tag>.txt`` (tag = before|after, round dir
+from ``SPARK_GRAFT_PLANS_ROUND``, default r15) for each named bench
+row (default: all rows in ``bench.BENCH_QUERIES``).
 
 The indexed probe rows need their materialized indexes to exist, so the
 same untimed warm-up bench.main() performs runs first when any of those
@@ -45,7 +46,8 @@ def main() -> None:
     names = sys.argv[2:] or list(bench.BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("capture-plans")
